@@ -1,0 +1,135 @@
+"""Driver-gate queries that exercise the actual extraction engine — the
+mapInPandas stages themselves — cross-checked against DuckDB SQL that
+re-states the spec independently. This is the strongest correctness
+evidence: the vectorized Python stage must agree with a pure-SQL
+restatement of the same semantics on real parquet inputs.
+
+(The full multi-mode pipeline on synthetic transcripts is additionally
+byte-exact-tested against the pure-Python oracle in tests/; here the
+rows-only entries expose it to the driver too.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htrtf_spark import charset as cs
+from htrtf_spark.operators.ctc import CTC_DECODED_DDL, roundtrip_map_in_pandas
+from htrtf_spark.operators.extraction import EXTRACTED_DDL, extract_map_in_pandas
+from htrtf_spark.plans.pipeline import extract_turns, extraction_metrics
+from htrtf_spark.queries.util import t
+from htrtf_spark.sources.transcripts import events_as_transcripts
+
+_NEG_SQL = cs.CHARSET_FILTER_PATTERN.replace("'", "''")
+
+_CLEAN_SQL_TMPL = (
+    "trim(regexp_replace(regexp_replace({col}, '" + _NEG_SQL + "', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+# --------------------------------------------------------------------- q31
+# The vectorized extraction stage over documents (all plain-mode texts),
+# oracle = SQL restatement of charset projection + whitespace canon.
+
+
+def q31_extract_documents(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pseudo = d.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+    )
+    return pseudo.mapInPandas(extract_map_in_pandas, schema=EXTRACTED_DDL)
+
+
+_Q31_SQL = f"""
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+       CAST(0 AS INTEGER) AS turn_idx,
+       'user' AS role,
+       'plain' AS mode,
+       {_CLEAN_SQL_TMPL.format(col="text")} AS extracted_text,
+       CAST(length({_CLEAN_SQL_TMPL.format(col="text")}) AS INTEGER) AS n_chars,
+       CASE WHEN {_CLEAN_SQL_TMPL.format(col="text")} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM documents
+"""
+
+# --------------------------------------------------------------------- q32
+# Full flagship path on driver data: events → transcripts shape (window
+# ordering) → extraction stage; oracle restates BOTH the reshape and the
+# plain-mode extraction in SQL.
+
+
+def q32_extract_events(spark, sf_dir):
+    return extract_turns(
+        events_as_transcripts(spark, sf_dir), num_partitions=None, check_schema=True
+    )
+
+
+_Q32_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(event_id % 4 AS INTEGER) + 1]
+             AS role,
+         event_type || ' value ' || CAST(value AS VARCHAR) || ' ' || props AS text
+  FROM events
+)
+SELECT conv_id, turn_idx, role, 'plain' AS mode,
+       {_CLEAN_SQL_TMPL.format(col="text")} AS extracted_text,
+       CAST(length({_CLEAN_SQL_TMPL.format(col="text")}) AS INTEGER) AS n_chars,
+       CASE WHEN {_CLEAN_SQL_TMPL.format(col="text")} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM tr
+"""
+
+# --------------------------------------------------------------------- q33
+# CTC encode→greedy-decode roundtrip on documents: the decode operator's
+# oracle is the identity on canonical text (pure SQL).
+
+
+def q33_ctc_roundtrip(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(roundtrip_map_in_pandas, schema=CTC_DECODED_DDL)
+
+
+_Q33_SQL = f"""
+SELECT doc_id, {_CLEAN_SQL_TMPL.format(col="text")} AS decoded FROM documents
+"""
+
+# --------------------------------------------------------------------- q34
+# Full multi-mode pipeline on deterministic synthetic transcripts —
+# genuinely non-SQL-expressible (DOM/CTC/stream modes) → rows-only for the
+# driver; byte-exact vs the Python oracle in tests/test_pipeline.py.
+
+
+def q34_extract_synthetic(spark, sf_dir):
+    from htrtf_spark.synth import synth_spark
+
+    tr = synth_spark(spark, n_convs=300, seed=42, partitions=16)
+    return extract_turns(tr, num_partitions=32, salt_factor=4, check_schema=False)
+
+
+# --------------------------------------------------------------------- q35
+# Lineage metrics over the synthetic extraction (audit counters).
+
+
+def q35_extraction_metrics(spark, sf_dir):
+    from htrtf_spark.synth import synth_spark
+
+    tr = synth_spark(spark, n_convs=300, seed=42, partitions=16)
+    ex = extract_turns(tr, check_schema=False)
+    return extraction_metrics(ex).orderBy("mode")
+
+
+QUERIES = {
+    "q31_extract_documents": (q31_extract_documents, _Q31_SQL),
+    "q32_extract_events": (q32_extract_events, _Q32_SQL),
+    "q33_ctc_roundtrip": (q33_ctc_roundtrip, _Q33_SQL),
+    "q34_extract_synthetic": (q34_extract_synthetic, None),
+    "q35_extraction_metrics": (q35_extraction_metrics, None),
+}

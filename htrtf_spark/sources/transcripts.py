@@ -1,0 +1,66 @@
+"""Transcripts table sources.
+
+Production shape is an Iceberg table (BASELINE.json ``input_hint``); the
+sandbox image has no Iceberg jars, so the Iceberg reader is gated and the
+parquet reader carries the same schema contract. Also provides the
+deterministic mapping of the driver's ``events`` testdata into a
+transcripts-shaped table, so the flagship pipeline can run on the
+driver-provided parquet (TESTDATA.md) without synthesizing inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+
+
+def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned parquet read (no inference drift)."""
+    return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
+
+
+def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg read — requires iceberg-spark-runtime on the classpath and a
+    configured catalog. Gated: raises a clear error in environments
+    without the jars (this sandbox)."""
+    try:
+        return spark.read.table(table)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "Iceberg table read failed — ensure iceberg-spark-runtime is on "
+            "the classpath and spark.sql.catalog.<name> is configured. "
+            f"Underlying error: {exc}"
+        ) from exc
+
+
+def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the driver's ``events`` table into the
+    transcripts schema: one conversation per user, turns ordered by event
+    time (ties broken by event_id — total order), text derived from the
+    event payload. Pure DataFrame ops — fully Catalyst-optimized."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
+    role = F.element_at(roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int"))
+    return ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.lit("value"),
+            F.col("value").cast("string"),
+            F.col("props"),
+        ).alias("text"),
+        F.when(role == "tool", F.concat(F.lit("tool_"), F.col("event_type")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+    )

@@ -1,0 +1,59 @@
+"""Checkpoint/resume: kill after k buckets, restart, output identical to an
+uninterrupted run; lineage manifest complete and conserving."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from htrtf_spark import synth
+from htrtf_spark.plans import checkpoint as ckpt
+from htrtf_spark.plans.pipeline import extract_turns
+from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+
+N_BUCKETS = 6
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .reindex(sorted(pdf.columns), axis=1)
+    )
+
+
+def test_kill_and_resume_identical(spark, tmp_path):
+    src_pdf = synth.synth_pandas(n_convs=25, seed=11)
+    df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)
+
+    oneshot = _sorted(extract_turns(df).toPandas())
+
+    out_dir = str(tmp_path / "ck")
+    with pytest.raises(ckpt.KilledForTest):
+        ckpt.run_extraction_checkpointed(
+            spark, df, out_dir, n_buckets=N_BUCKETS, fail_after_buckets=2
+        )
+    assert len(ckpt.completed_buckets(out_dir)) == 2
+
+    ran = ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=N_BUCKETS)
+    assert len(ran) == N_BUCKETS - 2
+    assert ckpt.completed_buckets(out_dir) == set(range(N_BUCKETS))
+
+    resumed = _sorted(ckpt.read_output(spark, out_dir).drop("bucket").toPandas())
+    pd.testing.assert_frame_equal(oneshot, resumed)
+
+    # second resume is a no-op (idempotent)
+    assert ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=N_BUCKETS) == []
+
+
+def test_manifest_lineage_conservation(spark, tmp_path):
+    src_pdf = synth.synth_pandas(n_convs=15, seed=13)
+    df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)
+    out_dir = str(tmp_path / "ck2")
+    ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=N_BUCKETS)
+    man = ckpt.read_manifest(spark, out_dir).toPandas()
+    assert len(man) == N_BUCKETS
+    assert int(man["rows_in"].sum()) == len(src_pdf)
+    assert int(man["rows_out"].sum() + man["rows_rejected"].sum()) == len(src_pdf)
+    assert (man["wall_ms"] >= 0).all()
+    assert (man["turns_per_sec"] >= 0).all()

@@ -1,0 +1,94 @@
+"""End-to-end Spark pipeline vs oracle: byte-exact per turn under stable
+(conv_id, turn_idx) ordering; row-count conservation; deterministic
+distributed synthesis."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from htrtf_spark import oracle, synth
+from htrtf_spark.plans.ordering import with_turn_rank
+from htrtf_spark.plans.pipeline import extract_turns, extraction_metrics
+from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+
+N_CONVS = 60
+
+
+def _sorted_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_pipeline_byte_exact_vs_oracle(spark):
+    src_pdf = synth.synth_pandas(n_convs=N_CONVS, seed=42)
+    golden = _sorted_pdf(oracle.extract_frame(src_pdf))
+
+    df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = extract_turns(df, num_partitions=8, salt_factor=4)
+    got = _sorted_pdf(out.toPandas())
+
+    assert len(got) == len(golden) == len(src_pdf)  # nothing silently dropped
+    for col in ["conv_id", "turn_idx", "role", "mode", "extracted_text", "reject_reason"]:
+        g = golden[col].where(golden[col].notna(), "<NULL>")
+        f = got[col].where(got[col].notna(), "<NULL>")
+        mism = (g.values != f.values).nonzero()[0]
+        assert len(mism) == 0, (
+            f"{col}: first mismatch at {mism[0] if len(mism) else '-'}: "
+            f"golden={golden[col].iloc[mism[0]]!r} got={got[col].iloc[mism[0]]!r}"
+        )
+    # exact-match rate is exactly 100% (north rule)
+    match = (
+        golden["extracted_text"].fillna("<N>") == got["extracted_text"].fillna("<N>")
+    ).mean()
+    assert match == 1.0
+
+
+def test_partitioning_invariance(spark):
+    """Output is identical whatever the parallelism/salting — ordering comes
+    from keys, never from partition layout."""
+    src_pdf = synth.synth_pandas(n_convs=20, seed=7)
+    df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)
+    a = _sorted_pdf(extract_turns(df, num_partitions=2, salt_factor=1).toPandas())
+    b = _sorted_pdf(extract_turns(df, num_partitions=16, salt_factor=8).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_synth_spark_matches_pandas(spark):
+    """Distributed generation == single-process generation, row for row."""
+    n = 12
+    pdf_local = _sorted_pdf(synth.synth_pandas(n_convs=n, seed=42, shuffled=False))
+    pdf_spark = _sorted_pdf(
+        synth.synth_spark(spark, n_convs=n, seed=42, partitions=5).toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        pdf_local[["conv_id", "turn_idx", "role", "text", "tool"]],
+        pdf_spark[["conv_id", "turn_idx", "role", "text", "tool"]],
+    )
+
+
+def test_turn_rank_stable_ordering(spark):
+    src_pdf = synth.synth_pandas(n_convs=10, seed=3)
+    df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)
+    ranked = with_turn_rank(df).toPandas()
+    # rn is 1..n_turns within each conversation following turn_idx order
+    for _, grp in ranked.groupby("conv_id"):
+        g = grp.sort_values("turn_idx")
+        assert list(g["rn"]) == list(range(1, len(g) + 1))
+
+
+def test_metrics_conservation(spark):
+    src_pdf = synth.synth_pandas(n_convs=30, seed=9)
+    df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)
+    m = extraction_metrics(extract_turns(df)).toPandas()
+    assert int(m["turns"].sum()) == len(src_pdf)
+    golden = oracle.extract_frame(src_pdf)
+    assert int(m["rejected"].sum()) == int(golden["reject_reason"].notna().sum())
+
+
+def test_schema_check_rejects_drift(spark):
+    import pytest
+
+    from htrtf_spark.schema import check_input_schema
+
+    bad = spark.createDataFrame(pd.DataFrame({"conv_id": ["a"], "turn_idx": [1]}))
+    with pytest.raises(ValueError):
+        check_input_schema(bad)
