@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from htrtf_spark.sources.transcripts import events_as_transcripts
 
     transcripts = events_as_transcripts(spark, "/root/testdata/sf0.001")
-    return extract_turns(transcripts, num_partitions=8, salt_factor=4)
+    return extract_turns(transcripts)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,108 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus extraction
+throughput on a deterministic synthetic transcripts corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extraction": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TURN_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
+
+# Headline subset: one per operator family, the ones that stress shuffle /
+# join / window / Python-stage paths.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q06_revenue_per_nation",
+    "q11_running_totals",
+    "q12_sessionize",
+    "q25_trigram_jaccard_pairs",
+    "q27_minhash_neardup_verified",
+    "q29_near_pairs",
+    "q31_extract_documents",
+    "q32_extract_events",
+]
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from htrtf_spark.queries import spark_queries
+    from htrtf_spark.session import get_spark
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+    from htrtf_spark.synth import synth_spark
+
+    spark = get_spark(app_name="bench")
+    qs = spark_queries()
+
+    # Warm up executors + Python workers (untimed).
+    _materialize(qs["q31_extract_documents"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # Extraction throughput on cached deterministic synthetic transcripts.
+    cache = f"/tmp/htrtf_spark_bench/transcripts_c{BENCH_TURN_CONVS}_s42.parquet"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        synth_spark(spark, n_convs=BENCH_TURN_CONVS, seed=42, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    tdf = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(cache)
+    _materialize(extract_turns(tdf, check_schema=False))  # warm
+    turns = tdf.count()
+    t0 = time.monotonic()
+    _materialize(extract_turns(tdf, check_schema=False))
+    ext_wall = time.monotonic() - t0
+    timings["extract_synth"] = round(ext_wall, 3)
+
+    scaling = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
+
+    result = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "extraction": {
+            "turns": turns,
+            "wall_sec": round(ext_wall, 3),
+            "turns_per_sec": round(turns / ext_wall, 1),
+        },
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,79 @@ def roundtrip_map_in_pandas(
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "decoded": decoded})
 
 
+def beam_decode(
+    logprobs: np.ndarray, beam_width: int = 8, blank_id: int = cs.BLANK_ID
+) -> str:
+    """CTC prefix beam search over a [T, C] log-probability matrix
+    (ctc_beam_search_decoder parity, merge_repeated=False semantics:
+    /root/reference/Projects/IAM_lines/Structure_006/Structure_006.py:142-143).
+
+    Deterministic: beams are ranked by (score, prefix) with lexicographic
+    tie-break, so exact-match tests cannot flake (SURVEY.md §7.4 risk 4).
+    Returns the decoded text after charset mapping + word-sep → space +
+    whitespace canon (tasks.py:176-178).
+    """
+    logprobs = np.asarray(logprobs, dtype=np.float64)
+    T, C = logprobs.shape
+    NEG_INF = -np.inf
+
+    def logsumexp2(a: float, b: float) -> float:
+        if a == NEG_INF:
+            return b
+        if b == NEG_INF:
+            return a
+        m = a if a > b else b
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # beams: prefix(tuple of ids) -> (logp_blank, logp_nonblank)
+    beams: dict[tuple, tuple] = {(): (0.0, NEG_INF)}
+    for t in range(T):
+        frame = logprobs[t]
+        nxt: dict[tuple, list] = {}
+
+        def add(prefix, pb, pnb):
+            cur = nxt.get(prefix)
+            if cur is None:
+                nxt[prefix] = [pb, pnb]
+            else:
+                cur[0] = logsumexp2(cur[0], pb)
+                cur[1] = logsumexp2(cur[1], pnb)
+
+        for prefix, (pb, pnb) in beams.items():
+            total = logsumexp2(pb, pnb)
+            # extend with blank: prefix unchanged
+            add(prefix, total + frame[blank_id], NEG_INF)
+            # repeat last symbol without blank: merges into same prefix
+            if prefix:
+                add(prefix, NEG_INF, pnb + frame[prefix[-1]])
+            for c in range(C):
+                if c == blank_id:
+                    continue
+                if prefix and c == prefix[-1]:
+                    # extend after a blank only (true CTC repeat rule)
+                    add(prefix + (c,), NEG_INF, pb + frame[c])
+                else:
+                    add(prefix + (c,), NEG_INF, total + frame[c])
+        ranked = sorted(
+            nxt.items(),
+            key=lambda kv: (-logsumexp2(kv[1][0], kv[1][1]), kv[0]),
+        )
+        beams = {k: (v[0], v[1]) for k, v in ranked[:beam_width]}
+
+    best = min(
+        beams.items(), key=lambda kv: (-logsumexp2(kv[1][0], kv[1][1]), kv[0])
+    )[0]
+    chars = _CHAR_ARR[np.clip(np.asarray(best, dtype=np.int64), 0, cs.BLANK_ID)] if best else []
+    s = "".join(chars).replace(cs.WORD_SEP, " ")
+    return " ".join(s.split())
+
+
+def greedy_decode_logits(logprobs: np.ndarray) -> str:
+    """Greedy path decode over [T, C]: argmax per frame → collapse."""
+    ids = np.argmax(np.asarray(logprobs, dtype=np.float64), axis=1)
+    return greedy_decode(ids)
+
+
 def decode_ids_map_in_pandas(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

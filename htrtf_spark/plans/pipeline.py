@@ -1,15 +1,27 @@
 """The flagship extraction plan: transcripts in → extracted turns out.
 
-Spark lifecycle (SURVEY.md §3.3): scan → salted repartition (one shuffle,
-the only one) → Arrow-batched mapInPandas extraction (narrow, pipelined)
-→ optional stable sort for presentation. Catalyst handles column pruning:
-we select only the 4 columns the stage needs, so the parquet scan reads
-exactly those (check with .explain: ReadSchema).
+Spark lifecycle (SURVEY.md §3.3), restructured for scale after profiling:
+
+  scan ──► mapInPandas extraction (NARROW — pipelined with the scan, no
+           shuffle touches the raw payload) ──► per-conversation stages
+           (window rank / salted aggregates) on the EXTRACTED rows.
+
+Why extraction is narrow: the stage is stateless per-row, so partitioning
+is irrelevant to its correctness and any pre-shuffle of the raw text is
+pure overhead — profiling showed the shuffle write+fetch of raw text
+costing more CPU than the extraction itself. Long-conversation skew
+cannot hurt a stateless map; it only matters for key-local operations,
+which run *after* decode where rows are strictly smaller (markup and
+blanks stripped) — same ordering as the reference, which decodes first
+and orders/aggregates after (/root/reference/Modules/tasks.py:172-184).
+
+Catalyst handles column pruning: we select only the 4 columns the stage
+needs, so the parquet scan reads exactly those (.explain → ReadSchema).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from htrtf_spark.operators.extraction import EXTRACTED_DDL, extract_map_in_pandas
@@ -24,8 +36,13 @@ def extract_turns(
 ) -> DataFrame:
     """Run main-content extraction over a transcripts DataFrame.
 
+    Narrow by default (the fast path). ``num_partitions`` forces a salted
+    repartition first — useful only when the source's own splits are too
+    few/skewed to parallelize (e.g. one giant unsplittable file), not for
+    healthy parquet/Iceberg inputs.
+
     Returns EXTRACTED_SCHEMA rows, one per input turn (rows_in == rows_out
-    + rejected-with-reason; nothing is silently dropped — the audit-counter
+    + rejected-with-reason; nothing silently dropped — the audit-counter
     invariant, /root/reference/Projects/IAM_lines/create_IAM_lines_dataset.py:57-65).
     """
     if check_schema:
@@ -36,6 +53,40 @@ def extract_turns(
 
         cols = salted_repartition(cols, num_partitions, salt_factor)
     return cols.mapInPandas(extract_map_in_pandas, schema=EXTRACTED_DDL)
+
+
+def ordered_extract(df: DataFrame, check_schema: bool = True) -> DataFrame:
+    """Extraction + stable per-conversation rank (the north rule's
+    '(conv_id, turn_idx) stable ordering via window functions'): one
+    shuffle, on the extracted (smaller) rows."""
+    ex = extract_turns(df, check_schema=check_schema)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role")
+    return ex.withColumn("rn", F.row_number().over(w))
+
+
+def conversation_stats(extracted: DataFrame, salt_factor: int = 16) -> DataFrame:
+    """Per-conversation rollup via two-phase salted aggregation: partial
+    agg on (conv_id, salt) bounds any whale conversation's contribution to
+    one task per salt, then a tiny final agg merges salts — the groupBy
+    analog of the reference's width chunking
+    (/root/reference/Modules/layers.py:345-369)."""
+    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_factor))
+    partial = (
+        extracted.groupBy("conv_id", salt.alias("_salt"))
+        .agg(
+            F.count("*").alias("t"),
+            F.sum(F.coalesce("n_chars", F.lit(0)).cast("long")).alias("ch"),
+            F.sum(F.col("reject_reason").isNotNull().cast("long")).alias("rej"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.sum("t").alias("n_turns"),
+            F.sum("ch").alias("total_chars"),
+            F.sum("rej").alias("n_rejected"),
+        )
+    )
 
 
 def extraction_metrics(extracted: DataFrame) -> DataFrame:

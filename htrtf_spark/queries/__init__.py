@@ -15,9 +15,17 @@ Parity rules used throughout (so value-hash comparisons can't flake):
 
 from __future__ import annotations
 
-from htrtf_spark.queries import dedup, extraction_queries, relational, textops, vectors
+from htrtf_spark.queries import (
+    dedup,
+    extraction_queries,
+    relational,
+    textops,
+    textops2,
+    vectors,
+    vectors2,
+)
 
-_MODULES = [relational, textops, dedup, vectors, extraction_queries]
+_MODULES = [relational, textops, textops2, dedup, vectors, vectors2, extraction_queries]
 
 
 def registry() -> dict[str, tuple]:

@@ -111,7 +111,7 @@ def q34_extract_synthetic(spark, sf_dir):
     from htrtf_spark.synth import synth_spark
 
     tr = synth_spark(spark, n_convs=300, seed=42, partitions=16)
-    return extract_turns(tr, num_partitions=32, salt_factor=4, check_schema=False)
+    return extract_turns(tr, check_schema=False)
 
 
 # --------------------------------------------------------------------- q35

@@ -1,0 +1,100 @@
+"""Second text-analysis batch: quality feature vectors, BPE-ish token
+counting, rolling-window fingerprints — driver-gate wrappers over
+htrtf_spark.operators.textstats with full DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htrtf_spark.operators import textstats as TS
+from htrtf_spark.queries.util import t
+
+# --------------------------------------------------------------------- q37
+
+
+def q37_quality_features(spark, sf_dir):
+    return TS.quality_features(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q37_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_types,
+       CAST(ROUND(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+            * 10000.0 / GREATEST(length(text), 1)) AS BIGINT) AS alnum_ratio_bp,
+       CAST(ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            * 10000.0 / GREATEST(length(text), 1)) AS BIGINT) AS punct_ratio_bp,
+       CAST(ROUND(len(list_filter(toks,
+              x -> list_contains({TS.STOPWORDS!r}, x)))
+            * 10000.0 / GREATEST(len(toks), 1)) AS BIGINT) AS stop_ratio_bp,
+       CAST(ROUND(length(text) * 100.0 / GREATEST(len(toks), 1)) AS BIGINT)
+           AS avg_token_len_cp
+FROM base
+"""
+
+# --------------------------------------------------------------------- q38
+# BPE-ish sub-word token counting (regex boundary splitting) over events
+# props (which actually contain punctuation).
+
+
+def q38_bpe_tokens(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        TS.bpe_ish_token_count(F.col("props")).alias("n_bpe"),
+        TS.token_count(F.col("props")).alias("n_ws"),
+    )
+
+
+_Q38_SQL = r"""
+SELECT event_id,
+       len(list_filter(
+             regexp_split_to_array(
+               regexp_replace(props, '([0-9]+|[^\sA-Za-z0-9]+)', ' \1 ', 'g'),
+               '\s+'),
+             x -> x <> '')) AS n_bpe,
+       len(list_filter(string_split(props, ' '), x -> x <> '')) AS n_ws
+FROM events
+"""
+
+# --------------------------------------------------------------------- q39
+
+
+def q39_rolling_fingerprints(spark, sf_dir):
+    return TS.rolling_fingerprints(
+        t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=16, stride=8
+    )
+
+
+_Q39_SQL = """
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), wins AS (
+  SELECT id,
+         GREATEST(CAST(CEIL((len(w) - 16) / 8.0 + 1) AS BIGINT), 1) AS n_win,
+         w
+  FROM base
+)
+SELECT id, u.win_idx, u.fp FROM (
+  SELECT id,
+         unnest([{'win_idx': i - 1,
+                  'fp': md5(array_to_string(w[(i-1)*8+1:(i-1)*8+16], ' '))}
+                 for i in generate_series(1, n_win)]) AS u
+  FROM wins
+)
+"""
+
+
+QUERIES = {
+    "q37_quality_features": (q37_quality_features, _Q37_SQL),
+    "q38_bpe_tokens": (q38_bpe_tokens, _Q38_SQL),
+    "q39_rolling_fingerprints": (q39_rolling_fingerprints, _Q39_SQL),
+}

@@ -1,0 +1,67 @@
+"""Production entrypoint: checkpointed main-content extraction job.
+
+    spark-submit --master <cluster> --py-files htrtf_spark.zip \
+        jobs/run_extraction.py --input <transcripts.parquet-or-iceberg> \
+        --output <dir> [--buckets 64] [--iceberg-table db.tbl]
+
+Resumable: re-running with the same --output skips buckets already in the
+manifest (per-partition lineage + throughput live next to the data, per
+the north rule). No config is hardcoded; everything is args/env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="transcripts parquet path")
+    src.add_argument("--iceberg-table", help="Iceberg table name (catalog.db.tbl)")
+    p.add_argument("--output", required=True, help="output dir (data/ + _manifest/)")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--repartition", type=int, default=None,
+                   help="optional salted repartition width (only for "
+                        "unsplittable/skewed sources; healthy parquet "
+                        "inputs should leave this unset)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from htrtf_spark.plans.checkpoint import (
+        completed_buckets,
+        run_extraction_checkpointed,
+    )
+    from htrtf_spark.sources.transcripts import (
+        read_transcripts_iceberg,
+        read_transcripts_parquet,
+    )
+
+    if args.iceberg_table:
+        df = read_transcripts_iceberg(spark, args.iceberg_table)
+    else:
+        df = read_transcripts_parquet(spark, args.input)
+
+    already = len(completed_buckets(args.output))
+    ran = run_extraction_checkpointed(
+        spark, df, args.output, n_buckets=args.buckets,
+        num_partitions=args.repartition,
+    )
+    print(json.dumps({
+        "output": args.output,
+        "buckets_total": args.buckets,
+        "buckets_resumed_from": already,
+        "buckets_ran": len(ran),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

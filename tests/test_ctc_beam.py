@@ -1,0 +1,68 @@
+"""CTC beam-search decode: agreement with greedy on sharp inputs, known
+superiority on mass-split inputs, determinism, roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from htrtf_spark import charset as cs
+from htrtf_spark.operators import ctc
+
+C = cs.NUM_CLASSES
+c2i = cs.char_to_id()
+
+
+def _soft(rows):
+    """Rows of (id→prob) dicts → [T, C] log-prob matrix."""
+    m = np.full((len(rows), C), 1e-12)
+    for t, probs in enumerate(rows):
+        for i, p in probs.items():
+            m[t, i] = p
+        m[t] /= m[t].sum()
+    return np.log(m)
+
+def test_beam_equals_greedy_on_sharp_logits():
+    text = "hello world"
+    ids = ctc.encode_frames(text)
+    lp = np.full((len(ids), C), np.log(1e-9))
+    for t, i in enumerate(ids):
+        lp[t, i] = np.log(1.0)
+    assert ctc.beam_decode(lp) == text
+    assert ctc.greedy_decode_logits(lp) == text
+
+
+def test_beam_beats_greedy_on_mass_split():
+    # classic: per-frame argmax is blank, but summed paths favor 'a'.
+    a = c2i["a"]
+    lp = _soft([
+        {cs.BLANK_ID: 0.42, a: 0.58},
+        {cs.BLANK_ID: 0.52, a: 0.48},
+    ])
+    # greedy: 'a' then blank → "a"; beam must also find "a" (sanity)
+    assert ctc.beam_decode(lp, beam_width=8) == "a"
+    b = c2i["b"]
+    # mass split across two non-blank symbols at t0; blank dominates each
+    # frame but total non-blank path a→a outweighs the blank path.
+    lp2 = _soft([
+        {cs.BLANK_ID: 0.4, a: 0.35, b: 0.25},
+        {cs.BLANK_ID: 0.4, a: 0.35, b: 0.25},
+    ])
+    # greedy path: blank,blank → "" ; beam aggregates P(a)=paths {aa,a-,-a}
+    assert ctc.greedy_decode_logits(lp2) == ""
+    assert ctc.beam_decode(lp2, beam_width=8) == "a"
+
+
+def test_beam_deterministic_under_ties():
+    a, b = c2i["a"], c2i["b"]
+    lp = _soft([{a: 0.5, b: 0.5}])
+    out1 = ctc.beam_decode(lp, beam_width=4)
+    out2 = ctc.beam_decode(lp, beam_width=4)
+    assert out1 == out2 == "a"  # lexicographic tie-break: 'a' < 'b'
+
+
+def test_beam_wordsep_and_canon():
+    ids = ctc.encode_frames("hi|there")  # '|' in charset → space on decode
+    lp = np.full((len(ids), C), np.log(1e-9))
+    for t, i in enumerate(ids):
+        lp[t, i] = 0.0
+    assert ctc.beam_decode(lp) == "hi there"

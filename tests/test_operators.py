@@ -1,0 +1,170 @@
+"""Unit tests for the operator library: dedup (exact / jaccard / minhash-LSH
+/ simhash), similarity search (brute force / LSH / IVF), text stats,
+multimodal plumbing, CTC array ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from htrtf_spark.operators import ctc, dedup, multimodal, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different text about spark shuffles and partitions here"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "tiny"),
+        (5, "spark shuffles and partitions here with completely different text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["fp"]: (r["rep_id"], r["n_copies"]) for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()}
+    # 0 and 3 share a fingerprint
+    assert sorted(v for v in out.values()) .count((0, 2)) == 1
+    assert sum(n for _, n in out.values()) == 6
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_bp"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", min_jaccard_bp=5000).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 10000  # exact dup
+    assert (0, 1) in pairs and 5000 <= pairs[(0, 1)] < 10000  # near dup
+    assert (1, 3) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_finds_neardups(spark, docs):
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", min_jaccard_bp=None).collect()
+    }
+    assert (0, 3) in cand  # exact dup always collides on every band
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard_bp"]
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", min_jaccard_bp=5000).collect()
+    }
+    assert verified[(0, 3)] == 10000
+
+
+def test_simhash(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash64(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[3]  # identical text → identical simhash
+    mask = (1 << 64) - 1  # simhash is a signed long; hamming needs raw bits
+    ham01 = bin((sh[0] ^ sh[1]) & mask).count("1")
+    ham02 = bin((sh[0] ^ sh[2]) & mask).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(0, 3)] == 0
+
+
+def test_stop_shingle_cap(spark, docs):
+    # with an absurdly low doc-freq cap every shingle is dropped
+    g = dedup.shingle_table(docs, "doc_id", "text", max_doc_freq=0)
+    assert g.count() == 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rs = np.random.RandomState(7)
+    base = rs.randn(40, 16).astype(np.float64)
+    base[1] = base[0] * 1.01 + 0.001  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 0").collect()[0]["embedding"]]
+    top = simsearch.brute_force_topk(vecs, "vec_id", "embedding", q, k=5).collect()
+    assert top[0]["id"] == 0 and top[0]["sim_bp"] == 10000  # self
+    assert top[1]["id"] == 1  # planted near-dup
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_overlaps_bruteforce(spark, vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 0").collect()[0]["embedding"]]
+    exact = [r["id"] for r in simsearch.brute_force_topk(vecs, "vec_id", "embedding", q, k=5).collect()]
+    approx = [r["id"] for r in simsearch.lsh_topk(vecs, "vec_id", "embedding", q, k=5, bits=4).collect()]
+    # the query itself and its planted near-dup land in the query's bucket
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_ivf_topk(spark, vecs):
+    q = [float(x) for x in vecs.filter("vec_id = 0").collect()[0]["embedding"]]
+    res = simsearch.ivf_topk(vecs, "vec_id", "embedding", q, k=5, n_cells=8, nprobe=8)
+    ids = [r["id"] for r in res.collect()]
+    assert ids[0] == 0  # probing all cells == exact
+    assert 1 in ids
+
+
+def test_quality_features(spark, docs):
+    qf = {r["id"]: r for r in textstats.quality_features(docs, "doc_id", "text").collect()}
+    assert qf[4]["n_tokens"] == 1
+    assert qf[0]["n_tokens"] == 13
+    assert qf[0]["stop_ratio_bp"] > 0
+    assert qf[0]["alnum_ratio_bp"] + qf[0]["punct_ratio_bp"] <= 10000
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world! x2",)], "t string")
+    n = df.select(textstats.bpe_ish_token_count("t").alias("n")).collect()[0]["n"]
+    # hello , world ! x 2  → 6 pieces
+    assert n == 6
+
+
+def test_rolling_fingerprints(spark, docs):
+    fp = textstats.rolling_fingerprints(docs, "doc_id", "text", window_tokens=4, stride=2)
+    rows = fp.filter("id = 0").collect()
+    assert len(rows) >= 4
+    assert len({r["fp"] for r in rows}) == len(rows)  # distinct windows
+    # identical docs produce identical fingerprint sets
+    a = {(r["win_idx"], r["fp"]) for r in fp.filter("id = 0").collect()}
+    b = {(r["win_idx"], r["fp"]) for r in fp.filter("id = 3").collect()}
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30, seed=1)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 30
+    assert all(r["decode_ok"] for r in feats)
+    assert all(len(r["feat"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload → same features
+    again = multimodal.extract_features(media, fake=True).collect()
+    assert {r["media_id"]: r["feat_norm_bp"] for r in feats} == {
+        r["media_id"]: r["feat_norm_bp"] for r in again
+    }
+    stats = multimodal.media_size_stats(media).collect()
+    assert {r["kind"] for r in stats} == {"image", "audio", "video"}
+    assert sum(r["n"] for r in stats) == 30
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG", fake=False)
+
+
+def test_ctc_array_ops():
+    assert ctc.greedy_decode(ctc.encode_frames("hello world")) == "hello world"
+    assert ctc.greedy_decode(ctc.encode_frames("aa  bb")) == "aa bb"
+    assert ctc.greedy_decode(np.array([], dtype=np.int64)) == ""
+    # out-of-charset chars are dropped at encode (charset projection)
+    assert ctc.greedy_decode(ctc.encode_frames("a€b")) == "ab"
+    # explicit stream with blanks separating repeats
+    import htrtf_spark.charset as cs
+
+    c2i = cs.char_to_id()
+    ids = np.array([c2i["x"], c2i["x"], cs.BLANK_ID, c2i["x"]])
+    assert ctc.greedy_decode(ids) == "xx"

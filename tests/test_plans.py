@@ -1,0 +1,91 @@
+"""Physical-plan quality gates: the plans we ship must keep the shapes
+that survive a 100× scale-up — column-pruned scans, pushed filters,
+broadcast dimension joins, no shuffle feeding the stateless extraction
+stage."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from htrtf_spark import synth
+from htrtf_spark.plans.pipeline import extract_turns, ordered_extract
+from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "tr")
+    pdf = synth.synth_pandas(n_convs=10, seed=2)
+    spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).write.parquet(path)
+    return path
+
+
+def test_extraction_scan_prunes_columns(spark, transcripts_path):
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(transcripts_path)
+    plan = _plan(extract_turns(df))
+    # the parquet scan must read exactly the 4 needed columns — tool/ts
+    # pruned (at 100 TB the ts+tool bytes are real money)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "conv_id" in read_schema and "text" in read_schema
+    assert "tool" not in read_schema and "ts" not in read_schema
+
+
+def test_extraction_plan_is_narrow(spark, transcripts_path):
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(transcripts_path)
+    plan = _plan(extract_turns(df))
+    assert "Exchange" not in plan  # no shuffle touches the raw payload
+
+
+def test_ordered_extract_single_exchange(spark, transcripts_path):
+    df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(transcripts_path)
+    plan = _plan(ordered_extract(df), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1  # the window shuffle only
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(li.l_quantity > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThan(l_quantity" in pushed
+
+
+def test_dim_join_is_broadcast(spark):
+    from htrtf_spark.queries.relational import q06_revenue_per_nation
+
+    plan = _plan(q06_revenue_per_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_shape(spark):
+    from htrtf_spark.queries.relational import q04_customers_with_urgent_orders
+
+    plan = _plan(q04_customers_with_urgent_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_relational(spark):
+    from htrtf_spark.queries.relational import q01_pricing_summary
+
+    # AQE hides codegen annotations in pre-execution plans; disable it for
+    # this one probe so the whole-stage spans are visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(q01_pricing_summary(spark, SF_DIR), mode="formatted")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "codegen id" in plan  # aggregation stays inside whole-stage codegen
