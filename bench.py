@@ -79,13 +79,21 @@ def main() -> None:
     ext_wall = time.monotonic() - t0
     timings["extract_synth"] = round(ext_wall, 3)
 
-    scaling = None
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
-    )
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            scaling = json.load(f)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    scaling = {}
+    for key, fname in [
+        ("within_jvm", "scaling.json"),
+        ("multi_executor", "scaling_executors.json"),
+    ]:
+        p = os.path.join(bench_dir, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            scaling[key] = {
+                "efficiency_n_to_4n": d.get("scaling_efficiency_n_to_4n"),
+                "generated_at": d.get("generated_at"),
+            }
+    scaling = scaling or None
 
     result = {
         "metric": "headline_suite_wall",

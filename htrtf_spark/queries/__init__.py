@@ -19,13 +19,23 @@ from htrtf_spark.queries import (
     dedup,
     extraction_queries,
     relational,
+    relational2,
     textops,
     textops2,
     vectors,
     vectors2,
 )
 
-_MODULES = [relational, textops, textops2, dedup, vectors, vectors2, extraction_queries]
+_MODULES = [
+    relational,
+    relational2,
+    textops,
+    textops2,
+    dedup,
+    vectors,
+    vectors2,
+    extraction_queries,
+]
 
 
 def registry() -> dict[str, tuple]:

@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     path = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     master = spark.conf.get("spark.master")
@@ -48,7 +49,7 @@ def main() -> None:
 
     # best-of-3: the sandbox VM shows large transient throughput noise;
     # min wall is the least-contended estimate of the job's real cost.
-    def best_of(job, reps: int = 3) -> float:
+    def best_of(job, reps: int = reps) -> float:
         walls = []
         for _ in range(reps):
             t0 = time.monotonic()
