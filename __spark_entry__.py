@@ -26,11 +26,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.plans.pipeline import ordered_extract
     from htrtf_spark.sources.transcripts import events_as_transcripts
 
     transcripts = events_as_transcripts(spark, "/root/testdata/sf0.001")
-    return extract_turns(transcripts)
+    return ordered_extract(transcripts)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

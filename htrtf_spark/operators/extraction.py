@@ -118,6 +118,13 @@ def _decode_dom(st: pd.Series) -> pd.Series:
 def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     """Extract every turn in one pandas batch. Row order preserved."""
     pdf = pdf.reset_index(drop=True)
+    if pdf["turn_idx"].isna().any() or pdf["conv_id"].isna().any():
+        # a schema-pinned read of a non-transcripts file yields all-null
+        # keys — fail loudly here instead of a cryptic cast error later
+        raise ValueError(
+            "transcripts rows with null conv_id/turn_idx — the input is "
+            "not a transcripts table (schema-pinned read of a wrong file?)"
+        )
     text = pdf["text"]
     is_null = text.isna()
     s = text.where(~is_null, "").astype("object")

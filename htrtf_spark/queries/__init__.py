@@ -18,6 +18,7 @@ from __future__ import annotations
 from htrtf_spark.queries import (
     dedup,
     extraction_queries,
+    pipeline_queries,
     relational,
     relational2,
     textops,
@@ -35,6 +36,7 @@ _MODULES = [
     vectors,
     vectors2,
     extraction_queries,
+    pipeline_queries,
 ]
 
 

@@ -1,0 +1,117 @@
+"""Pipeline-level gate queries: the salted two-phase aggregation, the
+stable-ordering window, and keyword spotting — each cross-checked against
+a pure-SQL restatement, so the driver verifies the *plan patterns* (not
+just scalar semantics) of the flagship pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htrtf_spark import charset as cs
+from htrtf_spark.plans.pipeline import conversation_stats, extract_turns, ordered_extract
+from htrtf_spark.queries.util import t
+from htrtf_spark.sources.transcripts import events_as_transcripts
+
+_NEG_SQL = cs.CHARSET_FILTER_PATTERN.replace("'", "''")
+_CLEAN = (
+    "trim(regexp_replace(regexp_replace({col}, '" + _NEG_SQL + "', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+# The events→transcripts reshape + plain-mode extraction, as a reusable
+# DuckDB CTE (mirrors sources.transcripts.events_as_transcripts +
+# the extraction stage for plain-mode text).
+_EXTRACTED_CTE = f"""
+tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(event_id % 4 AS INTEGER) + 1]
+             AS role,
+         event_type || ' value ' || CAST(value AS VARCHAR) || ' ' || props AS text
+  FROM events
+), extracted AS (
+  SELECT conv_id, turn_idx, role,
+         {_CLEAN.format(col="text")} AS extracted_text,
+         CAST(length({_CLEAN.format(col="text")}) AS INTEGER) AS n_chars,
+         CASE WHEN {_CLEAN.format(col="text")} = ''
+              THEN 'empty_after_clean' END AS reject_reason
+  FROM tr
+)
+"""
+
+# --------------------------------------------------------------------- q48
+# Keyword spotting (the reference's keyword sets define a query
+# vocabulary: /root/reference/Projects/Washington/Sets/cv1/keywords.txt).
+
+_KEYWORDS = ["spark", "window", "vector", "shuffle"]
+
+
+def q48_keyword_spotting(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    kw = spark.createDataFrame([(k,) for k in _KEYWORDS], "word string")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(kw), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+_q48_list = ", ".join(f"'{k}'" for k in _KEYWORDS)
+_Q48_SQL = f"""
+SELECT doc_id, word, COUNT(*) AS n_hits FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+) WHERE word IN ({_q48_list})
+GROUP BY doc_id, word
+"""
+
+# --------------------------------------------------------------------- q49
+# Two-phase salted per-conversation rollup == plain GROUP BY (the salting
+# must be semantically invisible — this is the gate check for it).
+
+
+def q49_conversation_stats_salted(spark, sf_dir):
+    tr = events_as_transcripts(spark, sf_dir)
+    ex = extract_turns(tr)
+    return conversation_stats(ex, salt_factor=16).orderBy("conv_id")
+
+
+_Q49_SQL = f"""
+WITH {_EXTRACTED_CTE}
+SELECT conv_id, COUNT(*) AS n_turns,
+       SUM(COALESCE(n_chars, 0)) AS total_chars,
+       SUM(CASE WHEN reject_reason IS NOT NULL THEN 1 ELSE 0 END) AS n_rejected
+FROM extracted GROUP BY conv_id ORDER BY conv_id
+"""
+
+# --------------------------------------------------------------------- q50
+# Stable (conv_id, turn_idx) ordering via window rank — the north rule's
+# ordering requirement exposed to the driver gate.
+
+
+def q50_ordered_extract(spark, sf_dir):
+    tr = events_as_transcripts(spark, sf_dir)
+    return ordered_extract(tr).select(
+        "conv_id", "turn_idx", "rn", "extracted_text"
+    )
+
+
+_Q50_SQL = f"""
+WITH {_EXTRACTED_CTE}
+SELECT conv_id, turn_idx,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, role)
+            AS INTEGER) AS rn,
+       extracted_text
+FROM extracted
+"""
+
+
+QUERIES = {
+    "q48_keyword_spotting": (q48_keyword_spotting, _Q48_SQL),
+    "q49_conversation_stats_salted": (q49_conversation_stats_salted, _Q49_SQL),
+    "q50_ordered_extract": (q50_ordered_extract, _Q50_SQL),
+}
