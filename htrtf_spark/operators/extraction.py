@@ -30,9 +30,14 @@ EXTRACTED_DDL = (
 
 
 def _finish(raw: pd.Series) -> pd.Series:
-    """Charset projection + whitespace canonicalization, vectorized."""
+    """Charset projection + whitespace canonicalization, vectorized.
+
+    regex '\\s+'→' ' + strip is byte-identical to ' '.join(s.split())
+    (verified: the re \\s set equals the str.split whitespace set over
+    every Unicode codepoint) and avoids allocating a token list per row.
+    """
     filtered = raw.str.replace(cs.CHARSET_FILTER_PATTERN, "", regex=True)
-    return filtered.str.split().str.join(" ")
+    return filtered.str.replace(r"\s+", " ", regex=True).str.strip()
 
 
 _BLANK_CP = ord(cs.BLANK_CHAR)

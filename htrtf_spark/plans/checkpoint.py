@@ -128,3 +128,30 @@ def run_extraction_checkpointed(
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, DATA_DIR))
+
+
+def prune_checkpoints(root_dir: str, keep_last: int = 5) -> list[str]:
+    """Retention policy over job-run checkpoint directories (the
+    max_to_keep=5 analog, /root/reference/Projects/IAM_lines/
+    Structure_006/Structure_006.py:163): keeps the ``keep_last`` most
+    recently finished run dirs under ``root_dir`` (by the newest manifest
+    mtime inside each), removes the rest. Returns removed dirs."""
+    import shutil
+
+    runs = []
+    for name in sorted(os.listdir(root_dir)):
+        mdir = os.path.join(root_dir, name, MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            mtimes = [
+                os.path.getmtime(os.path.join(mdir, f))
+                for f in os.listdir(mdir)
+                if f.endswith(".parquet")
+            ]
+            if mtimes:
+                runs.append((max(mtimes), os.path.join(root_dir, name)))
+    runs.sort(reverse=True)
+    removed = []
+    for _mt, path in runs[keep_last:]:
+        shutil.rmtree(path)
+        removed.append(path)
+    return removed

@@ -57,6 +57,39 @@ def scan_ground_truth(spark: SparkSession, path: str) -> DataFrame:
     ).filter(F.col("rec_id").isNotNull() & (F.col("rec_id") != ""))
 
 
+# Washington/Parzival special tokens in '-'-joined transcriptions
+# (create_Washington_lines_dataset.py:26-67 field conventions: '-' joins
+# per-char tokens, '|' is the word separator, multi-char 's_*' tokens
+# denote punctuation).
+WASH_SPECIALS = {"s_pt": ".", "s_cm": ",", "s_sq": ";", "s_mi": "-", "s_qo": ":"}
+
+
+def scan_ground_truth_washington(spark: SparkSession, path: str) -> DataFrame:
+    """S2: Washington/Parzival-layout scan — 2 whitespace fields:
+    rec_id and a '-'-joined token transcription. Decodes tokens to the
+    plain transcription JVM-side (transform over the split array)."""
+    lines = spark.read.text(path)
+    nocomment = lines.filter(~F.col("value").startswith("#"))
+    f = F.split(F.col("value"), r"\s+")
+    toks = F.split(F.element_at(f, 2), "-")
+    mapped = F.transform(
+        toks,
+        lambda t: F.when(t == "|", " ").otherwise(
+            F.coalesce(
+                *[F.when(t == k, F.lit(v)) for k, v in WASH_SPECIALS.items()],
+                t,
+            )
+        ),
+    )
+    return nocomment.select(
+        F.element_at(f, 1).alias("rec_id"),
+        F.lit("ok").alias("status"),
+        F.lit(-1).cast("int").alias("w"),   # sizes come from a per-record
+        F.lit(-1).cast("int").alias("h"),   # image probe in the reference
+        F.array_join(mapped, "").alias("transcription"),
+    ).filter(F.col("rec_id").isNotNull() & (F.col("rec_id") != ""))
+
+
 def build_charset(records: DataFrame) -> list[str]:
     """A1: global distinct-char set over ok rows' transcriptions, sorted
     for determinism; '|' separator char force-included

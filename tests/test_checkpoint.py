@@ -46,6 +46,23 @@ def test_kill_and_resume_identical(spark, tmp_path):
     assert ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=N_BUCKETS) == []
 
 
+def test_checkpoint_retention(spark, tmp_path):
+    """max_to_keep analog: only the newest k run dirs survive pruning."""
+    import os
+    import time
+
+    src = spark.createDataFrame(
+        synth.synth_pandas(n_convs=4, seed=1), schema=TRANSCRIPTS_SCHEMA
+    )
+    root = str(tmp_path / "runs")
+    for i in range(4):
+        ckpt.run_extraction_checkpointed(spark, src, f"{root}/run{i}", n_buckets=2)
+        time.sleep(0.05)
+    removed = ckpt.prune_checkpoints(root, keep_last=2)
+    assert sorted(os.path.basename(p) for p in removed) == ["run0", "run1"]
+    assert sorted(os.listdir(root)) == ["run2", "run3"]
+
+
 def test_manifest_lineage_conservation(spark, tmp_path):
     src_pdf = synth.synth_pandas(n_convs=15, seed=13)
     df = spark.createDataFrame(src_pdf, schema=TRANSCRIPTS_SCHEMA)

@@ -95,6 +95,20 @@ def test_encode_roundtrip(spark, tmp_path):
     assert enc["trans_length"] == len(enc["clean_text"])
 
 
+def test_washington_scan(spark, tmp_path):
+    p = str(tmp_path / "w.txt")
+    with open(p, "w") as f:
+        f.write(
+            "# washington fixture\n"
+            "270-01-01 h-e-l-l-o-|-w-o-r-l-d-s_pt\n"
+            "270-01-02 a-|-b-s_cm-|-c\n"
+        )
+    rec = {r["rec_id"]: r for r in DB.scan_ground_truth_washington(spark, p).collect()}
+    assert rec["270-01-01"]["transcription"] == "hello world."
+    assert rec["270-01-02"]["transcription"] == "a b, c"
+    assert rec["270-01-01"]["status"] == "ok"
+
+
 def test_splits_and_sinks(built):
     spark, out_dir, counts = built
     # train: a01-000u-{00,01,02(err, kept),05} + b02-011-00 minus filtered
