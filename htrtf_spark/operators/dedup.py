@@ -170,14 +170,22 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------- SimHash
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def portable_token_hash(tok_col) -> F.Column:
+    """60-bit token hash reproducible in any engine with md5: first 15 hex
+    chars of md5 as a long. Slower than xxhash64 — used where a cross-
+    engine oracle must recompute the identical simhash."""
+    return F.conv(F.substring(F.md5(tok_col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, hash_fn=None) -> DataFrame:
     """64-bit SimHash per document, computed entirely JVM-side:
-    per-token xxhash64 → per-bit ±1 vote weighted by token multiplicity →
-    sign → bit. Returns (id, simhash: long)."""
+    per-token hash (xxhash64 by default; pass ``hash_fn`` for an
+    engine-portable variant) → per-bit ±1 vote weighted by token
+    multiplicity → sign → bit. Returns (id, simhash: long)."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = hash_fn(F.col("tok")) if hash_fn is not None else F.xxhash64("tok")
     # vote_j = +1 if bit j set else -1; sum votes per doc, bit = sum > 0
     votes = [
         F.sum(
@@ -197,12 +205,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, using 4×16-bit block
     LSH (a pair within hamming ≤ 3 of 64 bits shares at least one exact
-    16-bit block — pigeonhole) then exact hamming verify."""
-    sh = simhash64(df, id_col, text_col).cache()
+    16-bit block — pigeonhole, so recall is exactly 1) then exact
+    hamming verify."""
+    sh = simhash64(df, id_col, text_col, hash_fn=hash_fn).cache()
     blocks = None
     for blk in range(4):
         part = sh.select(
@@ -228,7 +238,7 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

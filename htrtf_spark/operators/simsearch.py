@@ -23,6 +23,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def block_matmul_near_pairs(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_sim_bp: int,
+    id_out: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Exact all-pairs cosine near neighbors above a basis-point threshold,
+    as a block matrix product: the (id-sorted) vector matrix is broadcast
+    once, each Arrow batch of rows computes ``row_block @ matrix.T`` via
+    BLAS, and only pairs with ``id_a < id_b`` and ``sim_bp >= min_sim_bp``
+    are emitted. No shuffle, no per-row Python — one narrow mapInPandas.
+
+    This is the distributed block-nested-loop shape for exact scoring:
+    work is O(n^2 / executors) with each task touching its row block once;
+    the broadcast side must fit in executor memory (dim * n * 8 bytes —
+    ~1 GB at 2M x 64-dim). Past that, chunk the broadcast side and union
+    the per-chunk outputs, or switch to the sub-linear paths (``lsh_topk``
+    / ``ivf_topk``) which this operator is the recall oracle for.
+
+    Float parity: raw float64 dot products divided by the norm product,
+    rounded half-up to basis points — the same association order as the
+    DuckDB oracle (``list_dot_product / (sqrt .. * sqrt ..)``); BLAS
+    summation order differs from a left fold only at ~1e-15 relative,
+    far below the 1e-4 bp quantum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    side = base.orderBy("id").toPandas()
+    ids_all = side["id"].to_numpy()
+    mat = np.stack(side["v"].to_numpy()).astype(np.float64)
+    norms_all = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    bvar = vecs.sparkSession.sparkContext.broadcast((ids_all, mat, norms_all))
+
+    id_a, id_b = id_out
+    out_schema = f"{id_a} long, {id_b} long, sim_bp long"
+
+    def gen(batches):
+        ids_b, m_b, n_b = bvar.value
+        m_bt = np.ascontiguousarray(m_b.T)
+        for pin in batches:
+            if not len(pin):
+                continue
+            a = np.stack(pin["v"].to_numpy()).astype(np.float64)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            a_ids = pin["id"].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (a @ m_bt) / np.outer(na, n_b)
+            bp = np.floor(sims * 10000.0 + 0.5)  # HALF_UP; NaN propagates
+            mask = (ids_b[None, :] > a_ids[:, None]) & (bp >= float(min_sim_bp))
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    id_a: a_ids[ai],
+                    id_b: ids_b[bj],
+                    "sim_bp": bp[ai, bj].astype(np.int64),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=out_schema)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

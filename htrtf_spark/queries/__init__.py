@@ -21,6 +21,7 @@ from htrtf_spark.queries import (
     pipeline_queries,
     relational,
     relational2,
+    relational3,
     textops,
     textops2,
     vectors,
@@ -30,6 +31,7 @@ from htrtf_spark.queries import (
 _MODULES = [
     relational,
     relational2,
+    relational3,
     textops,
     textops2,
     dedup,

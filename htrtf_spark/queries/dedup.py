@@ -148,15 +148,92 @@ WHERE CAST(ROUND(10000.0 * inter / (sa.sz + sb.sz - inter)) AS BIGINT)
 """
 
 # --------------------------------------------------------------------- q36
-# SimHash near-dup pairs. The 64-bit sign-aggregation is expressible in
-# SQL too (xxhash64 differs between engines, so the oracle recomputes the
-# *same* md5-hex-derived 32-bit hash both sides).
+# SimHash near-dup pairs with an engine-portable token hash (60-bit
+# md5-prefix; xxhash64 differs between engines). The Spark side runs the
+# production shape — 4×16-bit block LSH + hamming verify, recall exactly
+# 1 at hamming ≤ 3 by pigeonhole — and the oracle recomputes the same
+# simhash sign-aggregation in pure SQL and does the exact all-pairs
+# hamming join, so the gate also proves the LSH loses nothing.
+
+_SH_MAX_HAMMING = 3
 
 
 def q36_simhash_pairs(spark, sf_dir):
     return D.simhash_near_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=_SH_MAX_HAMMING, hash_fn=D.portable_token_hash,
     )
+
+
+_votes_cols = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(60)
+)
+_sh_expr = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(60))
+
+_Q36_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+votes AS (
+  SELECT id,
+         {_votes_cols}
+  FROM h GROUP BY id
+),
+sh AS (SELECT id, ({_sh_expr}) AS simhash FROM votes)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------------- q57
+# MinHash Jaccard ESTIMATE for LSH candidate pairs: est = matches/k over
+# the k signature components. k=8 → est_bp = 1250 * matches, exact
+# integer arithmetic on both engines (the sketch-accuracy counterpart of
+# q27's exact verification).
+
+
+def q57_minhash_estimate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "doc_id", "text")
+    cand = D.lsh_candidates(sig)
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    matches = None
+    for i in range(N_MINHASH):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = (matches * (10000 // N_MINHASH)).cast("long")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard_bp"))
+    )
+
+
+_q57_matches = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+)
+
+_Q57_SQL = f"""
+WITH {_TRIGRAMS_CTE},
+{_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(({_q57_matches}) * {10000 // N_MINHASH} AS BIGINT) AS est_jaccard_bp
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+"""
 
 
 QUERIES = {
@@ -164,5 +241,6 @@ QUERIES = {
     "q25_trigram_jaccard_pairs": (q25_trigram_jaccard_pairs, _Q25_SQL),
     "q26_minhash_lsh_candidates": (q26_minhash_lsh_candidates, _Q26_SQL),
     "q27_minhash_neardup_verified": (q27_minhash_neardup_verified, _Q27_SQL),
-    "q36_simhash_pairs": (q36_simhash_pairs, None),
+    "q36_simhash_pairs": (q36_simhash_pairs, _Q36_SQL),
+    "q57_minhash_estimate": (q57_minhash_estimate, _Q57_SQL),
 }

@@ -67,20 +67,13 @@ LIMIT {TOPK}
 
 
 def q29_near_pairs(spark, sf_dir):
-    # norms are computed ONCE per vector before the crossJoin (recomputing
-    # them per pair triples the inner-loop work — measured 3× slower)
-    e = _vec(spark, sf_dir).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim_bp = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000
-    ).cast("long")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim_bp.alias("sim_bp"))
-        .filter(F.col("sim_bp") >= NEAR_BP)
-    )
+    # block matrix product (broadcast id-sorted matrix, BLAS per Arrow
+    # batch) — ~20x the crossJoin + zip_with/aggregate formulation, and
+    # the shape that survives scale-up (O(n^2/executors), no shuffle)
+    from htrtf_spark.operators.simsearch import block_matmul_near_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return block_matmul_near_pairs(e, "vec_id", "embedding", min_sim_bp=NEAR_BP)
 
 
 _Q29_SQL = f"""

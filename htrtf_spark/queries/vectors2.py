@@ -1,15 +1,38 @@
-"""ANN queries (LSH-bucketed and IVF) over the ``embeddings`` table —
-rows-only for the driver (the bucketing depends on float sign bits which
-no SQL restatement can reproduce bit-exactly across engines); their
-correctness oracle is the exact brute-force top-k (q28) via the recall
-tests in tests/test_operators.py."""
+"""ANN queries (LSH-bucketed and IVF) over the ``embeddings`` table.
+
+Both are deterministic end-to-end (seeded hyperplanes / id-ordered
+centroid sample), so the driver gate gets FULL DuckDB oracles that
+restate the bucketing symbolically: the hyperplane literals are inlined
+into the SQL, centroids/probe cells are recomputed from the table, and
+the only cross-engine float hazard is a sign/argmax decided by a
+~1e-15-relative dot-product difference — far below the data's margins.
+Recall-vs-brute-force is additionally tested in tests/test_operators.py.
+"""
 
 from __future__ import annotations
 
 from htrtf_spark.operators import multimodal, simsearch
+from htrtf_spark.operators.simsearch import _hyperplanes
 from htrtf_spark.queries.util import t
 
 _K = 10
+_DIM = 64  # embeddings.embedding width at every sf (TESTDATA.md)
+_LSH_BITS = 6
+_LSH_SEED = 42
+_IVF_CELLS = 16
+_IVF_NPROBE = 6
+
+# cosine between two DuckDB DOUBLE[] expressions, same association order
+# as the Spark side (raw dot / (norm * norm))
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _sim_bp(a: str, b: str) -> str:
+    return f"CAST(ROUND(10000 * {_cos(a, b)}) AS BIGINT)"
 
 
 def _query_vec(spark, sf_dir):
@@ -21,16 +44,80 @@ def _query_vec(spark, sf_dir):
 def q40_lsh_ann_topk(spark, sf_dir):
     q = _query_vec(spark, sf_dir)
     return simsearch.lsh_topk(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", q, k=_K, bits=6
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", q,
+        k=_K, bits=_LSH_BITS, seed=_LSH_SEED,
     )
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _q40_sql() -> str:
+    planes = _hyperplanes(_DIM, _LSH_BITS, _LSH_SEED)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT b.vec_id AS id, {_sim_bp('b.v', 'q.qv')} AS sim_bp
+  FROM b, q, qb
+  WHERE b.bucket = qb.qbucket
+)
+SELECT id, sim_bp,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim_bp DESC, id ASC) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= {_K}
+"""
 
 
 def q41_ivf_ann_topk(spark, sf_dir):
     q = _query_vec(spark, sf_dir)
     return simsearch.ivf_topk(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", q,
-        k=_K, n_cells=16, nprobe=6,
+        k=_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
     )
+
+
+_Q41_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos('e.v', 'c.cv')} DESC, c.cell ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           ROW_NUMBER() OVER (ORDER BY {_cos('c.cv', 'q.qv')} DESC, c.cell ASC) AS rn
+    FROM cents c, q
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT a.vec_id AS id, {_sim_bp('a.v', 'q.qv')} AS sim_bp
+  FROM assigned a, q
+  WHERE a.cell IN (SELECT cell FROM probe)
+)
+SELECT id, sim_bp,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim_bp DESC, id ASC) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= {_K}
+"""
 
 
 def q42_multimodal_features(spark, sf_dir):
@@ -39,7 +126,7 @@ def q42_multimodal_features(spark, sf_dir):
 
 
 QUERIES = {
-    "q40_lsh_ann_topk": (q40_lsh_ann_topk, None),
-    "q41_ivf_ann_topk": (q41_ivf_ann_topk, None),
+    "q40_lsh_ann_topk": (q40_lsh_ann_topk, _q40_sql()),
+    "q41_ivf_ann_topk": (q41_ivf_ann_topk, _Q41_SQL),
     "q42_multimodal_features": (q42_multimodal_features, None),
 }
