@@ -168,3 +168,44 @@ def test_ctc_array_ops():
     c2i = cs.char_to_id()
     ids = np.array([c2i["x"], c2i["x"], cs.BLANK_ID, c2i["x"]])
     assert ctc.greedy_decode(ids) == "xx"
+
+
+def test_block_matmul_near_pairs(spark):
+    """BLAS block product equals the per-pair HOF formulation, handles
+    zero vectors (NaN cosine → excluded) and emits only id_a < id_b."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    rows.append((40, [0.0] * 8))  # zero vector: cosine undefined → never paired
+    rows.append((41, rows[0][1][:]))  # exact dup of vec 0 → sim_bp 10000
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["sim_bp"]
+        for r in simsearch.block_matmul_near_pairs(
+            vecs, "vec_id", "embedding", min_sim_bp=5000
+        ).collect()
+    }
+
+    # reference: plain python left-fold cosine
+    def cos_bp(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return math.floor(sum(x * y for x, y in zip(a, b)) / (na * nb) * 10000 + 0.5)
+
+    want = {}
+    for i, (ida, va) in enumerate(rows):
+        for idb, vb in rows[i + 1:]:
+            bp = cos_bp(va, vb)
+            if bp is not None and bp >= 5000:
+                want[(ida, idb)] = bp
+
+    assert got == want
+    assert got[(0, 41)] == 10000
+    assert all(a < b for a, b in got)
