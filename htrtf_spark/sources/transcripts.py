@@ -23,6 +23,13 @@ def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
 
 
+def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned JSON-lines read (the common transcript interchange
+    format). The explicit schema keeps ts parsing and column types
+    identical to the parquet path — no inference drift."""
+    return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
+
+
 def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg read — requires iceberg-spark-runtime on the classpath and a
     configured catalog. Gated: raises a clear error in environments

@@ -58,3 +58,72 @@ def test_stream_windowed_metrics(spark, tmp_path):
     gold = oracle.extract_frame(pdf)
     assert int(res["rejected"].sum()) == int(gold["reject_reason"].notna().sum())
     assert (res["win_end"] > res["win_start"]).all()
+
+
+def test_stateful_conversation_accumulator(spark, tmp_path):
+    """applyInPandasWithState folds per-conversation stats ACROSS
+    micro-batches (the streaming form of the reference's
+    previousCost/previousED accumulator feeds): two files delivered as
+    two triggers must produce cumulative — not per-batch — counts."""
+    from htrtf_spark.streaming import stateful
+
+    pdf = synth.synth_pandas(n_convs=6, seed=11)
+    conv = pdf["conv_id"].iloc[0]
+    one = pdf[pdf["conv_id"] == conv].reset_index(drop=True)
+    assert len(one) >= 2
+    first, second = one.iloc[: len(one) // 2], one.iloc[len(one) // 2 :]
+
+    in_dir = tmp_path / "state_in"
+    in_dir.mkdir()
+    spark.createDataFrame(first, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    ex = xs.stream_extract(xs.read_transcript_stream(spark, str(in_dir)))
+    q = (
+        stateful.stream_conversation_state(ex)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(second, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    q.processAllAvailable()
+    q.stop()
+
+    res = spark.sql(f"SELECT * FROM t_state WHERE conv_id = '{conv}'").toPandas()
+    # one emission per micro-batch the conversation appeared in, cumulative
+    assert sorted(res["n_turns"]) == [len(first), len(one)]
+    gold = oracle.extract_frame(one)
+    final = res[res["n_turns"] == len(one)].iloc[0]
+    assert int(final["n_rejected"]) == int(gold["reject_reason"].notna().sum())
+    assert int(final["total_chars"]) == int(gold["n_chars"].fillna(0).sum())
+
+
+def test_jsonl_source_matches_parquet(spark, tmp_path):
+    """JSONL transcripts read through the pinned schema extracts
+    byte-identically to the parquet path."""
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.sources.transcripts import read_transcripts_jsonl
+
+    pdf = synth.synth_pandas(n_convs=12, seed=5)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    jpath, ppath = str(tmp_path / "t.jsonl"), str(tmp_path / "t.parquet")
+    df.coalesce(2).write.json(jpath)
+    df.coalesce(2).write.parquet(ppath)
+
+    cols = ["conv_id", "turn_idx", "mode", "extracted_text", "reject_reason"]
+    a = (
+        extract_turns(read_transcripts_jsonl(spark, jpath), check_schema=False)
+        .select(*cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        extract_turns(spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(ppath), check_schema=False)
+        .select(*cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(a) == len(pdf)
+    for c in cols:
+        assert (a[c].fillna("<N>").values == b[c].fillna("<N>").values).all(), c
