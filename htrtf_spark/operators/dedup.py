@@ -96,6 +96,51 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_NGRAM,
+    min_jaccard_bp: int = 5000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Same output as ``jaccard_pairs``, via posting-list pair expansion:
+    group shingles once, emit each posting list's ordered id pairs with a
+    JVM-side nested transform, then count per pair. One fewer shuffle
+    than the self-join (no ng-keyed join build side), and the quadratic
+    blow-up is bounded per list — which is why it must be paired with a
+    stop-shingle cap at web scale (df_cap² × n_stop_shingles is the
+    worst-case row count either way)."""
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    posting = grams.groupBy("ng").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    inter = (
+        posting.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("inter") * F.lit(10000.0) / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("long")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard_bp"))
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,

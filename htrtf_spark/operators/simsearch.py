@@ -89,6 +89,73 @@ def block_matmul_near_pairs(
     return base.mapInPandas(gen, schema=out_schema)
 
 
+def block_matmul_topk(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors at once:
+    (qid, id, sim_bp, rank). The query matrix (tiny) is broadcast; each
+    Arrow batch of corpus rows computes ``block @ queries.T`` via BLAS
+    and emits only its LOCAL top-k per query (two-phase top-k: the
+    shuffle carries ≤ queries × k rows per task, never the corpus), then
+    one window rank merges the candidates. This is the scale shape for
+    "score a query set against 10^9 vectors" — corpus-side work is one
+    narrow pass, shuffle volume is independent of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qpdf = base.filter(F.col("id").isin([int(q) for q in query_ids])).orderBy("id").toPandas()
+    q_ids = qpdf["id"].to_numpy()
+    qm = np.stack(qpdf["v"].to_numpy()).astype(np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+    bvar = vecs.sparkSession.sparkContext.broadcast((q_ids, qm, qn))
+
+    def gen(batches):
+        q_ids_b, qm_b, qn_b = bvar.value
+        qt = np.ascontiguousarray(qm_b.T)
+        for pin in batches:
+            if not len(pin):
+                continue
+            a = np.stack(pin["v"].to_numpy()).astype(np.float64)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            ids = pin["id"].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (a @ qt) / np.outer(na, qn_b)
+            bp = np.floor(sims * 10000.0 + 0.5)
+            for j, qid in enumerate(q_ids_b):
+                col = bp[:, j]
+                ok = np.isfinite(col)
+                if exclude_self:
+                    ok &= ids != qid
+                cand_ids, cand_bp = ids[ok], col[ok]
+                # local top-k under the same total order as the final
+                # window ((-sim_bp, id)) — global top-k ⊆ union of locals
+                order = np.lexsort((cand_ids, -cand_bp))[:k]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(order), qid, dtype=np.int64),
+                        "id": cand_ids[order],
+                        "sim_bp": cand_bp[order].astype(np.int64),
+                    }
+                )
+
+    from pyspark.sql import Window
+
+    cand = base.mapInPandas(gen, schema="qid long, id long, sim_bp long")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_bp"), F.asc("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

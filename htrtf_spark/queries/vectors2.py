@@ -125,8 +125,42 @@ def q42_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media, fake=True).drop("feat")
 
 
+# --------------------------------------------------------------------- q58
+# Batch multi-query exact top-k: 5 query vectors scored against the
+# whole corpus in one narrow BLAS pass with two-phase top-k (shuffle
+# volume ≤ queries × k per task, independent of corpus size).
+
+_BATCH_Q_IDS = [0, 1, 2, 3, 4]
+_BATCH_K = 3
+
+
+def q58_batch_cosine_topk(spark, sf_dir):
+    return simsearch.block_matmul_topk(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        query_ids=_BATCH_Q_IDS, k=_BATCH_K,
+    )
+
+
+_Q58_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in _BATCH_Q_IDS)})),
+scored AS (
+  SELECT q.qid, e.vec_id AS id, {_sim_bp('e.v', 'q.qv')} AS sim_bp
+  FROM e, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, id, sim_bp,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_bp DESC, id ASC)
+            AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= {_BATCH_K}
+"""
+
+
 QUERIES = {
     "q40_lsh_ann_topk": (q40_lsh_ann_topk, _q40_sql()),
     "q41_ivf_ann_topk": (q41_ivf_ann_topk, _Q41_SQL),
     "q42_multimodal_features": (q42_multimodal_features, None),
+    "q58_batch_cosine_topk": (q58_batch_cosine_topk, _Q58_SQL),
 }

@@ -20,6 +20,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="transcripts parquet path")
+    src.add_argument("--input-jsonl", help="transcripts JSON-lines path")
     src.add_argument("--iceberg-table", help="Iceberg table name (catalog.db.tbl)")
     p.add_argument("--output", required=True, help="output dir (data/ + _manifest/)")
     p.add_argument("--buckets", type=int, default=64)
@@ -40,11 +41,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     from htrtf_spark.sources.transcripts import (
         read_transcripts_iceberg,
+        read_transcripts_jsonl,
         read_transcripts_parquet,
     )
 
     if args.iceberg_table:
         df = read_transcripts_iceberg(spark, args.iceberg_table)
+    elif args.input_jsonl:
+        df = read_transcripts_jsonl(spark, args.input_jsonl)
     else:
         df = read_transcripts_parquet(spark, args.input)
 

@@ -209,3 +209,54 @@ def test_block_matmul_near_pairs(spark):
     assert got == want
     assert got[(0, 41)] == 10000
     assert all(a < b for a, b in got)
+
+
+def test_jaccard_postings_equals_join_form(spark, docs):
+    """The posting-list pair-expansion formulation is output-identical to
+    the inverted-index self-join (one fewer shuffle; same stop-shingle
+    bound applies at scale)."""
+    a = {
+        (r["id_a"], r["id_b"]): r["jaccard_bp"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", min_jaccard_bp=1).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["jaccard_bp"]
+        for r in dedup.jaccard_pairs_postings(
+            docs, "doc_id", "text", min_jaccard_bp=1
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_block_matmul_topk_exact_across_partitions(spark):
+    """Two-phase top-k (local per-batch top-k + window merge) is exact:
+    matches per-query brute force on a many-partition corpus."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(12)
+
+    got = simsearch.block_matmul_topk(
+        vecs, "vec_id", "embedding", query_ids=[0, 1], k=4
+    ).collect()
+
+    def cos_bp(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return math.floor(sum(x * y for x, y in zip(a, b)) / (na * nb) * 10000 + 0.5)
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"], r["sim_bp"]))
+    for qid in (0, 1):
+        qv = rows[qid][1]
+        want = sorted(
+            ((cos_bp(v, qv), -i) for i, v in rows if i != qid), reverse=True
+        )[:4]
+        want = [(-neg_i, bp) for bp, neg_i in want]
+        have = [(i, bp) for _rank, i, bp in sorted(by_q[qid])]
+        assert have == want, qid
