@@ -137,3 +137,37 @@ def test_ctc_greedy_decode_ids():
     # blank-separated repeats survive
     assert oracle.ctc_greedy_decode_ids([c2i["a"], cs.BLANK_ID, c2i["a"]]) == "aa"
     assert oracle.ctc_greedy_decode_ids([cs.BLANK_ID]) == ""
+
+
+def test_whale_turn_and_exotic_codepoints_parity():
+    """Single enormous turns (the per-turn analog of whale conversations)
+    and hostile codepoints (NUL, astral plane, combining marks, bidi
+    controls, lone-surrogate-adjacent boundaries) stay byte-exact."""
+    big_plain = ("word " * 40_000) + "end"                       # ~200 KB
+    big_dom = "<p>" + ("content text here " * 10_000) + "</p>" + (
+        "<nav>" + "<a href='/x'>l</a>" * 500 + "</nav>"
+    )
+    big_ctc = cs.CTC_MARKER + ("aa__bb|" * 20_000)
+    texts = [
+        big_plain,
+        big_dom,
+        big_ctc,
+        "nul\x00inside\x00text",
+        "astral \U0001f600\U0001f680 and beyond \U0010fffd tail",
+        "combining áêï marks",
+        "bidi ‮evil‬ controls",
+        "zero​width‌joiners‍ here",
+        "﻿BOM start and � replacement",
+        "mixed \x00‮<p>tag</p>​" + cs.CTC_MARKER[:1],
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["w"] * len(texts),
+            "turn_idx": pd.array(range(len(texts)), dtype="int32"),
+            "role": ["assistant"] * len(texts),
+            "text": pd.Series(texts, dtype="object"),
+        }
+    )
+    gold = oracle.extract_frame(pdf)
+    fast = extraction.extract_pandas(pdf)
+    _assert_frames_equal(gold, fast)
