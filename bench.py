@@ -59,11 +59,17 @@ def main() -> None:
     # Warm up executors + Python workers (untimed).
     _materialize(qs["q31_extract_documents"](spark, sf_dir))
 
+    # best-of-2 per query: this VM has ±25-30% transient throughput noise;
+    # a single rep makes round-over-round comparisons mostly measure the
+    # box, not the code
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.monotonic()
+            _materialize(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     # Extraction throughput on cached deterministic synthetic transcripts.
     cache = f"/tmp/htrtf_spark_bench/transcripts_c{BENCH_TURN_CONVS}_s42.parquet"
@@ -74,9 +80,11 @@ def main() -> None:
     tdf = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(cache)
     _materialize(extract_turns(tdf, check_schema=False))  # warm
     turns = tdf.count()
-    t0 = time.monotonic()
-    _materialize(extract_turns(tdf, check_schema=False))
-    ext_wall = time.monotonic() - t0
+    ext_wall = float("inf")
+    for _rep in range(2):
+        t0 = time.monotonic()
+        _materialize(extract_turns(tdf, check_schema=False))
+        ext_wall = min(ext_wall, time.monotonic() - t0)
     timings["extract_synth"] = round(ext_wall, 3)
 
     # N→4N scaling evidence (protocol + confound analysis: BENCH/BASELINE.md).
