@@ -126,8 +126,31 @@ def q35_extraction_metrics(spark, sf_dir):
     return extraction_metrics(ex).orderBy("mode")
 
 
+# --------------------------------------------------------------------- q59
+# The registered SQL-function surface (htrtf_extract_text) must agree
+# with the same DuckDB restatement — proves the spark.sql API path, not
+# just the mapInPandas path.
+
+
+def q59_sql_function_extract(spark, sf_dir):
+    from htrtf_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("q59_docs")
+    return spark.sql(
+        "SELECT doc_id, htrtf_extract_text(text) AS extracted_text FROM q59_docs"
+    )
+
+
+_Q59_SQL = f"""
+SELECT doc_id, {_CLEAN_SQL_TMPL.format(col="text")} AS extracted_text
+FROM documents
+"""
+
+
 QUERIES = {
     "q31_extract_documents": (q31_extract_documents, _Q31_SQL),
+    "q59_sql_function_extract": (q59_sql_function_extract, _Q59_SQL),
     "q32_extract_events": (q32_extract_events, _Q32_SQL),
     "q33_ctc_roundtrip": (q33_ctc_roundtrip, _Q33_SQL),
     "q34_extract_synthetic": (q34_extract_synthetic, None),
