@@ -18,9 +18,10 @@ Package map
                    similarity search, text stats, multimodal plumbing)
 - ``plans``      : job-level plans (extraction pipeline, salted
                    repartitioning/ordering, checkpoint/resume manifest)
-- ``sources``    : table readers (parquet now, Iceberg behind a gate)
-- ``functions``  : scalar/column helper functions (text, hashing, vectors)
-- ``streaming``  : Structured Streaming variant of the extraction stage
+- ``sources``    : table readers (parquet + JSONL; Iceberg behind a gate)
+- ``functions``  : spark.sql-registrable extraction UDFs (htrtf_*)
+- ``streaming``  : Structured Streaming extraction (stateless stage +
+                   applyInPandasWithState conversation accumulator)
 - ``synth``      : deterministic synthetic transcripts generator
 """
 
