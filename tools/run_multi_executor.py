@@ -10,7 +10,7 @@ core-count scaling inside one JVM, which conflates turbo/LLC/GC effects
 
     python tools/run_multi_executor.py [n_convs]
 
-Writes BENCH/scaling_executors.json and appends to BENCH/BASELINE.md.
+Writes BENCH/scaling_executors.json (synthesis: BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
