@@ -22,6 +22,7 @@ from htrtf_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     textops,
     textops2,
     vectors,
@@ -32,6 +33,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     textops,
     textops2,
     dedup,

@@ -1,0 +1,91 @@
+"""Semantic-corner gate queries: approximate percentile sanity (the
+t-digest/KLL estimate must bracket the exact value — q47's pattern for
+quantiles) and NULL semantics (null-safe equality, NULL grouping,
+coalesce/nullif chains — the corners that silently diverge between
+engines if mishandled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from htrtf_spark.queries.util import t
+
+# --------------------------------------------------------------------- q60
+# Approx p90 must land within 5% of exact p90 (per priority). The approx
+# value itself is engine/sketch-specific, so each engine checks the
+# invariant against its own exact percentile; the comparable outputs are
+# the exact value and the verdict.
+
+
+def q60_approx_percentile_sanity(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").withColumn(
+        "c", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    exact = F.expr("CAST(ROUND(percentile(c, 0.9)) AS BIGINT)")
+    approx = F.expr("approx_percentile(c, 0.9, 1000)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            exact.alias("p90_c"),
+            (F.abs(approx - exact) * F.lit(100) <= exact * F.lit(5)).alias(
+                "approx_within_5pct"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q60_SQL = """
+WITH o AS (SELECT o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders)
+SELECT o_orderpriority,
+       CAST(ROUND(quantile_cont(c, 0.9)) AS BIGINT) AS p90_c,
+       abs(approx_quantile(c, 0.9) - CAST(ROUND(quantile_cont(c, 0.9)) AS BIGINT))
+           * 100 <= CAST(ROUND(quantile_cont(c, 0.9)) AS BIGINT) * 5
+           AS approx_within_5pct
+FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------- q61
+# NULL semantics in one query: NULLIF-derived nullable key, GROUP BY
+# with a NULL group, null-safe equality (<=> / IS NOT DISTINCT FROM),
+# and a COALESCE fill — byte-compared across engines.
+
+
+def q61_null_semantics(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    et = F.nullif(F.col("event_type"), F.lit("click"))
+    return (
+        e.select(
+            et.alias("et"),
+            et.eqNullSafe(F.lit(None).cast("string")).cast("long").alias("is_null_nse"),
+        )
+        .groupBy(F.coalesce(F.col("et"), F.lit("<none>")).alias("et_filled"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_null_nse").alias("n_null_safe_eq_null"),
+        )
+        .orderBy("et_filled")
+    )
+
+
+_Q61_SQL = """
+WITH x AS (
+  SELECT NULLIF(event_type, 'click') AS et,
+         CAST(NULLIF(event_type, 'click') IS NOT DISTINCT FROM NULL AS BIGINT)
+             AS is_null_nse
+  FROM events
+)
+SELECT COALESCE(et, '<none>') AS et_filled,
+       COUNT(*) AS n,
+       SUM(is_null_nse) AS n_null_safe_eq_null
+FROM x GROUP BY COALESCE(et, '<none>') ORDER BY et_filled
+"""
+
+
+QUERIES = {
+    "q60_approx_percentile_sanity": (q60_approx_percentile_sanity, _Q60_SQL),
+    "q61_null_semantics": (q61_null_semantics, _Q61_SQL),
+}
