@@ -127,3 +127,46 @@ def test_jsonl_source_matches_parquet(spark, tmp_path):
     assert len(a) == len(pdf)
     for c in cols:
         assert (a[c].fillna("<N>").values == b[c].fillna("<N>").values).all(), c
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Streaming resume (S10's unbounded analog): a file-stream extraction
+    with a real checkpointLocation + parquet sink, stopped and restarted
+    across new input, must emit every turn exactly once."""
+    pdf = synth.synth_pandas(n_convs=10, seed=44)
+    convs = sorted(pdf["conv_id"].unique())
+    first = pdf[pdf["conv_id"].isin(convs[:5])]
+    second = pdf[pdf["conv_id"].isin(convs[5:])]
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    spark.createDataFrame(first, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def start():
+        ex = xs.stream_extract(xs.read_transcript_stream(spark, in_dir))
+        return (
+            ex.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out_dir).count() == len(first)
+
+    spark.createDataFrame(second, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(pdf)  # no loss, no duplication
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(pdf)
