@@ -120,6 +120,27 @@ def _decode_dom(st: pd.Series) -> pd.Series:
     return out
 
 
+def _classify_modes(st: pd.Series, live: pd.Series):
+    """Mode dispatch masks (ctc, dom, iam, wash, plain) over stripped
+    text, each predicate evaluated only on rows still unclassified."""
+
+    def _narrow(mask: pd.Series, matcher) -> pd.Series:
+        out_mask = pd.Series(False, index=st.index)
+        if mask.any():
+            out_mask.loc[mask] = matcher(st[mask])
+        return out_mask
+
+    m_ctc = _narrow(live, lambda s: s.str.startswith(cs.CTC_MARKER))
+    rem = live & ~m_ctc
+    m_dom = _narrow(rem, lambda s: s.str.contains(cs.TAG_DETECT_PATTERN, regex=True))
+    rem &= ~m_dom
+    m_iam = _narrow(rem, lambda s: s.str.match(cs.IAM_STREAM_PATTERN))
+    rem &= ~m_iam
+    m_wash = _narrow(rem, lambda s: s.str.match(cs.WASH_STREAM_PATTERN))
+    m_plain = rem & ~m_wash
+    return m_ctc, m_dom, m_iam, m_wash, m_plain
+
+
 def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     """Extract every turn in one pandas batch. Row order preserved."""
     pdf = pdf.reset_index(drop=True)
@@ -138,21 +159,7 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     is_empty = ~is_null & (st == "")
     live = ~is_null & ~is_empty
 
-    def _narrow(mask: pd.Series, matcher) -> pd.Series:
-        """Evaluate a string predicate only on rows still unclassified."""
-        out_mask = pd.Series(False, index=st.index)
-        if mask.any():
-            out_mask.loc[mask] = matcher(st[mask])
-        return out_mask
-
-    m_ctc = _narrow(live, lambda s: s.str.startswith(cs.CTC_MARKER))
-    rem = live & ~m_ctc
-    m_dom = _narrow(rem, lambda s: s.str.contains(cs.TAG_DETECT_PATTERN, regex=True))
-    rem &= ~m_dom
-    m_iam = _narrow(rem, lambda s: s.str.match(cs.IAM_STREAM_PATTERN))
-    rem &= ~m_iam
-    m_wash = _narrow(rem, lambda s: s.str.match(cs.WASH_STREAM_PATTERN))
-    m_plain = rem & ~m_wash
+    m_ctc, m_dom, m_iam, m_wash, m_plain = _classify_modes(st, live)
 
     raw = pd.Series("", index=st.index, dtype="object")
     if m_ctc.any():
@@ -205,3 +212,86 @@ def extract_map_in_pandas(
     schema=EXTRACTED_DDL)."""
     for pdf in batches:
         yield extract_pandas(pdf)
+
+
+# --------------------------------------------------------------- spans path
+# Optional kept-content spans (the north rule's "extracted text/spans"):
+# half-open (start, end) offsets into the ORIGINAL text per kept region.
+# Spec + per-mode rules: oracle.extract_turn_spans. Kept out of the hot
+# extraction stage — callers that need provenance pay for it explicitly.
+
+EXTRACTED_SPANS_DDL = (
+    EXTRACTED_DDL + ", span_starts array<int>, span_ends array<int>"
+)
+
+
+def _dom_spans(st: pd.Series, lead: pd.Series) -> pd.Series:
+    """Per-row list of (start, end) offsets of kept DOM lines (same keep
+    predicate as _decode_dom), offsets relative to the original text."""
+    out = pd.Series([[] for _ in range(len(st))], index=st.index, dtype="object")
+    if len(st) == 0:
+        return out
+    lines = st.str.split("\n").explode()
+    lens = lines.str.len()
+    step = lens + 1
+    pos = step.groupby(level=0).cumsum() - step  # line start offset within st
+    nonempty = lens > 0
+    ne = lines[nonempty]
+    boiler = ne.str.contains(cs.BOILERPLATE_PATTERN, regex=True)
+    without = ne.str.replace(cs.ANCHOR_SPAN_PATTERN, "", regex=True)
+    link_density = (ne.str.len() - without.str.len()) / ne.str.len()
+    stripped = ne.str.replace(cs.TAG_STRIP_PATTERN, " ", regex=True)
+    keep = ~boiler & (link_density <= cs.LINK_DENSITY_MAX) & (
+        stripped.str.strip() != ""
+    )
+    kept_pos = pos[nonempty][keep]
+    kept_len = lens[nonempty][keep]
+    for i, p, ln in zip(kept_pos.index, kept_pos.values, kept_len.values):
+        base = int(lead.loc[i])
+        out.loc[i].append((base + int(p), base + int(p) + int(ln)))
+    return out
+
+
+def extract_spans_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """extract_pandas + kept-content span columns (span_starts/span_ends,
+    parallel int arrays; None for null turns, [] for rejected turns)."""
+    pdf = pdf.reset_index(drop=True)
+    base = extract_pandas(pdf)
+
+    text = pdf["text"]
+    is_null = text.isna()
+    s = text.where(~is_null, "").astype("object")
+    st = s.str.strip()
+    live = ~is_null & (st != "")
+    m_ctc, m_dom, _m_iam, _m_wash, _m_plain = _classify_modes(st, live)
+
+    lead = (s.str.len() - s.str.lstrip().str.len()).astype("int64")
+    end = lead + st.str.len().astype("int64")
+
+    spans = pd.Series([[] for _ in range(len(st))], dtype="object")
+    one_span = live & ~m_dom  # plain / iam / wash / ctc: one region
+    start_one = lead.where(~m_ctc, lead + len(cs.CTC_MARKER))
+    for i in spans.index[one_span]:
+        spans.loc[i].append((int(start_one.loc[i]), int(end.loc[i])))
+    if m_dom.any():
+        spans.loc[m_dom] = _dom_spans(st[m_dom], lead[m_dom]).values
+
+    rejected = base["reject_reason"].notna()
+    spans.loc[rejected.values] = pd.Series(
+        [[] for _ in range(int(rejected.sum()))], dtype="object"
+    ).values
+    starts = spans.map(lambda sp: [a for a, _b in sp])
+    ends = spans.map(lambda sp: [b for _a, b in sp])
+    starts[is_null.values] = None
+    ends[is_null.values] = None
+    base["span_starts"] = starts.values
+    base["span_ends"] = ends.values
+    return base
+
+
+def extract_spans_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint for the spans-enabled stage."""
+    for pdf in batches:
+        yield extract_spans_pandas(pdf)

@@ -137,6 +137,42 @@ def extract_turn(text: str | None) -> Extracted:
     return Extracted(final, mode, None)
 
 
+def extract_turn_spans(text: str | None) -> list[tuple[int, int]] | None:
+    """Kept-content spans: half-open (start, end) character offsets into
+    the ORIGINAL ``text`` of the source regions the extractor derived
+    content from (the north rule's "extracted text/spans" counterpart).
+
+    Per mode: null → None; rejected (null/empty-after-clean) → [];
+    plain/IAM/Washington → one span over the stripped region; CTC → one
+    span over the payload after the marker; DOM → one span per kept line
+    (the lines that survive boilerplate, link-density, and
+    empty-after-strip classification).
+    """
+    ex = extract_turn(text)
+    if ex.mode == cs.MODE_NULL:
+        return None
+    if ex.reject_reason is not None:
+        return []
+    assert text is not None
+    lead = len(text) - len(text.lstrip())
+    st = text.strip()
+    if ex.mode == cs.MODE_CTC:
+        return [(lead + len(cs.CTC_MARKER), lead + len(st))]
+    if ex.mode == cs.MODE_DOM:
+        spans: list[tuple[int, int]] = []
+        pos = 0
+        for line in st.split("\n"):
+            ln = len(line)
+            if ln > 0 and not _BOILER.search(line):
+                without_anchors = _ANCHOR.sub("", line)
+                if (ln - len(without_anchors)) / ln <= cs.LINK_DENSITY_MAX:
+                    if _TAG_STRIP.sub(" ", line).strip() != "":
+                        spans.append((lead + pos, lead + pos + ln))
+            pos += ln + 1
+        return spans
+    return [(lead, lead + len(st))]
+
+
 def ctc_greedy_decode_ids(ids: list[int]) -> str:
     """Greedy CTC decode over a label-id sequence: merge repeated ids, drop
     blanks, map id→char (Structure_006.py:142-143 + tasks.py:175-178)."""

@@ -55,6 +55,24 @@ def extract_turns(
     return cols.mapInPandas(extract_map_in_pandas, schema=EXTRACTED_DDL)
 
 
+def extract_turns_with_spans(
+    df: DataFrame, check_schema: bool = True
+) -> DataFrame:
+    """Extraction + kept-content provenance spans (span_starts/span_ends:
+    offsets into the original text of the regions each turn's content
+    came from — the north rule's "extracted text/spans"). Same narrow
+    plan as extract_turns; the span bookkeeping is paid only here."""
+    from htrtf_spark.operators.extraction import (
+        EXTRACTED_SPANS_DDL,
+        extract_spans_map_in_pandas,
+    )
+
+    if check_schema:
+        check_input_schema(df)
+    cols = df.select("conv_id", "turn_idx", "role", "text")
+    return cols.mapInPandas(extract_spans_map_in_pandas, schema=EXTRACTED_SPANS_DDL)
+
+
 def ordered_extract(df: DataFrame, check_schema: bool = True) -> DataFrame:
     """Extraction + stable per-conversation rank (the north rule's
     '(conv_id, turn_idx) stable ordering via window functions'): one
