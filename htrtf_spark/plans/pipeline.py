@@ -107,6 +107,31 @@ def conversation_stats(extracted: DataFrame, salt_factor: int = 16) -> DataFrame
     )
 
 
+def conversation_documents(extracted: DataFrame) -> DataFrame:
+    """Assemble one training document per conversation: extracted turns
+    concatenated in (turn_idx) order — the output shape a training-data
+    pipeline feeds downstream. One shuffle on the extracted rows;
+    in-group ordering via array_sort on (turn_idx, text) structs, so the
+    result is deterministic regardless of partitioning. Whale note: a
+    conversation's document must be assembled somewhere — per-task
+    memory is bounded by the largest single conversation's extracted
+    text, which Arrow batching already caps per the capacity plan
+    (SCALING.md); stats that don't need the full text use the salted
+    two-phase ``conversation_stats`` instead."""
+    return extracted.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "extracted_text"))
+                ),
+                lambda s: s["extracted_text"],
+            ),
+        ).alias("doc_text"),
+        F.count("*").alias("n_turns"),
+    )
+
+
 def extraction_metrics(extracted: DataFrame) -> DataFrame:
     """Aggregate acceptance metrics (the CER/WER-report analog,
     /root/reference/Modules/tasks.py:183-194 — here exact-match is

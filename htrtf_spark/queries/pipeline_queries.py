@@ -110,8 +110,30 @@ FROM extracted
 """
 
 
+# --------------------------------------------------------------------- q62
+# Per-conversation training-document assembly: extracted turns joined in
+# turn order (the pipeline's downstream output shape).
+
+
+def q62_conversation_documents(spark, sf_dir):
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    tr = events_as_transcripts(spark, sf_dir)
+    return conversation_documents(extract_turns(tr))
+
+
+_Q62_SQL = f"""
+WITH {_EXTRACTED_CTE}
+SELECT conv_id,
+       string_agg(extracted_text, ' ' ORDER BY turn_idx) AS doc_text,
+       COUNT(*) AS n_turns
+FROM extracted GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "q48_keyword_spotting": (q48_keyword_spotting, _Q48_SQL),
     "q49_conversation_stats_salted": (q49_conversation_stats_salted, _Q49_SQL),
     "q50_ordered_extract": (q50_ordered_extract, _Q50_SQL),
+    "q62_conversation_documents": (q62_conversation_documents, _Q62_SQL),
 }
