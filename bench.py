@@ -32,6 +32,7 @@ HEADLINE = [
     "q29_near_pairs",
     "q31_extract_documents",
     "q32_extract_events",
+    "q62_conversation_documents",
 ]
 
 

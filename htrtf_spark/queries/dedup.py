@@ -236,8 +236,34 @@ JOIN sig sb ON sb.id = c.id_b
 """
 
 
+# --------------------------------------------------------------------- q63
+# Applying the dedup: the kept corpus after exact dedup (keep-first
+# policy — lowest doc_id per fingerprint survives). q24 finds the
+# groups; this materializes the deduplicated table.
+
+
+def q63_dedup_keep_first(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        d.withColumn("_rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .select("doc_id")
+    )
+
+
+_Q63_SQL = """
+SELECT doc_id FROM documents
+QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+"""
+
+
 QUERIES = {
     "q24_exact_dedup": (q24_exact_dedup, _Q24_SQL),
+    "q63_dedup_keep_first": (q63_dedup_keep_first, _Q63_SQL),
     "q25_trigram_jaccard_pairs": (q25_trigram_jaccard_pairs, _Q25_SQL),
     "q26_minhash_lsh_candidates": (q26_minhash_lsh_candidates, _Q26_SQL),
     "q27_minhash_neardup_verified": (q27_minhash_neardup_verified, _Q27_SQL),
