@@ -83,8 +83,8 @@ def q49_conversation_stats_salted(spark, sf_dir):
 _Q49_SQL = f"""
 WITH {_EXTRACTED_CTE}
 SELECT conv_id, COUNT(*) AS n_turns,
-       SUM(COALESCE(n_chars, 0)) AS total_chars,
-       SUM(CASE WHEN reject_reason IS NOT NULL THEN 1 ELSE 0 END) AS n_rejected
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN reject_reason IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
 FROM extracted GROUP BY conv_id ORDER BY conv_id
 """
 

@@ -43,13 +43,13 @@ def q01_pricing_summary(spark, sf_dir):
 
 _Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity*100) AS BIGINT))                    AS sum_qty_c,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))               AS sum_base_c,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))          AS sum_disc_cc,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)    AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_cc,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
            * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
-           * (100 + CAST(ROUND(l_tax*100) AS BIGINT)))               AS sum_charge_cccc,
+           * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT)    AS sum_charge_cccc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -104,8 +104,8 @@ def q03_top_revenue_orders(spark, sf_dir):
 
 _Q03_SQL = """
 SELECT l_orderkey, o_orderdate,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_cc
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -186,8 +186,8 @@ def q06_revenue_per_nation(spark, sf_dir):
 
 _Q06_SQL = """
 SELECT n_name,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_cc,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_cc,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -222,7 +222,7 @@ _Q07_SQL = """
 SELECT COUNT(*) AS n,
        MIN(CAST(ROUND(value*100) AS BIGINT)) AS min_c,
        MAX(CAST(ROUND(value*100) AS BIGINT)) AS max_c,
-       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_c,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
        CAST(ROUND(10000.0 * SUM(CASE WHEN CAST(ROUND(value*100) AS BIGINT) > 5000
                                      THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
            AS frac_over_50_bp,
@@ -244,7 +244,7 @@ def q08_event_type_counts(spark, sf_dir):
 
 
 _Q08_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_c
+SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -323,9 +323,9 @@ def q11_running_totals(spark, sf_dir):
 
 _Q11_SQL = """
 SELECT user_id, event_id,
-       SUM(CAST(ROUND(value*100) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_c,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum_c,
        COUNT(*)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
@@ -371,7 +371,7 @@ WITH flagged AS (
              AS session_id
   FROM flagged
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -390,7 +390,7 @@ def q13_hourly_rollup(spark, sf_dir):
 
 _Q13_SQL = """
 SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_c
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -487,7 +487,7 @@ def q17_derived_key_rollup(spark, sf_dir):
 _Q17_SQL = """
 SELECT SUBSTRING(split_part(c_name, '#', 2), 1, 4) AS cust_prefix,
        COUNT(*) AS n_orders,
-       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_c
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1
 """

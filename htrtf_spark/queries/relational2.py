@@ -24,7 +24,7 @@ def q43_cube_rollup(spark, sf_dir):
 
 _Q43_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_c
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_c
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
@@ -45,9 +45,9 @@ def q44_pivot_status_by_priority(spark, sf_dir):
 
 _Q44_SQL = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 

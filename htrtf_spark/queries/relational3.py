@@ -44,7 +44,7 @@ WITH g AS (
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
   FROM events
 )
-SELECT user_id, COUNT(*) AS n_gaps, SUM(gap_ms) AS sum_gap_ms,
+SELECT user_id, COUNT(*) AS n_gaps, CAST(SUM(gap_ms) AS BIGINT) AS sum_gap_ms,
        MAX(gap_ms) AS max_gap_ms
 FROM g WHERE gap_ms IS NOT NULL
 GROUP BY user_id
@@ -77,7 +77,7 @@ WITH q AS (
                         o_orderkey) AS quartile
   FROM orders
 )
-SELECT quartile, COUNT(*) AS n, SUM(cents) AS sum_cents
+SELECT quartile, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM q GROUP BY quartile ORDER BY quartile
 """
 
@@ -100,7 +100,7 @@ def q53_grouping_sets(spark, sf_dir):
 
 _Q53_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """

@@ -80,7 +80,7 @@ WITH x AS (
 )
 SELECT COALESCE(et, '<none>') AS et_filled,
        COUNT(*) AS n,
-       SUM(is_null_nse) AS n_null_safe_eq_null
+       CAST(SUM(is_null_nse) AS BIGINT) AS n_null_safe_eq_null
 FROM x GROUP BY COALESCE(et, '<none>') ORDER BY et_filled
 """
 

@@ -100,7 +100,7 @@ WITH ex AS (
          COUNT(DISTINCT word) AS n_types
   FROM ex GROUP BY doc_id
 )
-SELECT doc_id, n_tokens, n_stop,
+SELECT doc_id, n_tokens, CAST(n_stop AS BIGINT) AS n_stop,
        CAST(ROUND(10000.0 * n_stop / n_tokens) AS BIGINT) AS stop_ratio_bp,
        CAST(ROUND(10000.0 * n_types / n_tokens) AS BIGINT) AS ttr_bp
 FROM agg

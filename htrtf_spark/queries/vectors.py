@@ -107,7 +107,7 @@ def q30_label_vector_stats(spark, sf_dir):
 _Q30_SQL = """
 WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT label, COUNT(*) AS n,
-       SUM(CAST(ROUND(10000 * sqrt(list_dot_product(v, v))) AS BIGINT)) AS sum_norm_bp
+       CAST(SUM(CAST(ROUND(10000 * sqrt(list_dot_product(v, v))) AS BIGINT)) AS BIGINT) AS sum_norm_bp
 FROM e GROUP BY label ORDER BY label
 """
 
