@@ -85,7 +85,54 @@ FROM x GROUP BY COALESCE(et, '<none>') ORDER BY et_filled
 """
 
 
+# --------------------------------------------------------------------- q64
+# Corpus-level absolute CER — the reference's headline evaluation number
+# (EDabs = sum(edit_distance)/total_chars,
+# /root/reference/Projects/IAM_lines/Structure_006/Structure_006.py:153-159)
+# computed between each document and its charset-cleaned form: exact
+# integer basis points from SUM(levenshtein)/SUM(len), per engine.
+
+
+def q64_corpus_cer(spark, sf_dir):
+    from htrtf_spark import charset as cs
+
+    d = t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", cs.CHARSET_FILTER_PATTERN, ""), r"\s+", " "
+        )
+    )
+    lev = F.levenshtein(F.col("text"), clean)
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(lev).cast("long").alias("total_edits"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.sum(lev) * 10000.0 / F.sum(F.length("text")))
+        .cast("long")
+        .alias("cer_abs_bp"),
+    )
+
+
+def _q64_sql() -> str:
+    from htrtf_spark import charset as cs
+
+    neg = cs.CHARSET_FILTER_PATTERN.replace("'", "''")
+    clean = (
+        "trim(regexp_replace(regexp_replace(text, '" + neg + "', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(levenshtein(text, {clean})) AS BIGINT) AS total_edits,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(ROUND(SUM(levenshtein(text, {clean})) * 10000.0
+                  / SUM(length(text))) AS BIGINT) AS cer_abs_bp
+FROM documents
+"""
+
+
 QUERIES = {
     "q60_approx_percentile_sanity": (q60_approx_percentile_sanity, _Q60_SQL),
     "q61_null_semantics": (q61_null_semantics, _Q61_SQL),
+    "q64_corpus_cer": (q64_corpus_cer, _q64_sql()),
 }
