@@ -99,12 +99,11 @@ def main() -> None:
     if os.path.exists(p):
         with open(p) as f:
             d = json.load(f)
-        scaling["cores_2_to_8"] = d.get(
-            "scaling_efficiency_2_to_8", d.get("scaling_efficiency_n_to_4n")
-        )
-        scaling["cores_8_to_32_box_ceiling"] = d.get(
-            "scaling_efficiency_8_to_32", d.get("scaling_efficiency_n_to_4n")
-        )
+        # no legacy-key fallback: an old-format file's
+        # scaling_efficiency_n_to_4n was the 8->32 ceiling pair and must
+        # never be reported as the engine pair
+        scaling["cores_2_to_8"] = d.get("scaling_efficiency_2_to_8")
+        scaling["cores_8_to_32_box_ceiling"] = d.get("scaling_efficiency_8_to_32")
     p = os.path.join(bench_dir, "scaling_executors.json")
     if os.path.exists(p):
         with open(p) as f:

@@ -111,7 +111,9 @@ def jaccard_pairs_postings(
     blow-up is bounded per list — which is why it must be paired with a
     stop-shingle cap at web scale (df_cap² × n_stop_shingles is the
     worst-case row count either way)."""
-    grams = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    # cache is load-bearing: grams feeds both the posting-list groupBy and
+    # the sizes groupBy — uncached, the word-ngram transform runs twice
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     posting = grams.groupBy("ng").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     ids = F.col("ids")
     pairs = F.flatten(

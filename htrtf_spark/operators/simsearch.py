@@ -75,7 +75,11 @@ def block_matmul_near_pairs(
             a_ids = pin["id"].to_numpy()
             with np.errstate(invalid="ignore", divide="ignore"):
                 sims = (a @ m_bt) / np.outer(na, n_b)
-            bp = np.floor(sims * 10000.0 + 0.5)  # HALF_UP; NaN propagates
+                x = sims * 10000.0
+                # HALF_UP = half away from zero (matches F.round / DuckDB
+                # ROUND); plain floor(x+.5) would differ at negative .5;
+                # NaN propagates through either branch
+                bp = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
             mask = (ids_b[None, :] > a_ids[:, None]) & (bp >= float(min_sim_bp))
             ai, bj = np.nonzero(mask)
             yield pd.DataFrame(
@@ -129,7 +133,8 @@ def block_matmul_topk(
             ids = pin["id"].to_numpy()
             with np.errstate(invalid="ignore", divide="ignore"):
                 sims = (a @ qt) / np.outer(na, qn_b)
-            bp = np.floor(sims * 10000.0 + 0.5)
+                x = sims * 10000.0
+                bp = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
             for j, qid in enumerate(q_ids_b):
                 col = bp[:, j]
                 ok = np.isfinite(col)

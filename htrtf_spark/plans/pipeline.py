@@ -118,16 +118,18 @@ def conversation_documents(extracted: DataFrame) -> DataFrame:
     text, which Arrow batching already caps per the capacity plan
     (SCALING.md); stats that don't need the full text use the salted
     two-phase ``conversation_stats`` instead."""
+    assembled = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "extracted_text"))),
+            lambda s: s["extracted_text"],
+        ),
+    )
+    # string_agg semantics: a conversation with zero non-null texts yields
+    # NULL, not '' (concat_ws alone would give '')
+    doc_text = F.when(F.count("extracted_text") > 0, assembled)
     return extracted.groupBy("conv_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("turn_idx", "extracted_text"))
-                ),
-                lambda s: s["extracted_text"],
-            ),
-        ).alias("doc_text"),
+        doc_text.alias("doc_text"),
         F.count("*").alias("n_turns"),
     )
 

@@ -201,7 +201,9 @@ def q57_minhash_estimate(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = t(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(docs, "doc_id", "text")
+    # sig feeds the 4 band projections inside lsh_candidates plus both
+    # join sides below — cache or the signature aggregation runs ~6x
+    sig = D.minhash_signatures(docs, "doc_id", "text").cache()
     cand = D.lsh_candidates(sig)
     sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
     sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
@@ -243,15 +245,13 @@ JOIN sig sb ON sb.id = c.id_b
 
 
 def q63_dedup_keep_first(spark, sf_dir):
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text"))
+    # reuse the library dedup: (fp, min(id)) hash aggregate — partial agg
+    # beats a per-fingerprint window sort of full rows
     return (
-        d.withColumn("_rep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_rep"))
-        .select("doc_id")
+        D.exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
+        .select(F.col("rep_id").alias("doc_id"))
     )
 
 

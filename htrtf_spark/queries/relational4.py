@@ -102,7 +102,11 @@ def q64_corpus_cer(spark, sf_dir):
             F.regexp_replace("text", cs.CHARSET_FILTER_PATTERN, ""), r"\s+", " "
         )
     )
-    lev = F.levenshtein(F.col("text"), clean)
+    # DuckDB levenshtein counts BYTES while Spark counts CHARACTERS, so
+    # the distance is computed on an ASCII-folded form (every non-ASCII
+    # char -> '?') where bytes == chars in both engines.
+    fold = lambda c: F.regexp_replace(c, r"[^\x01-\x7F]", "?")  # noqa: E731
+    lev = F.levenshtein(fold(F.col("text")), fold(clean))
     return d.agg(
         F.count("*").alias("n_docs"),
         F.sum(lev).cast("long").alias("total_edits"),
@@ -121,11 +125,13 @@ def _q64_sql() -> str:
         "trim(regexp_replace(regexp_replace(text, '" + neg + "', '', 'g'), "
         "'\\s+', ' ', 'g'))"
     )
+    fold_t = "regexp_replace(text, '[^\\x01-\\x7F]', '?', 'g')"
+    fold_c = f"regexp_replace({clean}, '[^\\x01-\\x7F]', '?', 'g')"
     return f"""
 SELECT COUNT(*) AS n_docs,
-       CAST(SUM(levenshtein(text, {clean})) AS BIGINT) AS total_edits,
+       CAST(SUM(levenshtein({fold_t}, {fold_c})) AS BIGINT) AS total_edits,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-       CAST(ROUND(SUM(levenshtein(text, {clean})) * 10000.0
+       CAST(ROUND(SUM(levenshtein({fold_t}, {fold_c})) * 10000.0
                   / SUM(length(text))) AS BIGINT) AS cer_abs_bp
 FROM documents
 """

@@ -92,3 +92,27 @@ def test_schema_check_rejects_drift(spark):
     bad = spark.createDataFrame(pd.DataFrame({"conv_id": ["a"], "turn_idx": [1]}))
     with pytest.raises(ValueError):
         check_input_schema(bad)
+
+
+def test_conversation_documents_null_and_order(spark):
+    """Document assembly follows string_agg semantics: all-null
+    conversations yield NULL doc_text (not ''), and turns concatenate in
+    turn_idx order regardless of input order."""
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    rows = [
+        ("a", 1, "world", None),
+        ("a", 0, "hello", None),
+        ("b", 0, None, "null_text"),
+        ("b", 1, None, "null_text"),
+        ("c", 0, "only", None),
+    ]
+    ex = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, extracted_text string, reject_reason string",
+    )
+    got = {r["conv_id"]: (r["doc_text"], r["n_turns"])
+           for r in conversation_documents(ex).collect()}
+    assert got["a"] == ("hello world", 2)
+    assert got["b"] == (None, 2)
+    assert got["c"] == ("only", 1)
