@@ -75,10 +75,6 @@ ANCHOR_SPAN_PATTERN = r"(?is)<a\b[^>]*>.*?</a>"
 # Strip remaining tags (replaced by a space; whitespace canon collapses).
 TAG_STRIP_PATTERN = r"<[^>]*>"
 
-# Collapse runs of the same character (CTC merge_repeated). DOTALL so the
-# spec is total over any input byte.
-CTC_COLLAPSE_PATTERN = r"(?s)(.)\1+"
-
 # IAM pipe-stream detection: stripped text starts and ends with '|'
 # and contains no whitespace (a '|'-joined word stream, not prose).
 IAM_STREAM_PATTERN = r"^\|\S*\|$"

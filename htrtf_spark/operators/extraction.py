@@ -80,6 +80,24 @@ def _decode_wash(st: pd.Series) -> pd.Series:
     return chars.str.replace(cs.WORD_SEP, " ", regex=False)
 
 
+def _dom_keep(lines: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """THE vectorized DOM keep rule (classify/segment), single copy shared
+    by the decode path and the spans path: boilerplate + link-density on
+    every nonempty line, TAG_STRIP only on the survivors (hot-path
+    laziness). Returns (keep mask aligned to ``lines``, stripped text of
+    the kept lines in order)."""
+    boiler = lines.str.contains(cs.BOILERPLATE_PATTERN, regex=True).to_numpy()
+    without_anchors = lines.str.replace(cs.ANCHOR_SPAN_PATTERN, "", regex=True)
+    lens = lines.str.len().to_numpy()
+    link_density = (lens - without_anchors.str.len().to_numpy()) / lens
+    cand_mask = ~boiler & (link_density <= cs.LINK_DENSITY_MAX)
+    stripped = lines[cand_mask].str.replace(cs.TAG_STRIP_PATTERN, " ", regex=True)
+    ok = (stripped.str.strip() != "").to_numpy()
+    keep_mask = cand_mask.copy()
+    keep_mask[cand_mask] = ok
+    return keep_mask, stripped.to_numpy()[ok]
+
+
 def _decode_dom(st: pd.Series) -> pd.Series:
     """Boilerplate classify + tag strip over exploded lines (index must be
     unique — caller guarantees a RangeIndex)."""
@@ -90,18 +108,13 @@ def _decode_dom(st: pd.Series) -> pd.Series:
     lines = lines[lines.str.len() > 0]
     if len(lines) == 0:
         return out
-    boiler = lines.str.contains(cs.BOILERPLATE_PATTERN, regex=True)
-    without_anchors = lines.str.replace(cs.ANCHOR_SPAN_PATTERN, "", regex=True)
-    link_density = (lines.str.len() - without_anchors.str.len()) / lines.str.len()
-    kept = lines[~boiler & (link_density <= cs.LINK_DENSITY_MAX)]
-    stripped = kept.str.replace(cs.TAG_STRIP_PATTERN, " ", regex=True)
-    stripped = stripped[stripped.str.strip() != ""]
-    if len(stripped) == 0:
+    keep_mask, stripped_vals = _dom_keep(lines)
+    if not keep_mask.any():
         return out
     # lines of one row are contiguous after explode — join with a single
     # linear pass (pandas groupby.agg machinery is ~10× slower here)
-    idx_arr = stripped.index.values
-    val_arr = stripped.values
+    idx_arr = lines.index.values[keep_mask]
+    val_arr = stripped_vals
     keys: list = []
     vals: list = []
     prev = None
@@ -226,8 +239,9 @@ EXTRACTED_SPANS_DDL = (
 
 
 def _dom_spans(st: pd.Series, lead: pd.Series) -> pd.Series:
-    """Per-row list of (start, end) offsets of kept DOM lines (same keep
-    predicate as _decode_dom), offsets relative to the original text."""
+    """Per-row list of (start, end) offsets of kept DOM lines (the keep
+    rule is _dom_keep — the same single copy the decode path runs),
+    offsets relative to the original text."""
     out = pd.Series([[] for _ in range(len(st))], index=st.index, dtype="object")
     if len(st) == 0:
         return out
@@ -235,15 +249,11 @@ def _dom_spans(st: pd.Series, lead: pd.Series) -> pd.Series:
     lens = lines.str.len()
     step = lens + 1
     pos = step.groupby(level=0).cumsum() - step  # line start offset within st
-    nonempty = lens > 0
+    nonempty = (lens > 0).to_numpy()
     ne = lines[nonempty]
-    boiler = ne.str.contains(cs.BOILERPLATE_PATTERN, regex=True)
-    without = ne.str.replace(cs.ANCHOR_SPAN_PATTERN, "", regex=True)
-    link_density = (ne.str.len() - without.str.len()) / ne.str.len()
-    stripped = ne.str.replace(cs.TAG_STRIP_PATTERN, " ", regex=True)
-    keep = ~boiler & (link_density <= cs.LINK_DENSITY_MAX) & (
-        stripped.str.strip() != ""
-    )
+    if len(ne) == 0:
+        return out
+    keep, _stripped = _dom_keep(ne)
     kept_pos = pos[nonempty][keep]
     kept_len = lens[nonempty][keep]
     for i, p, ln in zip(kept_pos.index, kept_pos.values, kept_len.values):

@@ -23,7 +23,6 @@ _TAG_DETECT = re.compile(cs.TAG_DETECT_PATTERN)
 _BOILER = re.compile(cs.BOILERPLATE_PATTERN)
 _ANCHOR = re.compile(cs.ANCHOR_SPAN_PATTERN)
 _TAG_STRIP = re.compile(cs.TAG_STRIP_PATTERN)
-_CTC_COLLAPSE = re.compile(cs.CTC_COLLAPSE_PATTERN)
 _IAM = re.compile(cs.IAM_STREAM_PATTERN)
 _WASH = re.compile(cs.WASH_STREAM_PATTERN)
 

@@ -32,14 +32,30 @@ def salted_repartition(
     return df.repartition(num_partitions, F.col("conv_id"), salt)
 
 
+def _content_tiebreak(df: DataFrame):
+    """Deterministic final tie-break for rows sharing (conv_id, turn_idx,
+    role): md5 of the content column (engine-portable — the oracle SQL
+    can restate it). Duplicate keys occur in raw un-deduped ingest;
+    without this the rank would follow shuffle arrival order."""
+    for c in ("extracted_text", "text"):
+        if c in df.columns:
+            return [F.md5(F.coalesce(F.col(c), F.lit("")))]
+    return []
+
+
 def with_turn_rank(df: DataFrame, col_name: str = "rn") -> DataFrame:
     """Stable per-conversation rank (W3 in SURVEY.md §2.5): window sort on
-    (turn_idx, role) — the only order source, totally tie-broken."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role")
+    (turn_idx, role, md5(content)) — the only order source, totally
+    tie-broken even under duplicate (conv_id, turn_idx, role) keys.
+    (Rows identical in ALL columns remain interchangeable — any rank
+    assignment among them yields the same output multiset.)"""
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", "role", *_content_tiebreak(df)
+    )
     return df.withColumn(col_name, F.row_number().over(w))
 
 
 def stable_sorted(df: DataFrame) -> DataFrame:
     """Globally stable presentation order (range shuffle; use only when a
     totally-ordered materialization is required)."""
-    return df.orderBy("conv_id", "turn_idx")
+    return df.orderBy("conv_id", "turn_idx", "role", *_content_tiebreak(df))

@@ -21,7 +21,7 @@ needs, so the parquet scan reads exactly those (.explain → ReadSchema).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from htrtf_spark.operators.extraction import EXTRACTED_DDL, extract_map_in_pandas
@@ -77,9 +77,9 @@ def ordered_extract(df: DataFrame, check_schema: bool = True) -> DataFrame:
     """Extraction + stable per-conversation rank (the north rule's
     '(conv_id, turn_idx) stable ordering via window functions'): one
     shuffle, on the extracted (smaller) rows."""
-    ex = extract_turns(df, check_schema=check_schema)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role")
-    return ex.withColumn("rn", F.row_number().over(w))
+    from htrtf_spark.plans.ordering import with_turn_rank
+
+    return with_turn_rank(extract_turns(df, check_schema=check_schema))
 
 
 def conversation_stats(extracted: DataFrame, salt_factor: int = 16) -> DataFrame:

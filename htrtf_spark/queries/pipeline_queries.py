@@ -103,7 +103,9 @@ def q50_ordered_extract(spark, sf_dir):
 _Q50_SQL = f"""
 WITH {_EXTRACTED_CTE}
 SELECT conv_id, turn_idx,
-       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx, role)
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx, role,
+                                        md5(COALESCE(extracted_text, '')))
             AS INTEGER) AS rn,
        extracted_text
 FROM extracted

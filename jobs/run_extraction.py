@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = read_transcripts_parquet(spark, args.input)
 
-    already = len(completed_buckets(args.output))
+    already = len(completed_buckets(args.output, spark))
     ran = run_extraction_checkpointed(
         spark, df, args.output, n_buckets=args.buckets,
         num_partitions=args.repartition,

@@ -74,3 +74,21 @@ def test_manifest_lineage_conservation(spark, tmp_path):
     assert int(man["rows_out"].sum() + man["rows_rejected"].sum()) == len(src_pdf)
     assert (man["wall_ms"] >= 0).all()
     assert (man["turns_per_sec"] >= 0).all()
+
+
+def test_resume_refuses_bucket_count_change(spark, tmp_path):
+    """Resuming a partial manifest with a different n_buckets would mix
+    two incompatible partitionings — must be refused, not corrupted."""
+    df = spark.createDataFrame(
+        synth.synth_pandas(n_convs=10, seed=3), schema=TRANSCRIPTS_SCHEMA
+    )
+    out_dir = str(tmp_path / "ck3")
+    with pytest.raises(ckpt.KilledForTest):
+        ckpt.run_extraction_checkpointed(
+            spark, df, out_dir, n_buckets=4, fail_after_buckets=1
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=8)
+    # original count still resumes fine
+    ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=4)
+    assert ckpt.completed_buckets(out_dir) == set(range(4))
