@@ -200,8 +200,14 @@ def run_extraction_checkpointed(
     t0 = time.monotonic()
     extracted = extract_turns(src.drop("_bucket"), num_partitions=num_partitions)
     # the bucket id is a pure function of conv_id — recomputable on the
-    # extracted rows, so extraction itself stays a narrow 4-column stage
-    staged = extracted.withColumn("_bucket", _bucket_col(n_buckets))
+    # extracted rows, so extraction itself stays a narrow 4-column stage.
+    # One hash shuffle on the (smaller) extracted rows aligns tasks with
+    # buckets before the partitioned write: without it, partitionBy emits
+    # input_tasks x n_buckets files (4k even at bench scale, unbounded at
+    # cluster scale).
+    staged = extracted.withColumn("_bucket", _bucket_col(n_buckets)).repartition(
+        n_buckets, F.col("_bucket")
+    )
     staged.write.partitionBy("_bucket").mode("overwrite").parquet(staging)
     pass_wall_ms = max(int((time.monotonic() - t0) * 1000), 1)
 
