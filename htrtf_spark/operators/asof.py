@@ -55,14 +55,22 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carried = unioned
-    for c in right_value_cols:
-        carried = carried.withColumn(
-            f"{c}_asof", F.last(f"{c}_asof", ignorenulls=True).over(w)
-        )
+    # carry ONE struct of all right value columns: the struct is non-null
+    # exactly for right rows (even when its fields are null), so last()
+    # attaches the most recent right ROW as a unit. Per-column lasts would
+    # skip nulls independently and could stitch together a row that never
+    # existed (and return a stale value where the latest right value is
+    # genuinely NULL).
+    rv = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}_asof").alias(c) for c in right_value_cols]),
+    )
+    carried = unioned.withColumn("_rv", rv).withColumn(
+        "_rv_asof", F.last("_rv", ignorenulls=True).over(w)
+    )
 
     out = carried.filter(F.col("_side") == 1)
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"{c}_asof") for c in right_value_cols],
+        *[F.col("_rv_asof").getField(c).alias(f"{c}_asof") for c in right_value_cols],
     )

@@ -26,9 +26,14 @@ CTC_DECODED_DDL = "doc_id long, decoded string"
 
 def encode_frames(text: str, repeats: int = 2) -> np.ndarray:
     """text → frame-level label ids: each char id repeated ``repeats``
-    times, a blank after each run (so repeated chars survive decode)."""
+    times, a blank after each run (so repeated chars survive decode).
+    Any whitespace char encodes as the space label (so tabs/newlines
+    survive as word boundaries instead of vanishing — decode's
+    whitespace canon then folds them exactly like the clean spec)."""
     ids = []
     for ch in text:
+        if ch.isspace():
+            ch = " "
         i = _C2I.get(ch)
         if i is None:
             continue  # charset projection: out-of-charset chars dropped
@@ -59,12 +64,18 @@ def roundtrip_map_in_pandas(
     """mapInPandas stage: (doc_id, text) → (doc_id, decoded) where decoded
     = greedy_decode(encode_frames(text)). Identity on canonical text."""
     for pdf in batches:
-        decoded = [greedy_decode(encode_frames(t)) for t in pdf["text"]]
+        decoded = [
+            None if t is None else greedy_decode(encode_frames(t))
+            for t in pdf["text"]
+        ]
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "decoded": decoded})
 
 
 def beam_decode(
-    logprobs: np.ndarray, beam_width: int = 8, blank_id: int = cs.BLANK_ID
+    logprobs: np.ndarray,
+    beam_width: int = 8,
+    blank_id: int = cs.BLANK_ID,
+    charset_chars: str | None = None,
 ) -> str:
     """CTC prefix beam search over a [T, C] log-probability matrix
     (ctc_beam_search_decoder parity, merge_repeated=False semantics:
@@ -74,7 +85,23 @@ def beam_decode(
     tie-break, so exact-match tests cannot flake (SURVEY.md §7.4 risk 4).
     Returns the decoded text after charset mapping + word-sep → space +
     whitespace canon (tasks.py:176-178).
+
+    With a non-default alphabet pass ``charset_chars`` (label i ↔
+    charset_chars[i]); ``blank_id`` then defaults to len(charset_chars).
+    A custom ``blank_id`` without its alphabet is refused — the global
+    charset mapping would silently garble the text.
     """
+    if charset_chars is not None:
+        char_arr = np.array(list(charset_chars) + [""])
+        if blank_id == cs.BLANK_ID and len(charset_chars) != cs.BLANK_ID:
+            blank_id = len(charset_chars)
+    else:
+        if blank_id != cs.BLANK_ID:
+            raise ValueError(
+                "custom blank_id requires charset_chars — the default "
+                "charset mapping would mislabel every id"
+            )
+        char_arr = _CHAR_ARR
     logprobs = np.asarray(logprobs, dtype=np.float64)
     T, C = logprobs.shape
     NEG_INF = -np.inf
@@ -125,7 +152,11 @@ def beam_decode(
     best = min(
         beams.items(), key=lambda kv: (-logsumexp2(kv[1][0], kv[1][1]), kv[0])
     )[0]
-    chars = _CHAR_ARR[np.clip(np.asarray(best, dtype=np.int64), 0, cs.BLANK_ID)] if best else []
+    chars = (
+        char_arr[np.clip(np.asarray(best, dtype=np.int64), 0, len(char_arr) - 1)]
+        if best
+        else []
+    )
     s = "".join(chars).replace(cs.WORD_SEP, " ")
     return " ".join(s.split())
 

@@ -72,13 +72,17 @@ def per_turn_distances(
         gold.alias("_gold"),
         F.levenshtein(got, gold).alias("char_dist"),
         F.length(gold).alias("gold_chars"),
-        F.size(F.filter(F.split(gold, " "), lambda x: x != F.lit(""))).alias(
+        # any-whitespace tokenization, matching _wer_stage's str.split()
+        # (a single-space split would disagree on tabs/newlines and skew
+        # the WER denominator)
+        F.size(F.filter(F.split(gold, r"\s+"), lambda x: x != F.lit(""))).alias(
             "gold_words"
         ),
         (got == gold).cast("int").alias("exact"),
     )
+    key_types = {f.name: f.dataType.simpleString() for f in j.schema.fields}
     schema = (
-        ", ".join(f"{k} {'string' if k == 'conv_id' else 'int'}" for k in keys)
+        ", ".join(f"{k} {key_types[k]}" for k in keys)
         + ", char_dist int, gold_chars int, gold_words int, exact int, word_dist long"
     )
     return with_char.mapInPandas(_wer_stage, schema=schema)

@@ -100,6 +100,9 @@ def rolling_fingerprints(
     'document fingerprinting' primitive for partial-overlap detection).
     Returns (id, win_idx, fp)."""
     toks = F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
+    # zero-token docs emit NO windows: md5('') rows would make every
+    # empty doc "overlap" every other one
+    df = df.filter(F.size(toks) > 0)
     n_win = F.greatest(
         F.ceil((F.size(toks) - window_tokens) / stride + 1).cast("int"), F.lit(1)
     )

@@ -47,7 +47,10 @@ def scan_ground_truth(spark: SparkSession, path: str) -> DataFrame:
     IAM field layout: id status graylevel n x y w h transcription."""
     lines = spark.read.text(path)
     nocomment = lines.filter(~F.col("value").startswith("#"))
-    f = F.split(F.col("value"), r"\s+")
+    # trim first: str.split() in the reference ignores leading whitespace,
+    # while F.split on a leading-space line yields an empty first field
+    # and silently shifts every column
+    f = F.split(F.trim(F.col("value")), r"\s+")
     return nocomment.select(
         F.element_at(f, 1).alias("rec_id"),
         F.element_at(f, 2).alias("status"),
@@ -70,7 +73,7 @@ def scan_ground_truth_washington(spark: SparkSession, path: str) -> DataFrame:
     plain transcription JVM-side (transform over the split array)."""
     lines = spark.read.text(path)
     nocomment = lines.filter(~F.col("value").startswith("#"))
-    f = F.split(F.col("value"), r"\s+")
+    f = F.split(F.trim(F.col("value")), r"\s+")
     toks = F.split(F.element_at(f, 2), "-")
     mapped = F.transform(
         toks,
@@ -136,6 +139,10 @@ def apply_size_filters(encoded: DataFrame) -> DataFrame:
     return (
         encoded.filter(F.col("status").isin("ok", "err"))
         .filter(F.length("clean_text") > 0)
+        # malformed sizes (unparseable -> NULL, or h=0 whose rescale
+        # divides by zero) are EXPLICIT rejects, not silent NULL-filter
+        # drops — keeps the audit invariant exact
+        .filter(F.col("h").isNotNull() & F.col("w").isNotNull() & (F.col("h") != 0))
         .filter(F.col("h") <= MAX_HEIGHT)
         .withColumn("w_scaled", F.ceil(F.col("w") * MAX_HEIGHT / F.col("h")).cast("int"))
         .withColumn("h_scaled", F.lit(MAX_HEIGHT))
@@ -149,6 +156,10 @@ def reject_audit(encoded: DataFrame) -> DataFrame:
     reason = (
         F.when(~F.col("status").isin("ok", "err"), "bad_status")
         .when(F.length("clean_text") == 0, "empty_after_clean")
+        .when(
+            F.col("h").isNull() | F.col("w").isNull() | (F.col("h") == 0),
+            "bad_size",
+        )
         .when(F.col("h") > MAX_HEIGHT, "too_tall")
         .when(F.ceil(F.col("w") * MAX_HEIGHT / F.col("h")) > MAX_WIDTH, "too_wide")
         .otherwise("kept")

@@ -89,7 +89,9 @@ FROM tr
 
 # --------------------------------------------------------------------- q33
 # CTC encode→greedy-decode roundtrip on documents: the decode operator's
-# oracle is the identity on canonical text (pure SQL).
+# oracle is the charset-projection + separator-fold identity in pure SQL
+# (whitespace AND the '|' word separator both decode to a single space —
+# tasks.py:176-178 semantics).
 
 
 def q33_ctc_roundtrip(spark, sf_dir):
@@ -98,7 +100,10 @@ def q33_ctc_roundtrip(spark, sf_dir):
 
 
 _Q33_SQL = f"""
-SELECT doc_id, {_CLEAN_SQL_TMPL.format(col="text")} AS decoded FROM documents
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '{_NEG_SQL}', '', 'g'),
+                           '[\\s|]+', ' ', 'g')) AS decoded
+FROM documents
 """
 
 # --------------------------------------------------------------------- q34

@@ -109,13 +109,18 @@ WITH u AS (
          NULL, CAST(ROUND(value*100) AS BIGINT)
   FROM events WHERE event_type = 'view'
 ), carried AS (
+  -- row-carry semantics: the struct is non-null exactly for right rows,
+  -- so LAST_VALUE(... IGNORE NULLS) attaches the most recent right ROW
+  -- (mirrors the Spark operator; a bare column carry would skip rows
+  -- whose value is NULL)
   SELECT k, ts, side, event_id, click_c,
-         LAST_VALUE(view_c IGNORE NULLS) OVER w AS view_c_asof
+         LAST_VALUE(CASE WHEN side = 0 THEN {'view_c': view_c} END IGNORE NULLS)
+             OVER w AS rv
   FROM u
   WINDOW w AS (PARTITION BY k ORDER BY ts ASC, side DESC, tb ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
-SELECT k AS user_id, event_id, click_c, view_c_asof
+SELECT k AS user_id, event_id, click_c, rv.view_c AS view_c_asof
 FROM carried WHERE side = 1
 """
 

@@ -77,6 +77,7 @@ WITH base AS (
   SELECT doc_id AS id,
          list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
 ), wins AS (
   SELECT id,
          GREATEST(CAST(CEIL((len(w) - 16) / 8.0 + 1) AS BIGINT), 1) AS n_win,

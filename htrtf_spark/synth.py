@@ -189,9 +189,15 @@ def synth_spark(spark, n_convs: int = 1000, seed: int = 42, partitions: int = 32
     regardless of parallelism."""
 
     def gen(batches):
+        import pandas as pd
+
         for pdf in batches:
-            for k in pdf["id"].astype(int):
-                yield conv_pandas(int(k), seed)
+            frames = [conv_pandas(int(k), seed) for k in pdf["id"].astype(int)]
+            if frames:
+                # one Arrow batch per input batch, not per conversation —
+                # per-conv yields paid the Arrow boundary thousands of
+                # times per task for ~9-row frames
+                yield pd.concat(frames, ignore_index=True)
 
     ids = spark.range(0, n_convs).repartition(partitions)
     return ids.mapInPandas(gen, schema=TRANSCRIPTS_DDL)

@@ -40,3 +40,26 @@ def test_asof_strictly_earlier(spark):
     assert got["L2"] == 30            # latest earlier (10:04)
     assert got["Lx"] is None          # key isolation
     assert out.count() == left.count()  # left rows preserved 1:1
+
+
+def test_asof_attaches_whole_row_not_stitched_values(spark):
+    """The most recent right row is attached AS A UNIT: a genuinely NULL
+    value in the latest right row must come through as NULL, never a
+    stale value from an older row (and multi-column outputs must never
+    mix rows)."""
+    from htrtf_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 3, 30)], "key string, ts int, l_id int"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, 5, "a"), ("k", 2, None, "b")],
+        "key string, ts int, v int, tag string",
+    )
+    out = asof_join(
+        left, right, key="key", ts="ts",
+        right_value_cols=["v", "tag"],
+        left_tiebreak="l_id", right_tiebreak="ts",
+    ).collect()[0]
+    assert out["v_asof"] is None      # latest right row's v IS null
+    assert out["tag_asof"] == "b"     # and both fields come from ts=2

@@ -66,3 +66,31 @@ def test_beam_wordsep_and_canon():
     for t, i in enumerate(ids):
         lp[t, i] = 0.0
     assert ctc.beam_decode(lp) == "hi there"
+
+
+def test_roundtrip_whitespace_and_null():
+    """Tabs/newlines encode as word boundaries (not dropped), and NULL
+    text survives the roundtrip stage as NULL."""
+    import pandas as pd
+
+    from htrtf_spark.operators.ctc import encode_frames, greedy_decode, roundtrip_map_in_pandas
+
+    assert greedy_decode(encode_frames("line one\nline two\ttab")) == "line one line two tab"
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [None, "ok"]})
+    out = pd.concat(list(roundtrip_map_in_pandas(iter([pdf]))))
+    assert out["decoded"].tolist() == [None, "ok"]
+
+
+def test_beam_decode_refuses_blank_id_without_alphabet():
+    import numpy as np
+    import pytest
+
+    from htrtf_spark.operators.ctc import beam_decode
+
+    lp = np.log(np.full((2, 3), 1 / 3.0))
+    with pytest.raises(ValueError, match="charset_chars"):
+        beam_decode(lp, blank_id=2)
+    # custom alphabet path: 'ab' + blank=2
+    lp = np.full((3, 3), -10.0)
+    lp[0, 0] = lp[1, 2] = lp[2, 1] = -0.01
+    assert beam_decode(lp, charset_chars="ab", blank_id=2) == "ab"
