@@ -83,10 +83,27 @@ IAM_STREAM_PATTERN = r"^\|\S*\|$"
 # char '-' char '-' ... char (create_Washington_lines_dataset.py:49).
 WASH_STREAM_PATTERN = r"^(?:[^-]-)+[^-]$"
 
+# THE whitespace set: exactly the characters where str.isspace() is True
+# (== Python re \s over every codepoint — verified). Spelled out as
+# literal characters because '\s' means three different things across
+# the engines that execute the spec (Python re: this set; Java/Spark
+# regexp_replace: ASCII incl. \x0b; DuckDB RE2: ASCII excl. \x0b) —
+# an explicit class is the only form all three parse identically.
+WS_CHARS: str = "".join(
+    chr(c)
+    for c in (
+        0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+        0x85, 0xA0, 0x1680,
+        0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+        0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+    )
+)
+WS_RUN_PATTERN = f"[{WS_CHARS}]+"
+
 # Charset projection: delete every char not in CHARSET and not whitespace
 # (whitespace survives until the canon step so word boundaries are kept).
 _charset_class = re.escape(CHARSET)
-CHARSET_FILTER_PATTERN = rf"[^{_charset_class}\s]"
+CHARSET_FILTER_PATTERN = rf"[^{_charset_class}{WS_CHARS}]"
 
 # Link-density threshold above which a line is classified boilerplate.
 LINK_DENSITY_MAX: float = 0.5

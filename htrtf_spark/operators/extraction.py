@@ -37,7 +37,7 @@ def _finish(raw: pd.Series) -> pd.Series:
     every Unicode codepoint) and avoids allocating a token list per row.
     """
     filtered = raw.str.replace(cs.CHARSET_FILTER_PATTERN, "", regex=True)
-    return filtered.str.replace(r"\s+", " ", regex=True).str.strip()
+    return filtered.str.replace(cs.WS_RUN_PATTERN, " ", regex=True).str.strip()
 
 
 _BLANK_CP = ord(cs.BLANK_CHAR)

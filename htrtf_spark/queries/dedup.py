@@ -13,14 +13,16 @@ N_MINHASH = D.DEFAULT_MINHASHES
 BAND_WIDTH = D.DEFAULT_BAND_WIDTH
 JACCARD_BP_MIN = 5000
 
-_TRIGRAMS_CTE = """
+_N = D.DEFAULT_NGRAM  # the SQL below is DERIVED from the operator knob
+
+_TRIGRAMS_CTE = f"""
 grams AS (
   SELECT doc_id AS id, unnest(ngs) AS ng FROM (
     SELECT doc_id,
            list_distinct(
-             CASE WHEN len(w) >= 3
-                  THEN [array_to_string(w[i:i+2], ' ')
-                        for i in generate_series(1, len(w) - 2)]
+             CASE WHEN len(w) >= {_N}
+                  THEN [array_to_string(w[i:i+{_N - 1}], ' ')
+                        for i in generate_series(1, len(w) - {_N - 1})]
                   ELSE [] END) AS ngs
     FROM (SELECT doc_id,
                  list_filter(string_split(text, ' '), x -> x <> '') AS w

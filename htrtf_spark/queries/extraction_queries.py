@@ -20,12 +20,9 @@ from htrtf_spark.plans.pipeline import extract_turns, extraction_metrics
 from htrtf_spark.queries.util import t
 from htrtf_spark.sources.transcripts import events_as_transcripts
 
-_NEG_SQL = cs.CHARSET_FILTER_PATTERN.replace("'", "''")
+from htrtf_spark.queries.util import NEG_SQL as _NEG_SQL
+from htrtf_spark.queries.util import clean_sql
 
-_CLEAN_SQL_TMPL = (
-    "trim(regexp_replace(regexp_replace({col}, '" + _NEG_SQL + "', '', 'g'), "
-    "'\\s+', ' ', 'g'))"
-)
 
 # --------------------------------------------------------------------- q31
 # The vectorized extraction stage over documents (all plain-mode texts),
@@ -50,9 +47,9 @@ SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
        CAST(0 AS INTEGER) AS turn_idx,
        'user' AS role,
        'plain' AS mode,
-       {_CLEAN_SQL_TMPL.format(col="text")} AS extracted_text,
-       CAST(length({_CLEAN_SQL_TMPL.format(col="text")}) AS INTEGER) AS n_chars,
-       CASE WHEN {_CLEAN_SQL_TMPL.format(col="text")} = ''
+       {clean_sql("text")} AS extracted_text,
+       CAST(length({clean_sql("text")}) AS INTEGER) AS n_chars,
+       CASE WHEN {clean_sql("text")} = ''
             THEN 'empty_after_clean' END AS reject_reason
 FROM documents
 """
@@ -74,15 +71,15 @@ WITH tr AS (
   SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
               AS INTEGER) AS turn_idx,
-         ['user','assistant','system','tool'][CAST(event_id % 4 AS INTEGER) + 1]
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
              AS role,
-         event_type || ' value ' || CAST(value AS VARCHAR) || ' ' || props AS text
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text
   FROM events
 )
 SELECT conv_id, turn_idx, role, 'plain' AS mode,
-       {_CLEAN_SQL_TMPL.format(col="text")} AS extracted_text,
-       CAST(length({_CLEAN_SQL_TMPL.format(col="text")}) AS INTEGER) AS n_chars,
-       CASE WHEN {_CLEAN_SQL_TMPL.format(col="text")} = ''
+       {clean_sql("text")} AS extracted_text,
+       CAST(length({clean_sql("text")}) AS INTEGER) AS n_chars,
+       CASE WHEN {clean_sql("text")} = ''
             THEN 'empty_after_clean' END AS reject_reason
 FROM tr
 """
@@ -102,7 +99,9 @@ def q33_ctc_roundtrip(spark, sf_dir):
 _Q33_SQL = f"""
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(text, '{_NEG_SQL}', '', 'g'),
-                           '[\\s|]+', ' ', 'g')) AS decoded
+                           '[	
+
+                  　|]+', ' ', 'g')) AS decoded
 FROM documents
 """
 
@@ -148,7 +147,7 @@ def q59_sql_function_extract(spark, sf_dir):
 
 
 _Q59_SQL = f"""
-SELECT doc_id, {_CLEAN_SQL_TMPL.format(col="text")} AS extracted_text
+SELECT doc_id, {clean_sql("text")} AS extracted_text
 FROM documents
 """
 

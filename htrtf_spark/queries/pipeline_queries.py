@@ -13,11 +13,7 @@ from htrtf_spark.plans.pipeline import conversation_stats, extract_turns, ordere
 from htrtf_spark.queries.util import t
 from htrtf_spark.sources.transcripts import events_as_transcripts
 
-_NEG_SQL = cs.CHARSET_FILTER_PATTERN.replace("'", "''")
-_CLEAN = (
-    "trim(regexp_replace(regexp_replace({col}, '" + _NEG_SQL + "', '', 'g'), "
-    "'\\s+', ' ', 'g'))"
-)
+from htrtf_spark.queries.util import clean_sql
 
 # The events→transcripts reshape + plain-mode extraction, as a reusable
 # DuckDB CTE (mirrors sources.transcripts.events_as_transcripts +
@@ -27,15 +23,15 @@ tr AS (
   SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
               AS INTEGER) AS turn_idx,
-         ['user','assistant','system','tool'][CAST(event_id % 4 AS INTEGER) + 1]
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
              AS role,
-         event_type || ' value ' || CAST(value AS VARCHAR) || ' ' || props AS text
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text
   FROM events
 ), extracted AS (
   SELECT conv_id, turn_idx, role,
-         {_CLEAN.format(col="text")} AS extracted_text,
-         CAST(length({_CLEAN.format(col="text")}) AS INTEGER) AS n_chars,
-         CASE WHEN {_CLEAN.format(col="text")} = ''
+         {clean_sql("text")} AS extracted_text,
+         CAST(length({clean_sql("text")}) AS INTEGER) AS n_chars,
+         CASE WHEN {clean_sql("text")} = ''
               THEN 'empty_after_clean' END AS reject_reason
   FROM tr
 )

@@ -99,7 +99,9 @@ def q64_corpus_cer(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     clean = F.trim(
         F.regexp_replace(
-            F.regexp_replace("text", cs.CHARSET_FILTER_PATTERN, ""), r"\s+", " "
+            F.regexp_replace("text", cs.CHARSET_FILTER_PATTERN, ""),
+            cs.WS_RUN_PATTERN,
+            " ",
         )
     )
     # DuckDB levenshtein counts BYTES while Spark counts CHARACTERS, so
@@ -120,11 +122,9 @@ def q64_corpus_cer(spark, sf_dir):
 def _q64_sql() -> str:
     from htrtf_spark import charset as cs
 
-    neg = cs.CHARSET_FILTER_PATTERN.replace("'", "''")
-    clean = (
-        "trim(regexp_replace(regexp_replace(text, '" + neg + "', '', 'g'), "
-        "'\\s+', ' ', 'g'))"
-    )
+    from htrtf_spark.queries.util import clean_sql
+
+    clean = clean_sql("text")
     fold_t = "regexp_replace(text, '[^\\x01-\\x7F]', '?', 'g')"
     fold_c = f"regexp_replace({clean}, '[^\\x01-\\x7F]', '?', 'g')"
     return f"""

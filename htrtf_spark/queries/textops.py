@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from htrtf_spark import charset as cs
-from htrtf_spark.queries.util import bp, t
+from htrtf_spark.queries.util import clean_sql, bp, t
 
 # The exact charset-projection regex of the extraction spec, embedded in
 # both engines (Java regex + RE2 agree on this escaped char class).
@@ -26,17 +26,15 @@ def q18_charset_clean(spark, sf_dir):
     (codegen'd regexp_replace — no Python)."""
     d = t(spark, sf_dir, "documents")
     clean = F.trim(
-        F.regexp_replace(F.regexp_replace("text", _NEG, ""), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace("text", _NEG, ""), cs.WS_RUN_PATTERN, " ")
     )
     return d.select("doc_id", clean.alias("clean_text"), F.length(clean).alias("n_chars_clean"))
 
 
 _Q18_SQL = f"""
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(text, '{_NEG_SQL}', '', 'g'),
-                           '\\s+', ' ', 'g')) AS clean_text,
-       length(trim(regexp_replace(regexp_replace(text, '{_NEG_SQL}', '', 'g'),
-                                  '\\s+', ' ', 'g'))) AS n_chars_clean
+       {clean_sql('text')} AS clean_text,
+       length({clean_sql('text')}) AS n_chars_clean
 FROM documents
 """
 
@@ -143,15 +141,14 @@ FROM documents
 def q22_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     clean = F.trim(
-        F.regexp_replace(F.regexp_replace("text", _NEG, ""), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace("text", _NEG, ""), cs.WS_RUN_PATTERN, " ")
     )
     return d.select("doc_id", F.md5(clean).alias("fingerprint"))
 
 
 _Q22_SQL = f"""
 SELECT doc_id,
-       md5(trim(regexp_replace(regexp_replace(text, '{_NEG_SQL}', '', 'g'),
-                               '\\s+', ' ', 'g'))) AS fingerprint
+       md5({clean_sql('text')}) AS fingerprint
 FROM documents
 """
 

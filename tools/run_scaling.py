@@ -26,8 +26,15 @@ CACHE = "/tmp/htrtf_spark_bench"
 
 
 def ensure_input(n_convs: int, seed: int = 42) -> str:
-    """Generate (once) the deterministic synthetic transcripts parquet."""
-    path = os.path.join(CACHE, f"transcripts_c{n_convs}_s{seed}.parquet")
+    """Generate (once) the deterministic synthetic transcripts parquet.
+    Cache key includes a hash of the generator source — a stale cached
+    corpus must never survive a synth.py change."""
+    import hashlib
+
+    from htrtf_spark import synth as _synth_mod
+
+    tag = hashlib.md5(open(_synth_mod.__file__, "rb").read()).hexdigest()[:8]
+    path = os.path.join(CACHE, f"transcripts_c{n_convs}_s{seed}_{tag}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     os.makedirs(CACHE, exist_ok=True)
