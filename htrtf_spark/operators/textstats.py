@@ -88,6 +88,25 @@ def langid_pred(col) -> F.Column:
     )
 
 
+def text_density_bp(col) -> F.Column:
+    """Text density of markup-bearing text in basis points: length of the
+    tag-stripped, whitespace-canonicalized content over the raw length —
+    the classic boilerplate heuristic (low density = chrome/markup-heavy;
+    the north star's text-density counterpart of link density). JVM-only
+    expression; NULL raw or empty raw yields NULL."""
+    from htrtf_spark import charset as cs
+
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(col, cs.TAG_STRIP_PATTERN, " "), cs.WS_RUN_PATTERN, " "
+        )
+    )
+    return F.when(
+        F.length(col) > 0,
+        F.round(F.length(stripped) * 10000.0 / F.length(col)).cast("long"),
+    )
+
+
 def fingerprint(col) -> F.Column:
     """Canonical-text digest (exact-dedup / lineage key)."""
     return F.md5(clean_text(col))

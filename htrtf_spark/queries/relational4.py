@@ -137,8 +137,61 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------- q65
+# Text-density boilerplate heuristic (the north star's companion to link
+# density): tag-stripped content length / raw length, bucketed. Run over
+# a synthetic markup-wrapped view of documents so the heuristic actually
+# discriminates (raw documents are markup-free → density 10000).
+
+
+def q65_text_density(spark, sf_dir):
+    from htrtf_spark.operators.textstats import text_density_bp
+
+    d = t(spark, sf_dir, "documents")
+    wrapped = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<nav><a href='/'>home</a></nav><p>"), F.col("text"), F.lit("</p>")),
+    ).otherwise(F.col("text"))
+    density = text_density_bp(wrapped)
+    bucket = F.floor(density / 1000).cast("int")  # explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates
+    return (
+        d.select(bucket.alias("density_decile"))
+        .groupBy("density_decile")
+        .agg(F.count("*").alias("n"))
+        .orderBy("density_decile")
+    )
+
+
+def _q65_sql() -> str:
+    from htrtf_spark import charset as cs
+    from htrtf_spark.queries.util import WS_RUN_SQL
+
+    tag = cs.TAG_STRIP_PATTERN.replace("'", "''")
+    wrapped = (
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'<nav><a href=''/''>home</a></nav><p>' || text || '</p>' "
+        "ELSE text END"
+    )
+    stripped = (
+        f"trim(regexp_replace(regexp_replace({wrapped}, '{tag}', ' ', 'g'), "
+        f"'{WS_RUN_SQL}', ' ', 'g'))"
+    )
+    return f"""
+WITH w AS (
+  SELECT CASE WHEN length({wrapped}) > 0
+              THEN CAST(ROUND(length({stripped}) * 10000.0
+                              / length({wrapped})) AS BIGINT)
+         END AS density_bp
+  FROM documents
+)
+SELECT CAST(FLOOR(density_bp / 1000.0) AS INTEGER) AS density_decile, COUNT(*) AS n
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q60_approx_percentile_sanity": (q60_approx_percentile_sanity, _Q60_SQL),
     "q61_null_semantics": (q61_null_semantics, _Q61_SQL),
     "q64_corpus_cer": (q64_corpus_cer, _q64_sql()),
+    "q65_text_density": (q65_text_density, _q65_sql()),
 }
