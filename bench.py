@@ -77,9 +77,12 @@ def main() -> None:
     # can never silently benchmark a stale corpus.
     import hashlib
 
+    from htrtf_spark import charset as _cs_mod
     from htrtf_spark import synth as _synth_mod
 
-    tag = hashlib.md5(open(_synth_mod.__file__, "rb").read()).hexdigest()[:8]
+    h = hashlib.md5(open(_synth_mod.__file__, "rb").read())
+    h.update(open(_cs_mod.__file__, "rb").read())
+    tag = h.hexdigest()[:8]
     cache = f"/tmp/htrtf_spark_bench/transcripts_c{BENCH_TURN_CONVS}_s42_{tag}.parquet"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         synth_spark(spark, n_convs=BENCH_TURN_CONVS, seed=42, partitions=64).write.mode(

@@ -1,7 +1,7 @@
 """Single-run extraction benchmark worker — designed for spark-submit.
 
     spark-submit --master local[8] --py-files htrtf_spark.zip \
-        tools/bench_extract.py <input_parquet> [warmup_rows]
+        tools/bench_extract.py <input_parquet> [timed_reps]
 
 Reads a transcripts parquet, runs the full extraction plan (salted
 repartition → mapInPandas → noop materialization), prints ONE JSON line:
@@ -27,12 +27,9 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     master = spark.conf.get("spark.master")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.plans.pipeline import extract_turns, ordered_extract
     from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
-
-    from htrtf_spark.plans.pipeline import ordered_extract
 
     df = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
 

@@ -22,6 +22,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
+        if v == 0.0:
+            v = 0.0  # fold -0.0 and +0.0 (numerically equal)
         return f"{v:.9g}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")

@@ -51,7 +51,17 @@ def main() -> int:
         .toPandas().reset_index(drop=True)
     )
     gold = oracle.extract_frame(sub_pd)[cols].reset_index(drop=True)
-    assert len(got) == len(gold)
+    if len(got) != len(gold):
+        print(json.dumps({
+            "corpus_turns": total,
+            "sampled_turns_spark": len(got),
+            "sampled_turns_oracle": len(gold),
+            "byte_mismatches": -1,
+            "exact_match": False,
+            "error": "row-count drift (rows_in == rows_out invariant broken)",
+        }))
+        spark.stop()
+        return 1
     mismatches = 0
     for c in cols:
         g = gold[c].fillna("<N>") if gold[c].dtype == object else gold[c]

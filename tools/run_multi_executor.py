@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 from concurrent.futures import ThreadPoolExecutor
@@ -47,7 +48,7 @@ def _part_files(input_path: str) -> list[str]:
 def _run_executor(core_lo: int, files: list[str], zpath: str) -> dict:
     cmd = [
         "taskset", "-c", f"{core_lo}-{core_lo + CORES_PER_EXEC - 1}",
-        "/opt/spark/bin/spark-submit",
+        shutil.which("spark-submit") or "/opt/spark/bin/spark-submit",
         "--master", f"local[{CORES_PER_EXEC}]",
         "--driver-memory", "8g",
         "--conf", f"spark.sql.shuffle.partitions={CORES_PER_EXEC * 2}",
@@ -73,6 +74,11 @@ def main() -> None:
     input_path = ensure_input(n_convs)
     zpath = build_pyfiles_zip()
     files = _part_files(input_path)
+    if len(files) < 4:
+        raise SystemExit(
+            f"input has only {len(files)} part files — the 4-executor phase "
+            "needs at least 4 (use a larger n_convs)"
+        )
     quarters = [files[i::4] for i in range(4)]
 
     # ---- Phase N (DVFS-controlled): ONE measured executor on cores
@@ -85,7 +91,11 @@ def main() -> None:
         futs = [pool.submit(_run_executor, i * CORES_PER_EXEC, files, zpath)
                 for i in range(4)]
         phase_n = [f.result() for f in futs]
-    r1 = phase_n[0]
+    # the four phase-N runs are symmetric (identical full-input workload,
+    # machine-state-matched) — gate on their MEDIAN rate, not a single
+    # sample, on a box with 25-30% transient noise
+    rates_n = sorted(r["turns_per_sec"] for r in phase_n)
+    thr_n = (rates_n[1] + rates_n[2]) / 2.0
 
     # ---- Phase 4N: 4 measured executors, disjoint cores, disjoint
     # input file quarters, concurrent.
@@ -99,10 +109,7 @@ def main() -> None:
     total_turns = sum(r["turns"] for r in results)
     agg_wall = max(r["wall_sec"] for r in results)
     thr_4 = total_turns / agg_wall
-    eff = (thr_4 / r1["turns_per_sec"]) / 4.0
-    # uncontrolled reference point: the median ballast rate ≈ what a solo
-    # run measures when the rest of the box idles (turbo-inflated)
-    solo_rates = sorted(r["turns_per_sec"] for r in phase_n)
+    eff = (thr_4 / thr_n) / 4.0
 
     out = {
         "generated_at": datetime.now(timezone.utc).isoformat(),
@@ -116,14 +123,13 @@ def main() -> None:
         "cores_per_executor": CORES_PER_EXEC,
         "input": input_path,
         "n_convs": n_convs,
-        "one_executor_controlled": r1,
+        "phase_n_median_turns_per_sec": round(thr_n, 1),
         "phase_n_all": phase_n,
         "four_executors": results,
         "four_executor_agg_turns_per_sec": round(thr_4, 1),
         "scaling_efficiency_n_to_4n": round(eff, 3),
         "gate": 0.8,
         "pass": eff >= 0.8,
-        "note_solo_rates": solo_rates,
     }
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(os.path.join(BENCH_DIR, "scaling_executors.json"), "w") as f:

@@ -31,9 +31,14 @@ def ensure_input(n_convs: int, seed: int = 42) -> str:
     corpus must never survive a synth.py change."""
     import hashlib
 
+    from htrtf_spark import charset as _cs_mod
     from htrtf_spark import synth as _synth_mod
 
-    tag = hashlib.md5(open(_synth_mod.__file__, "rb").read()).hexdigest()[:8]
+    # corpus content depends on BOTH the generator and the charset specs
+    # it draws from — hash the pair
+    h = hashlib.md5(open(_synth_mod.__file__, "rb").read())
+    h.update(open(_cs_mod.__file__, "rb").read())
+    tag = h.hexdigest()[:8]
     path = os.path.join(CACHE, f"transcripts_c{n_convs}_s{seed}_{tag}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
