@@ -97,6 +97,12 @@ def featurize_map_in_pandas(fake: bool = True):
                     norms.append(int(round(float(np.linalg.norm(f)) * 10000)))
                     oks.append(True)
                 except NotImplementedError:
+                    # configuration error (codec absent), not a data error —
+                    # fail the stage loudly instead of emitting a "successful"
+                    # run with decode_ok=False on every row
+                    raise
+                except (ValueError, OSError):
+                    # a real decoder's per-payload data failure
                     feats.append(None)
                     norms.append(None)
                     oks.append(False)

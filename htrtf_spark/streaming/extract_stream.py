@@ -19,10 +19,9 @@ from pyspark.sql import functions as F
 from htrtf_spark.operators.extraction import extract_pandas
 from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
 
-EXTRACTED_TS_DDL = (
-    "conv_id string, turn_idx int, role string, mode string, "
-    "extracted_text string, n_chars int, reject_reason string, ts timestamp"
-)
+from htrtf_spark.operators.extraction import EXTRACTED_DDL
+
+EXTRACTED_TS_DDL = EXTRACTED_DDL + ", ts timestamp"  # derived: batch/stream drift-proof
 
 
 def _extract_keep_ts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -34,8 +34,12 @@ def test_registry_consistent():
     reg = registry()
     assert len(reg) >= 40
     qs, os_ = spark_queries(), oracle_sqls()
-    assert set(os_) <= set(qs)
-    assert all(callable(f) for f in qs.values())
+    # real invariant at the source: every registry entry is a
+    # (callable, sql-string-or-None) pair
+    for name, pair in reg.items():
+        assert isinstance(pair, tuple) and len(pair) == 2, name
+        assert callable(pair[0]), name
+        assert pair[1] is None or isinstance(pair[1], str), name
     # at least 3/4 of queries carry a full SQL oracle
     assert len(os_) / len(qs) >= 0.75
 
