@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 DEFAULT_NGRAM = 3
 DEFAULT_MINHASHES = 8
 DEFAULT_BAND_WIDTH = 2
+# Stop-shingle document-frequency cap, ON by default: a shingle present in
+# more than this many documents is boilerplate, carries no near-dup signal,
+# and fans out quadratically in the inverted-index join (df² pairs per
+# shingle). Callers must pass max_doc_freq=None explicitly to disable.
+DEFAULT_MAX_DOC_FREQ = 1000
 
 
 def tokens(text_col: str) -> F.Column:
@@ -45,17 +50,49 @@ def word_ngrams(text_col: str, n: int = DEFAULT_NGRAM) -> F.Column:
 
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_NGRAM,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """(id, ng) exploded distinct shingles; optionally drop stop-shingles
-    whose document frequency exceeds ``max_doc_freq`` (the web-scale
-    fan-out guard)."""
+    """(id, ng) exploded distinct shingles; stop-shingles whose document
+    frequency exceeds ``max_doc_freq`` are dropped (the web-scale fan-out
+    guard — ON by default, pass None to disable explicitly).
+
+    Scale shape: the DROP list (df > cap) is tiny by construction — only
+    boilerplate shingles clear a high-df bar — so it is broadcast and
+    removed with a broadcast LEFT ANTI join. (Semi-joining the keep-list
+    would shuffle/broadcast nearly the whole shingle vocabulary.)
+    """
     g = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng"))
     if max_doc_freq is not None:
-        freq = g.groupBy("ng").agg(F.count("*").alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_doc_freq).select("ng")
-        g = g.join(F.broadcast(keep) if max_doc_freq < 1000 else keep, "ng", "left_semi")
+        stop = (
+            g.groupBy("ng").agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("ng")
+        )
+        g = g.join(F.broadcast(stop), "ng", "left_anti")
     return g
+
+
+def stop_shingle_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_NGRAM,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Lineage row for the cap: (n_shingles, n_stop_shingles,
+    n_postings_dropped, max_df) — what the cap removed and how skewed the
+    shingle df distribution is. One aggregate over the shingle table."""
+    g = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng")
+    )
+    freq = g.groupBy("ng").agg(F.count("*").alias("df_"))
+    return freq.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("df_") > max_doc_freq, 1).otherwise(0)).alias(
+            "n_stop_shingles"
+        ),
+        F.sum(F.when(F.col("df_") > max_doc_freq, F.col("df_")).otherwise(0)).alias(
+            "n_postings_dropped"
+        ),
+        F.max("df_").alias("max_df"),
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -73,9 +110,11 @@ def jaccard_pairs(
     text_col: str,
     n: int = DEFAULT_NGRAM,
     min_jaccard_bp: int = 5000,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """Near-dup pairs (id_a, id_b, jaccard_bp) via inverted-index join."""
+    """Near-dup pairs (id_a, id_b, jaccard_bp) via inverted-index join.
+    The stop-shingle cap is active by default (DEFAULT_MAX_DOC_FREQ);
+    pass ``max_doc_freq=None`` to opt out explicitly."""
     grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -102,7 +141,7 @@ def jaccard_pairs_postings(
     text_col: str,
     n: int = DEFAULT_NGRAM,
     min_jaccard_bp: int = 5000,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Same output as ``jaccard_pairs``, via posting-list pair expansion:
     group shingles once, emit each posting list's ordered id pairs with a
@@ -146,10 +185,13 @@ def jaccard_pairs_postings(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Engine-portable MinHash: h_i(S) = lexicographic MIN of
-    md5(i || ':' || shingle). Documents with no shingles are absent."""
-    grams = shingle_table(df, id_col, text_col, n)
+    md5(i || ':' || shingle). Documents with no (kept) shingles are
+    absent. The stop-shingle cap is active by default so signatures are
+    computed over discriminative shingles only."""
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
         for i in range(k)
@@ -190,12 +232,16 @@ def minhash_lsh_pairs(
     k: int = DEFAULT_MINHASHES,
     band_width: int = DEFAULT_BAND_WIDTH,
     min_jaccard_bp: int | None = 5000,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """LSH candidates, optionally verified with true Jaccard."""
-    cand = lsh_candidates(minhash_signatures(df, id_col, text_col, n, k), k, band_width)
+    """LSH candidates, optionally verified with true Jaccard (both
+    phases computed over cap-filtered shingles)."""
+    cand = lsh_candidates(
+        minhash_signatures(df, id_col, text_col, n, k, max_doc_freq), k, band_width
+    )
     if min_jaccard_bp is None:
         return cand
-    grams = shingle_table(df, id_col, text_col, n).cache()
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     ga = grams.select(F.col("id").alias("id_a"), "ng")
     gb = grams.select(F.col("id").alias("id_b"), "ng")

@@ -22,6 +22,25 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Rows of the broadcast side collected per chunk in the exact all-pairs
+# block product: 250k × 64-dim float64 ≈ 128 MB per chunk in driver +
+# executor memory, independent of total corpus size.
+DEFAULT_SIDE_CHUNK_ROWS = 250_000
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k with a dense rank, never a global sort of the
+    scored set: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition local top-k, driver merge of
+    partitions × k rows), and the rank window then runs over exactly k
+    rows. Total order (desc sim_bp, asc id) is tie-broken, so the result
+    is identical to a global row_number window."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("sim_bp"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("sim_bp"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
 
 def block_matmul_near_pairs(
     vecs: DataFrame,
@@ -29,19 +48,26 @@ def block_matmul_near_pairs(
     vec_col: str,
     min_sim_bp: int,
     id_out: tuple[str, str] = ("id_a", "id_b"),
+    side_chunk_rows: int = DEFAULT_SIDE_CHUNK_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine near neighbors above a basis-point threshold,
-    as a block matrix product: the (id-sorted) vector matrix is broadcast
-    once, each Arrow batch of rows computes ``row_block @ matrix.T`` via
-    BLAS, and only pairs with ``id_a < id_b`` and ``sim_bp >= min_sim_bp``
-    are emitted. No shuffle, no per-row Python — one narrow mapInPandas.
+    as a chunked block matrix product: each Arrow batch of rows computes
+    ``row_block @ side_chunk.T`` via BLAS, and only pairs with
+    ``id_a < id_b`` and ``sim_bp >= min_sim_bp`` are emitted. No shuffle,
+    no per-row Python — narrow mapInPandas passes only.
 
     This is the distributed block-nested-loop shape for exact scoring:
-    work is O(n^2 / executors) with each task touching its row block once;
-    the broadcast side must fit in executor memory (dim * n * 8 bytes —
-    ~1 GB at 2M x 64-dim). Past that, chunk the broadcast side and union
-    the per-chunk outputs, or switch to the sub-linear paths (``lsh_topk``
-    / ``ivf_topk``) which this operator is the recall oracle for.
+    work is O(n^2 / executors) with each task touching its row block once
+    per side chunk. The broadcast side is collected in fixed-size id-range
+    CHUNKS of ``side_chunk_rows`` rows (never the whole table in the
+    driver): each chunk is broadcast, one narrow mapInPandas pass scores
+    row_block @ chunk.T, and the per-chunk pair outputs are unioned.
+    Chunks partition the id_b space, so the union is exact and
+    duplicate-free. Driver/executor peak memory is one chunk
+    (dim × side_chunk_rows × 8 bytes), independent of corpus size; the
+    scan count grows as n / side_chunk_rows — past a few chunks the
+    sub-linear paths (``lsh_topk`` / ``ivf_topk``, recall-checked against
+    this operator) are the right tool.
 
     Float parity: raw float64 dot products divided by the norm product,
     rounded half-up to basis points — the same association order as the
@@ -55,42 +81,67 @@ def block_matmul_near_pairs(
     base = vecs.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    side = base.orderBy("id").toPandas()
-    ids_all = side["id"].to_numpy()
-    mat = np.stack(side["v"].to_numpy()).astype(np.float64)
-    norms_all = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-    bvar = vecs.sparkSession.sparkContext.broadcast((ids_all, mat, norms_all))
-
+    # ids only (8 bytes/row) — the boundary plan, not the vector payload
+    ids_sorted = np.sort(
+        base.select("id").toPandas()["id"].to_numpy()
+    )
     id_a, id_b = id_out
     out_schema = f"{id_a} long, {id_b} long, sim_bp long"
+    sc = vecs.sparkSession.sparkContext
 
-    def gen(batches):
-        ids_b, m_b, n_b = bvar.value
-        m_bt = np.ascontiguousarray(m_b.T)
-        for pin in batches:
-            if not len(pin):
-                continue
-            a = np.stack(pin["v"].to_numpy()).astype(np.float64)
-            na = np.sqrt(np.einsum("ij,ij->i", a, a))
-            a_ids = pin["id"].to_numpy()
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sims = (a @ m_bt) / np.outer(na, n_b)
-                x = sims * 10000.0
-                # HALF_UP = half away from zero (matches F.round / DuckDB
-                # ROUND); plain floor(x+.5) would differ at negative .5;
-                # NaN propagates through either branch
-                bp = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
-            mask = (ids_b[None, :] > a_ids[:, None]) & (bp >= float(min_sim_bp))
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    id_a: a_ids[ai],
-                    id_b: ids_b[bj],
-                    "sim_bp": bp[ai, bj].astype(np.int64),
-                }
-            )
+    def chunk_pass(lo, hi):
+        side = (
+            base.filter(F.col("id").between(int(lo), int(hi)))
+            .orderBy("id")
+            .toPandas()
+        )
+        ids_chunk = side["id"].to_numpy()
+        mat = np.stack(side["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        bvar = sc.broadcast((ids_chunk, mat, norms))
 
-    return base.mapInPandas(gen, schema=out_schema)
+        def gen(batches):
+            ids_b, m_b, n_b = bvar.value
+            m_bt = np.ascontiguousarray(m_b.T)
+            for pin in batches:
+                if not len(pin):
+                    continue
+                a = np.stack(pin["v"].to_numpy()).astype(np.float64)
+                na = np.sqrt(np.einsum("ij,ij->i", a, a))
+                a_ids = pin["id"].to_numpy()
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = (a @ m_bt) / np.outer(na, n_b)
+                    x = sims * 10000.0
+                    # HALF_UP = half away from zero (matches F.round /
+                    # DuckDB ROUND); plain floor(x+.5) would differ at
+                    # negative .5; NaN propagates through either branch
+                    bp = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+                mask = (ids_b[None, :] > a_ids[:, None]) & (
+                    bp >= float(min_sim_bp)
+                )
+                ai, bj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        id_a: a_ids[ai],
+                        id_b: ids_b[bj],
+                        "sim_bp": bp[ai, bj].astype(np.int64),
+                    }
+                )
+
+        # left-side prune: a pair needs id_a < id_b ≤ hi, so rows with
+        # id_a ≥ hi can never match anything in this chunk
+        return base.filter(F.col("id") < int(hi)).mapInPandas(
+            gen, schema=out_schema
+        )
+
+    out = None
+    for start in range(0, len(ids_sorted), side_chunk_rows):
+        chunk_ids = ids_sorted[start : start + side_chunk_rows]
+        part = chunk_pass(chunk_ids[0], chunk_ids[-1])
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # empty input
+        return vecs.sparkSession.createDataFrame([], schema=out_schema)
+    return out
 
 
 def block_matmul_topk(
@@ -219,12 +270,7 @@ def brute_force_topk(
         .cast("long")
         .alias("sim_bp"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("sim_bp"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k)
 
 
 def lsh_topk(
@@ -254,10 +300,7 @@ def lsh_topk(
     scored = cand.select(
         "id", F.round(cosine(F.col("v"), q) * 10000).cast("long").alias("sim_bp")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("sim_bp"), F.asc("id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _ranked_topk(scored, k)
 
 
 def ivf_topk(
@@ -300,7 +343,4 @@ def ivf_topk(
     scored = assigned.filter(F.col("cell").isin(probe_ids)).select(
         "id", F.round(cosine(F.col("v"), q) * 10000).cast("long").alias("sim_bp")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("sim_bp"), F.asc("id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _ranked_topk(scored, k)

@@ -44,6 +44,35 @@ _MODULES = [
 ]
 
 
+# The driver's correctness gate iterates queries() in dict insertion
+# order and may stop early under a global budget (round 1 recorded
+# exactly the first 50 of 65). Queries with no recorded row yet run
+# FIRST so every operator accumulates a driver-verified row; newly
+# added queries are prioritized the same way each round.
+_RUN_FIRST = [
+    # new this round
+    "q66_beam_decode",
+    "q67_iceberg_extract",
+    "q68_event_time_eviction",
+    # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
+    "q30_label_vector_stats",
+    "q40_lsh_ann_topk",
+    "q41_ivf_ann_topk",
+    "q42_multimodal_features",
+    "q58_batch_cosine_topk",
+    "q31_extract_documents",
+    "q59_sql_function_extract",
+    "q32_extract_events",
+    "q33_ctc_roundtrip",
+    "q34_extract_synthetic",
+    "q35_extraction_metrics",
+    "q48_keyword_spotting",
+    "q49_conversation_stats_salted",
+    "q50_ordered_extract",
+    "q62_conversation_documents",
+]
+
+
 def registry() -> dict[str, tuple]:
     merged: dict[str, tuple] = {}
     for m in _MODULES:
@@ -51,7 +80,12 @@ def registry() -> dict[str, tuple]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name}")
             merged[name] = pair
-    return merged
+    ordered: dict[str, tuple] = {}
+    for name in _RUN_FIRST:
+        if name in merged:
+            ordered[name] = merged.pop(name)
+    ordered.update(merged)
+    return ordered
 
 
 def spark_queries():

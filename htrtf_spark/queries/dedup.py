@@ -13,10 +13,14 @@ N_MINHASH = D.DEFAULT_MINHASHES
 BAND_WIDTH = D.DEFAULT_BAND_WIDTH
 JACCARD_BP_MIN = 5000
 
-_N = D.DEFAULT_NGRAM  # the SQL below is DERIVED from the operator knob
+_N = D.DEFAULT_NGRAM  # the SQL below is DERIVED from the operator knobs
+_CAP = D.DEFAULT_MAX_DOC_FREQ
 
+# The stop-shingle df cap is ACTIVE in the gate (both engines drop
+# shingles with document frequency > _CAP), proving the production
+# configuration — not an uncapped special case — is what matches.
 _TRIGRAMS_CTE = f"""
-grams AS (
+grams_all AS (
   SELECT doc_id AS id, unnest(ngs) AS ng FROM (
     SELECT doc_id,
            list_distinct(
@@ -28,6 +32,13 @@ grams AS (
                  list_filter(string_split(text, ' '), x -> x <> '') AS w
           FROM documents)
   )
+),
+stop_ng AS (
+  SELECT ng FROM grams_all GROUP BY ng HAVING COUNT(*) > {_CAP}
+),
+grams AS (
+  SELECT id, ng FROM grams_all
+  WHERE ng NOT IN (SELECT ng FROM stop_ng)
 )
 """
 

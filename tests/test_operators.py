@@ -260,3 +260,73 @@ def test_block_matmul_topk_exact_across_partitions(spark):
         want = [(-neg_i, bp) for bp, neg_i in want]
         have = [(i, bp) for _rank, i, bp in sorted(by_q[qid])]
         assert have == want, qid
+
+
+def test_block_matmul_near_pairs_chunked_exact(spark):
+    """Chunked side collection (≥3 chunks forced) is byte-identical to a
+    single-chunk run — chunks partition the id_b space so the union is
+    exact and duplicate-free."""
+    import random
+
+    rng = random.Random(99)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(42)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(chunk):
+        return sorted(
+            (r["id_a"], r["id_b"], r["sim_bp"])
+            for r in simsearch.block_matmul_near_pairs(
+                vecs, "vec_id", "embedding", min_sim_bp=0, side_chunk_rows=chunk
+            ).collect()
+        )
+
+    single = run(10_000)
+    chunked = run(15)  # 42 ids → 3 chunks
+    assert chunked == single and len(single) > 0
+
+
+def test_ann_topk_two_phase_plans(spark, vecs):
+    """brute_force/lsh/ivf top-k must compile the candidate ranking to
+    TakeOrderedAndProject (per-partition local top-k + driver merge of
+    partitions×k rows) — never a global single-partition window sort of
+    the scored set. The only Window in the plan runs over exactly k rows
+    (above the GlobalLimit)."""
+    q = [float(x) for x in vecs.filter("vec_id = 0").collect()[0]["embedding"]]
+    for fn, kw in [
+        (simsearch.brute_force_topk, {}),
+        (simsearch.lsh_topk, {"bits": 4}),
+        (simsearch.ivf_topk, {"n_cells": 8, "nprobe": 8}),
+    ]:
+        df = fn(vecs, "vec_id", "embedding", q, k=5, **kw)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (fn.__name__, plan)
+
+
+def test_stop_shingle_cap_default(spark, docs):
+    """The df cap is ON by default; when the cap exceeds the corpus size
+    it provably changes nothing, and a binding cap drops boilerplate
+    shingles from the index."""
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard_bp"]
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", min_jaccard_bp=1).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard_bp"]
+        for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", min_jaccard_bp=1, max_doc_freq=None
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0  # cap ≥ |docs| is a no-op
+
+    # binding cap: "the quick brown" has df=3 (docs 0,1,3) → dropped at cap 2
+    g = dedup.shingle_table(docs, "doc_id", "text", max_doc_freq=2)
+    assert g.filter("ng = 'the quick brown'").count() == 0
+    assert g.count() > 0  # discriminative shingles survive
+
+
+def test_stop_shingle_stats(spark, docs):
+    row = dedup.stop_shingle_stats(docs, "doc_id", "text", max_doc_freq=2).collect()[0]
+    assert row["max_df"] == 3
+    assert row["n_stop_shingles"] >= 1
+    assert row["n_postings_dropped"] >= 3
+    assert row["n_shingles"] > row["n_stop_shingles"]
