@@ -161,6 +161,45 @@ def beam_decode(
     return " ".join(s.split())
 
 
+def synth_logprobs(text: str, seed: int, p_true: float = 0.9) -> np.ndarray:
+    """Deterministic [T, C] log-probability matrix whose best path is
+    ``encode_frames(text)``: probability ``p_true`` on the true label,
+    the rest uniform, plus seeded noise bounded well below the
+    true/other log-gap (so the argmax — and hence the beam-search
+    winner — is provably the encoded sequence). This is the gate
+    harness for distributed beam decode: the expected transcript is a
+    pure function of the input text, restatable in SQL."""
+    ids = encode_frames(text)
+    T = len(ids)
+    C = cs.BLANK_ID + 1
+    if T == 0:
+        return np.zeros((0, C), dtype=np.float64)
+    base = np.full((T, C), np.log((1.0 - p_true) / (C - 1)), dtype=np.float64)
+    base[np.arange(T), ids] = np.log(p_true)
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    # log-gap is ~6.5 nats; ±1.0 noise can never flip a frame argmax
+    base += rng.uniform(-1.0, 1.0, size=(T, C))
+    return base
+
+
+def beam_decode_map_in_pandas(
+    batches: Iterator[pd.DataFrame], beam_width: int = 4
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: (doc_id, text) → (doc_id, decoded) where
+    ``decoded = beam_decode(synth_logprobs(text, seed=doc_id))``. Runs the
+    real prefix beam search (Structure_006.py:142-143 parity) inside an
+    Arrow batch; on the synthesized peaked matrices the winner is exactly
+    the canonical cleaned text, which a SQL oracle restates."""
+    for pdf in batches:
+        decoded = [
+            "" if t is None else beam_decode(
+                synth_logprobs(t, seed=int(i)), beam_width=beam_width
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "decoded": decoded})
+
+
 def greedy_decode_logits(logprobs: np.ndarray) -> str:
     """Greedy path decode over [T, C]: argmax per frame → collapse."""
     ids = np.argmax(np.asarray(logprobs, dtype=np.float64), axis=1)

@@ -11,6 +11,8 @@ rows-only entries expose it to the driver too.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from htrtf_spark import charset as cs
@@ -84,6 +86,30 @@ SELECT conv_id, turn_idx, role, 'plain' AS mode,
 FROM tr
 """
 
+# --------------------------------------------------------------------- q67
+# The Iceberg input contract (BASELINE.json input_hint): the transcripts
+# table is committed as an Iceberg v2 table (HadoopCatalog layout, Avro
+# manifests — htrtf_spark.sources.iceberg) and read back through the
+# snapshot-isolated manifest path before extraction. The oracle is the
+# same SQL as q32, so a hash match proves the Iceberg roundtrip is
+# byte-invisible to the pipeline.
+
+
+def q67_iceberg_extract(spark, sf_dir):
+    import tempfile
+
+    from htrtf_spark.sources.iceberg import write_iceberg_table
+    from htrtf_spark.sources.transcripts import read_transcripts_iceberg
+
+    loc = os.path.join(
+        tempfile.mkdtemp(prefix="htrtf_iceberg_gate_"), "transcripts"
+    )
+    write_iceberg_table(events_as_transcripts(spark, sf_dir), loc)
+    return extract_turns(
+        read_transcripts_iceberg(spark, loc), num_partitions=None, check_schema=True
+    )
+
+
 # --------------------------------------------------------------------- q33
 # CTC encode→greedy-decode roundtrip on documents: the decode operator's
 # oracle is the charset-projection + separator-fold identity in pure SQL
@@ -103,6 +129,41 @@ SELECT doc_id,
 
                   　|]+', ' ', 'g')) AS decoded
 FROM documents
+"""
+
+# --------------------------------------------------------------------- q66
+# Distributed CTC PREFIX BEAM SEARCH through the gate (q33 covers the
+# greedy path): per doc, a deterministic peaked [T,C] log-prob matrix is
+# synthesized from the text (seeded noise bounded below the argmax gap),
+# the real beam_decode runs inside mapInPandas, and the winner is exactly
+# the canonical cleaned text — which the oracle restates in SQL (decode
+# folds whitespace AND the '|' word separator to a single space,
+# tasks.py:176-178 semantics). Beam search is O(T·beams·C) Python per
+# doc, so the gate uses a 24-char snippet of every 10th document.
+
+_BEAM_SNIP = 24
+
+
+def q66_beam_decode(spark, sf_dir):
+    from htrtf_spark.operators.ctc import CTC_DECODED_DDL, beam_decode_map_in_pandas
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.substring("text", 1, _BEAM_SNIP).alias("text"))
+    )
+    return d.mapInPandas(beam_decode_map_in_pandas, schema=CTC_DECODED_DDL)
+
+
+_WS_PIPE_SQL = cs.WS_RUN_PATTERN.replace("]+", "|]+").replace("'", "''")
+
+_Q66_SQL = f"""
+SELECT doc_id,
+       trim(regexp_replace(
+              regexp_replace(substr(text, 1, {_BEAM_SNIP}), '{_NEG_SQL}', '', 'g'),
+              '{_WS_PIPE_SQL}', ' ', 'g')) AS decoded
+FROM documents
+WHERE doc_id % 10 = 0
 """
 
 # --------------------------------------------------------------------- q34
@@ -156,7 +217,9 @@ QUERIES = {
     "q31_extract_documents": (q31_extract_documents, _Q31_SQL),
     "q59_sql_function_extract": (q59_sql_function_extract, _Q59_SQL),
     "q32_extract_events": (q32_extract_events, _Q32_SQL),
+    "q67_iceberg_extract": (q67_iceberg_extract, _Q32_SQL),
     "q33_ctc_roundtrip": (q33_ctc_roundtrip, _Q33_SQL),
+    "q66_beam_decode": (q66_beam_decode, _Q66_SQL),
     "q34_extract_synthetic": (q34_extract_synthetic, None),
     "q35_extraction_metrics": (q35_extraction_metrics, None),
 }

@@ -30,16 +30,31 @@ def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
 
 
-def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:
-    """Iceberg read — requires iceberg-spark-runtime on the classpath and a
-    configured catalog. Gated: raises a clear error in environments
-    without the jars (this sandbox)."""
+def read_transcripts_iceberg(
+    spark: SparkSession, table: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Iceberg transcripts read.
+
+    ``table`` is either a catalog table name (``catalog.db.tbl`` — needs
+    iceberg-spark-runtime on the classpath, the cluster path) or a
+    filesystem path to a HadoopCatalog-layout Iceberg table, which is
+    read through the pure-Python metadata layer
+    (htrtf_spark.sources.iceberg): version-hint → metadata JSON →
+    manifest list → manifests → snapshot-isolated schema-pinned parquet
+    scan. ``snapshot_id`` time-travels (path variant only; use
+    ``VERSION AS OF`` SQL with the native catalog)."""
+    from htrtf_spark.sources.iceberg import _version_hint, read_iceberg_table
+
+    if os.path.exists(_version_hint(table)):
+        return read_iceberg_table(spark, table, snapshot_id=snapshot_id)
     try:
         return spark.read.table(table)
     except Exception as exc:  # pragma: no cover - env-dependent
         raise RuntimeError(
-            "Iceberg table read failed — ensure iceberg-spark-runtime is on "
-            "the classpath and spark.sql.catalog.<name> is configured. "
+            "Iceberg table read failed — pass a HadoopCatalog table path "
+            "(metadata/version-hint.text) for the built-in reader, or "
+            "ensure iceberg-spark-runtime is on the classpath and "
+            "spark.sql.catalog.<name> is configured for catalog names. "
             f"Underlying error: {exc}"
         ) from exc
 

@@ -94,3 +94,47 @@ def test_beam_decode_refuses_blank_id_without_alphabet():
     lp = np.full((3, 3), -10.0)
     lp[0, 0] = lp[1, 2] = lp[2, 1] = -0.01
     assert beam_decode(lp, charset_chars="ab", blank_id=2) == "ab"
+
+
+def test_synth_logprobs_argmax_is_encoding():
+    """Seeded noise never flips a frame argmax, so the synthesized
+    matrix's best path is exactly encode_frames(text)."""
+    import numpy as np
+
+    from htrtf_spark.operators.ctc import encode_frames, synth_logprobs
+
+    text = "Hello, beam world 42!"
+    lp = synth_logprobs(text, seed=7)
+    assert np.array_equal(np.argmax(lp, axis=1), encode_frames(text))
+
+
+def test_beam_decode_stage_matches_clean(spark):
+    """The distributed beam-decode stage recovers the canonical cleaned
+    text from the synthesized matrices (whitespace + out-of-charset
+    projection identical to the extraction clean)."""
+    import pandas as pd
+
+    from htrtf_spark.operators.ctc import (
+        CTC_DECODED_DDL,
+        beam_decode_map_in_pandas,
+    )
+
+    rows = [
+        (0, "Hello,   beam\tworld!"),
+        (1, "tab\tand\nnewline ok"),
+        (2, "®© only-sym¿bols kept?"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["decoded"]
+        for r in df.mapInPandas(
+            beam_decode_map_in_pandas, schema=CTC_DECODED_DDL
+        ).collect()
+    }
+    import pandas as pd
+
+    from htrtf_spark.functions import clean_text_series
+
+    want = clean_text_series(pd.Series([t for _, t in rows])).tolist()
+    assert out == {i: w for (i, _), w in zip(rows, want)}

@@ -1,0 +1,220 @@
+"""Iceberg v2 table layer: Avro codec roundtrip, create/append/commit
+protocol, snapshot time travel, schema pinning, and byte-equality of the
+extraction pipeline over Iceberg vs the parquet path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from htrtf_spark.sources.avro_io import avro_read, avro_write
+from htrtf_spark.sources import iceberg as I
+
+
+def test_avro_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "long"]},
+            {"name": "d", "type": {"type": "array", "items": "string"}},
+            {"name": "e", "type": {"type": "map", "values": "int"}},
+            {"name": "f", "type": "boolean"},
+            {"name": "g", "type": "bytes"},
+            {
+                "name": "h",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "a": -(2**62),
+            "b": "héllo ünicode",
+            "c": None,
+            "d": ["x", "y"],
+            "e": {"k1": 1, "k2": -7},
+            "f": True,
+            "g": b"\x00\xff\x10",
+            "h": {"x": 42},
+        },
+        {
+            "a": 2**62,
+            "b": "",
+            "c": 123,
+            "d": [],
+            "e": {},
+            "f": False,
+            "g": b"",
+            "h": {"x": -1},
+        },
+    ]
+    p = str(tmp_path / "t.avro")
+    avro_write(p, schema, recs, file_meta={"k": "v"})
+    got_schema, meta, got = avro_read(p)
+    assert got_schema == schema
+    assert meta["k"] == "v"
+    assert got == recs
+
+
+@pytest.fixture()
+def transcripts_df(spark):
+    rows = [
+        ("conv-a", 0, "user", "hello   world", None, "2024-01-01 00:00:00"),
+        ("conv-a", 1, "assistant", "hi there", None, "2024-01-01 00:00:01"),
+        ("conv-b", 0, "user", "second  conv", "tool_x", "2024-01-01 00:01:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_and_read_roundtrip(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    sid = I.write_iceberg_table(transcripts_df, loc)
+    assert sid == 1
+    back = I.read_iceberg_table(spark, loc)
+    assert back.schema.fieldNames() == transcripts_df.schema.fieldNames()
+    assert _collect(back) == _collect(transcripts_df)
+
+
+def test_append_and_time_travel(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    extra = transcripts_df.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-v2")))
+    s2 = I.append_iceberg_table(extra, loc)
+    assert I.snapshot_ids(loc) == [s1, s2]
+    # current snapshot sees both commits
+    assert I.read_iceberg_table(spark, loc).count() == 6
+    # time travel to snapshot 1 replays exactly the first commit
+    old = I.read_iceberg_table(spark, loc, snapshot_id=s1)
+    assert _collect(old) == _collect(transcripts_df)
+
+
+def test_append_schema_mismatch_rejected(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    bad = transcripts_df.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        I.append_iceberg_table(bad, loc)
+
+
+def test_metadata_layout_is_spec_shaped(spark, transcripts_df, tmp_path):
+    """The on-disk layout is the Iceberg v2 HadoopCatalog contract:
+    version-hint + vN.metadata.json with required top-level fields,
+    manifest list + manifest as Avro with Iceberg field-ids."""
+    loc = str(tmp_path / "tbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    I.append_iceberg_table(transcripts_df.limit(1), loc)
+
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "2"
+    meta = json.load(open(os.path.join(loc, "metadata", "v2.metadata.json")))
+    for key in (
+        "format-version", "table-uuid", "schemas", "partition-specs",
+        "sort-orders", "current-snapshot-id", "snapshots", "snapshot-log",
+        "last-sequence-number",
+    ):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    assert meta["snapshots"][1]["parent-snapshot-id"] == meta["snapshots"][0]["snapshot-id"]
+    # field-ids on the data_file struct per the spec
+    snap = meta["snapshots"][-1]
+    mlist_schema, _, manifests = avro_read(snap["manifest-list"])
+    ids = {f["field-id"] for f in mlist_schema["fields"]}
+    assert {500, 501, 502, 503, 517}.issubset(ids)
+    m_schema, m_meta, entries = avro_read(manifests[-1]["manifest_path"])
+    df_ids = {
+        f["field-id"]
+        for f in next(
+            f for f in m_schema["fields"] if f["name"] == "data_file"
+        )["type"]["fields"]
+    }
+    assert {100, 101, 102, 103, 104, 134}.issubset(df_ids)
+    assert m_meta["format-version"] == "2"
+    assert all(e["data_file"]["file_format"] == "PARQUET" for e in entries)
+    # record counts in manifests match the table
+    assert sum(
+        f["record_count"] for f in I.live_data_files(loc)
+    ) == I.read_iceberg_table(spark, loc).count()
+
+
+def test_extraction_over_iceberg_matches_parquet(spark, tmp_path):
+    """The flagship extraction stage over an Iceberg transcripts table is
+    byte-identical to the same stage over plain parquet (BASELINE.json
+    input contract: Iceberg table of multi-turn transcripts)."""
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.sources.transcripts import (
+        events_as_transcripts,
+        read_transcripts_iceberg,
+    )
+
+    tr = events_as_transcripts(spark, "/root/testdata/sf0.001")
+    loc = str(tmp_path / "transcripts_iceberg")
+    I.write_iceberg_table(tr, loc)
+
+    via_iceberg = extract_turns(
+        read_transcripts_iceberg(spark, loc), check_schema=True
+    )
+    via_parquet = extract_turns(tr, check_schema=True)
+    assert _collect(via_iceberg) == _collect(via_parquet)
+
+
+def test_iceberg_scan_pushes_down_filters(spark, transcripts_df, tmp_path):
+    """Snapshot-isolated reads are still real parquet scans: predicate
+    pushdown and column pruning reach the file scan."""
+    loc = str(tmp_path / "tbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    df = (
+        I.read_iceberg_table(spark, loc)
+        .filter(F.col("conv_id") == "conv-a")
+        .select("conv_id", "turn_idx")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv-a)" in plan
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int>" in plan
+
+
+def test_checkpointed_job_over_iceberg(spark, tmp_path):
+    """The checkpoint/resume extraction job consumes an Iceberg table
+    (kill mid-run, resume, output equals the one-shot parquet-path run) —
+    the full BASELINE.json contract end to end."""
+    from htrtf_spark.plans import checkpoint as ckpt
+    from htrtf_spark.sources.transcripts import (
+        events_as_transcripts,
+        read_transcripts_iceberg,
+    )
+
+    tr = events_as_transcripts(spark, "/root/testdata/sf0.001")
+    loc = str(tmp_path / "iceberg_tbl")
+    I.write_iceberg_table(tr, loc)
+    src = read_transcripts_iceberg(spark, loc)
+
+    out_dir = str(tmp_path / "out")
+    with pytest.raises(ckpt.KilledForTest):
+        ckpt.run_extraction_checkpointed(
+            spark, src, out_dir, n_buckets=4, fail_after_buckets=1
+        )
+    done_after_kill = ckpt.completed_buckets(out_dir, spark)
+    assert 0 < len(done_after_kill) < 4
+    ran = ckpt.run_extraction_checkpointed(spark, src, out_dir, n_buckets=4)
+    assert len(ran) == 4 - len(done_after_kill)
+
+    got = ckpt.read_output(spark, out_dir)
+    from htrtf_spark.plans.pipeline import extract_turns
+
+    direct = extract_turns(tr, check_schema=True)
+    assert _collect(got.select(*direct.columns)) == _collect(direct)
