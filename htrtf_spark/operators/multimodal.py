@@ -1,21 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow-batched mapInPandas.
 
-The Spark-side machinery (schema, partition-friendly batch shape, UDF
-signatures, size accounting) is real and tested; the codec step is
-STUBBED — this container has no image/audio libraries, so ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (seeded from the payload hash) produces stable
-feature vectors so the downstream plumbing is exercisable end-to-end.
+The IMAGE path is REAL end to end: payloads are PNG bytes decoded by the
+stdlib codec (htrtf_spark.operators.png_io), normalized with the
+reference's ``(255-img)/255`` arithmetic
+(/root/reference/Modules/utils.py:184-186), and featurized as grid block
+means — no image library needed. Audio/video decode remains stubbed
+(``fake=True`` gives a deterministic payload-seeded stand-in with the
+same shape contract), since no audio codec is implementable in-scope.
 
 Reference analog: per-record PIL image load + normalize/pad
-(/root/reference/Modules/utils.py:154-186) — there, too, the decode is a
-per-record black box between columnar stages.
+(/root/reference/Modules/utils.py:154-186).
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -43,41 +44,77 @@ FEATURES_DDL = (
 FEATURE_DIM = 16
 
 
+def synth_image_array(media_id: int) -> np.ndarray:
+    """Deterministic greyscale test image, closed-form per pixel so an
+    external oracle can recompute every derived statistic:
+    ``P(r,c) = (3*id + 7*r + 13*c) % 256`` with id-dependent dimensions."""
+    h = 16 + (media_id * 7) % 17
+    w = 16 + (media_id * 11) % 23
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((3 * media_id + 7 * r + 13 * c) % 256).astype(np.uint8)
+
+
 def synth_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media table for tests/benches."""
+    """Deterministic media table for tests/benches: image payloads are
+    REAL PNG bytes (closed-form pixels, encodable by any PNG writer);
+    audio/video payloads are opaque seeded bytes."""
+    from htrtf_spark.operators.png_io import encode_png
+
     rs = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rs.bytes(64 + int(rs.randint(0, 192)))
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                int(rs.randint(16, 4096)) if kind == "image" else None,
-                int(rs.randint(16, 4096)) if kind == "image" else None,
-                int(rs.randint(100, 600000)) if kind != "image" else None,
+        if kind == "image":
+            img = synth_image_array(i)
+            payload = encode_png(img)
+            h, w = img.shape
+            rows.append((i, kind, bytearray(payload), int(w), int(h), None))
+        else:
+            payload = rs.bytes(64 + int(rs.randint(0, 192)))
+            rows.append(
+                (i, kind, bytearray(payload), None, None,
+                 int(rs.randint(100, 600000)))
             )
-        )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires an image codec not present in this
-    container. ``fake=True`` gives a deterministic stand-in (seeded from
-    the payload digest) with the same dtype/shape contract a real decoder
-    would satisfy."""
-    if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "for the deterministic stand-in decoder"
-        )
-    digest = hashlib.sha256(payload or b"").digest()
-    seed = int.from_bytes(digest[:4], "big")
-    rs = np.random.RandomState(seed)
-    return rs.rand(FEATURE_DIM).astype(np.float32)
+    """Decode + normalize an image payload.
+
+    Real path (default): stdlib PNG decode → reference normalization
+    ``(255-img)/255`` (utils.py:184-186) → float32 [H, W]. Raises
+    ValueError on non-PNG/unsupported payloads (a data error the stage
+    maps to ``decode_ok=False``).
+
+    ``fake=True`` keeps the deterministic stand-in used for kinds with no
+    codec (audio/video): a payload-digest-seeded FEATURE_DIM vector.
+    """
+    from htrtf_spark.operators.png_io import decode_png, normalize
+
+    if fake:
+        digest = hashlib.sha256(payload or b"").digest()
+        seed = int.from_bytes(digest[:4], "big")
+        rs = np.random.RandomState(seed)
+        return rs.rand(FEATURE_DIM).astype(np.float32)
+    return normalize(decode_png(payload))
+
+
+def image_features(img: np.ndarray, grid: int = 4) -> np.ndarray:
+    """grid×grid block means of a normalized [H, W] image → FEATURE_DIM
+    vector (the resize/feature-extract step; blocks cover the image by
+    index partition so any H, W ≥ grid works)."""
+    h, w = img.shape
+    rows = np.linspace(0, h, grid + 1, dtype=np.int64)
+    cols = np.linspace(0, w, grid + 1, dtype=np.int64)
+    out = np.empty(grid * grid, dtype=np.float32)
+    for i in range(grid):
+        for j in range(grid):
+            out[i * grid + j] = img[
+                rows[i] : rows[i + 1], cols[j] : cols[j + 1]
+            ].mean()
+    return out
 
 
 def featurize_map_in_pandas(fake: bool = True):
@@ -93,16 +130,13 @@ def featurize_map_in_pandas(fake: bool = True):
                 sizes.append(len(raw))
                 try:
                     f = decode_image(raw, fake=fake)
+                    if not fake:
+                        f = image_features(f)
                     feats.append([float(x) for x in f])
                     norms.append(int(round(float(np.linalg.norm(f)) * 10000)))
                     oks.append(True)
-                except NotImplementedError:
-                    # configuration error (codec absent), not a data error —
-                    # fail the stage loudly instead of emitting a "successful"
-                    # run with decode_ok=False on every row
-                    raise
-                except (ValueError, OSError):
-                    # a real decoder's per-payload data failure
+                except (ValueError, OSError, zlib.error):
+                    # a per-payload data failure (bad/unsupported bytes)
                     feats.append(None)
                     norms.append(None)
                     oks.append(False)
@@ -122,6 +156,56 @@ def featurize_map_in_pandas(fake: bool = True):
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(featurize_map_in_pandas(fake=fake), schema=FEATURES_DDL)
+
+
+IMAGE_STATS_DDL = (
+    "media_id long, width int, height int, n_px long, sum_inv long, "
+    "mean_inv_bp long"
+)
+
+
+def image_stats_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Real-decode image statistics in EXACT INTEGER domain so an external
+    engine can recompute them bit-for-bit: per image, ``sum_inv`` is the
+    integer sum of (255 - pixel) — the unnormalized reference ink mass
+    (utils.py:184-186 before the /255) — and ``mean_inv_bp`` is
+    (10000 * sum_inv) // (255 * n_px): pure integer floor division, no
+    float rounding-mode hazard between engines.
+    Rows that fail to decode are dropped (the featurize stage carries the
+    decode_ok lineage)."""
+    for pdf in batches:
+        out = {k: [] for k in
+               ("media_id", "width", "height", "n_px", "sum_inv", "mean_inv_bp")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            try:
+                from htrtf_spark.operators.png_io import decode_png
+
+                img = decode_png(raw).astype(np.int64)
+            except (ValueError, OSError, zlib.error):
+                continue
+            if img.ndim == 3:
+                img = img.sum(axis=2) // img.shape[2]
+            h, w = img.shape
+            s = int((255 - img).sum())
+            n_px = h * w
+            out["media_id"].append(int(mid))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_px"].append(n_px)
+            out["sum_inv"].append(s)
+            out["mean_inv_bp"].append((10000 * s) // (255 * n_px))
+        yield pd.DataFrame(out)
+
+
+def extract_image_stats(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, n_px, sum_inv, mean_inv_bp) for every
+    decodable image payload — the oracle surface for the REAL decode."""
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        image_stats_map_in_pandas, schema=IMAGE_STATS_DDL
+    )
 
 
 def media_size_stats(media: DataFrame) -> DataFrame:

@@ -120,9 +120,43 @@ QUALIFY "rank" <= {_K}
 """
 
 
+# --------------------------------------------------------------------- q42
+# REAL image decode through the gate: synth_media's image payloads are
+# actual PNG bytes (stdlib encoder, closed-form pixels), the stage PNG-
+# decodes them (zlib inflate + unfilter) and reports exact-integer ink
+# statistics ((255-pixel) sums, utils.py:184-186 arithmetic); the oracle
+# recomputes every pixel from the same closed form in SQL — a hash match
+# proves decode → normalize → aggregate end to end, not just plumbing.
+
+_N_MEDIA = 300
+
+
 def q42_multimodal_features(spark, sf_dir):
-    media = multimodal.synth_media(spark, n=300, seed=42)
-    return multimodal.extract_features(media, fake=True).drop("feat")
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return multimodal.extract_image_stats(media)
+
+
+_Q42_SQL = f"""
+WITH dims AS (
+  SELECT i AS media_id,
+         16 + (i * 11) % 23 AS w,
+         16 + (i * 7) % 17 AS h
+  FROM range(0, {_N_MEDIA}, 3) t(i)
+),
+px AS (
+  SELECT media_id, w, h,
+         list_sum([255 - ((3*media_id + 7*(i // w) + 13*(i % w)) % 256)
+                   for i in generate_series(0, w*h - 1)]) AS sum_inv
+  FROM dims
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w*h AS BIGINT) AS n_px,
+       CAST(sum_inv AS BIGINT) AS sum_inv,
+       CAST((10000 * sum_inv) // (255 * w * h) AS BIGINT) AS mean_inv_bp
+FROM px
+"""
 
 
 # --------------------------------------------------------------------- q58
@@ -161,6 +195,6 @@ QUALIFY "rank" <= {_BATCH_K}
 QUERIES = {
     "q40_lsh_ann_topk": (q40_lsh_ann_topk, _q40_sql()),
     "q41_ivf_ann_topk": (q41_ivf_ann_topk, _Q41_SQL),
-    "q42_multimodal_features": (q42_multimodal_features, None),
+    "q42_multimodal_features": (q42_multimodal_features, _Q42_SQL),
     "q58_batch_cosine_topk": (q58_batch_cosine_topk, _Q58_SQL),
 }

@@ -151,9 +151,13 @@ def test_multimodal_plumbing(spark):
     assert sum(r["n"] for r in stats) == 30
 
 
-def test_multimodal_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_real_decode_rejects_bad_payload():
+    # real path: malformed bytes are a per-payload DATA error (ValueError),
+    # mapped to decode_ok=False by the stage — not a config error anymore
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG", fake=False)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"not a png at all", fake=False)
 
 
 def test_ctc_array_ops():
