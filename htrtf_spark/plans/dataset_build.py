@@ -207,6 +207,95 @@ def write_split(df: DataFrame, out_dir: str, name: str) -> None:
     )
 
 
+def split_charset_pairs(df: DataFrame, name: str) -> DataFrame:
+    """Distinct (char → label-id) pairs a split's rows actually encode,
+    tagged with the split name. Distributed: one partial-aggregated
+    distinct of ≤|charset| pairs per split — no full-data collect."""
+    return (
+        df.select(
+            F.explode(
+                F.arrays_zip(
+                    F.split(F.col("clean_text"), "").alias("ch"),
+                    F.col("sequence").alias("id"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.ch").alias("ch"), F.col("p.id").alias("id"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .withColumn("split", F.lit(name))
+    )
+
+
+def check_split_compatibility(splits: dict[str, DataFrame]) -> int | None:
+    """U3 full parity: the reference's check_valid_and_test_sets
+    (/root/reference/Modules/utils.py:208-262) aborts before training if
+    the valid/test sets' image height or label dictionary differ from the
+    train set's. Same hard precondition here, data-derived: every split
+    must use the SAME height, and the union of (char → label-id) pairs
+    across splits must stay a bijection — a split encoded under a
+    shifted/reordered charset maps some char to a second id (or some id
+    to a second char) and aborts. (A coverage-only difference — a split
+    simply not containing a rare char — is legal, as it is in the
+    reference, whose dictionaries come from the shared build.) Returns
+    the agreed height; raises ValueError on drift."""
+    names = list(splits)
+    if not names:
+        raise ValueError("no splits to check")
+
+    heights: dict[str, object] = {}
+    for name in names:
+        df = splits[name]
+        if "h_scaled" not in df.columns:
+            heights[name] = None
+            continue
+        hs = [r["h_scaled"] for r in df.select("h_scaled").distinct().collect()]
+        if len(hs) > 1:
+            raise ValueError(
+                f"image height in {name!r} set is mixed: {sorted(hs)}"
+            )
+        heights[name] = hs[0] if hs else None
+    ref_name = "train" if "train" in splits else names[0]
+    for name in names:
+        if heights[name] != heights[ref_name]:
+            raise ValueError(
+                f"image height in {name!r} set ({heights[name]}px) differs "
+                f"from {ref_name!r} set ({heights[ref_name]}px)"
+            )
+
+    allp = None
+    for name in names:
+        p = split_charset_pairs(splits[name], name)
+        allp = p if allp is None else allp.unionByName(p)
+    char_conf = (
+        allp.groupBy("ch")
+        .agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("split").alias("splits"),
+        )
+        .filter(F.col("n") > 1)
+        .select(F.col("ch").alias("key"), "splits")
+    )
+    id_conf = (
+        allp.groupBy("id")
+        .agg(
+            F.countDistinct("ch").alias("n"),
+            F.collect_set("split").alias("splits"),
+        )
+        .filter(F.col("n") > 1)
+        .select(F.concat(F.lit("id "), F.col("id")).alias("key"), "splits")
+    )
+    conflicts = char_conf.unionByName(id_conf).limit(5).collect()
+    if conflicts:
+        detail = "; ".join(
+            f"{r['key']!r} in {sorted(r['splits'])}" for r in conflicts
+        )
+        raise ValueError(
+            f"labels differ across splits (charset drift): {detail}"
+        )
+    return heights[ref_name]
+
+
 def build_dataset(
     spark: SparkSession, gt_path: str, sets: DataFrame, out_dir: str
 ) -> dict[str, int]:
@@ -216,10 +305,14 @@ def build_dataset(
     encoded = clean_and_encode(records, charset)
     filtered = apply_size_filters(encoded)
     splits = split_by_sets(filtered, sets)
-    counts = {}
+    counts, written = {}, {}
     for name, df in splits.items():
         write_split(df, out_dir, name)
-        counts[name] = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
+        written[name] = spark.read.parquet(f"{out_dir}/{name}.parquet")
+        counts[name] = written[name].count()
+    # the reference re-checks compatibility when the sets are LOADED
+    # (utils.py:208-262); same here, on the read-back frames
+    check_split_compatibility(written)
     # charset sidecar (charlist.txt analog)
     spark.createDataFrame([(c,) for c in charset], "ch string").coalesce(
         1

@@ -12,12 +12,18 @@ under an unbounded feed it needs keyed state, which is exactly
 ``applyInPandasWithState`` (GroupState keyed by conv_id, Arrow-batched
 update function — still no per-row Python).
 
-Bounded state: pass ``idle_timeout_ms`` to evict conversations that
-receive no turns for that long (processing-time timeout — each update
-re-arms the timer; on expiry the state is removed, so the store size is
-O(conversations active within the window), not O(all conv_ids ever
-seen). Event-time eviction would instead use GroupStateTimeout
-.EventTimeTimeout + withWatermark upstream.)
+Bounded state, two eviction clocks:
+
+- processing time: pass ``idle_timeout_ms`` — each update re-arms the
+  timer; on expiry the state is removed, so the store size is
+  O(conversations active within the window), not O(all conv_ids ever
+  seen).
+- event time: ``stream_conversation_state_event_time`` — the input must
+  carry ``withWatermark`` on its ``ts`` column; each update pins the
+  timeout at (max event ts seen for the conversation + gap), and Spark
+  fires it when the WATERMARK (not the wall clock) passes that point.
+  This is the correct clock for replayed/late data: a backfill running
+  10× real time evicts at the same logical points as the live run.
 """
 
 from __future__ import annotations
@@ -82,3 +88,86 @@ def stream_conversation_state(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ------------------------------------------------------------------ event time
+
+EVENT_STATE_DDL = CONV_STATE_DDL + ", max_ts_ms long"
+EVICT_OUT_DDL = CONV_STATE_OUT_DDL + ", closed boolean"
+
+
+def make_event_time_updater(gap_ms: int):
+    """Update function for event-time eviction: the timeout is pinned at
+    (max event timestamp seen for this conversation + gap) and fires when
+    the stream's WATERMARK passes it — replay-safe, unlike the wall-clock
+    variant. On expiry the conversation's final totals are emitted once
+    with ``closed=true`` (a session-close record), then the state is
+    dropped."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(n_turns, n_rejected, total_chars, closed):
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_rejected": [n_rejected],
+                    "total_chars": [total_chars],
+                    "closed": [closed],
+                }
+            )
+
+        if state.hasTimedOut:
+            n_turns, n_rejected, total_chars, _max_ts = state.get
+            state.remove()
+            yield from emit(n_turns, n_rejected, total_chars, True)
+            return
+        n_turns, n_rejected, total_chars, max_ts_ms = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_rejected += int(pdf["reject_reason"].notna().sum())
+            total_chars += int(pdf["n_chars"].fillna(0).sum())
+            batch_max = pdf["ts"].max()
+            if pd.notna(batch_max):
+                max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+        state.update((n_turns, n_rejected, total_chars, max_ts_ms))
+        state.setTimeoutTimestamp(max_ts_ms + gap_ms)
+        yield from emit(n_turns, n_rejected, total_chars, False)
+
+    return update
+
+
+def stream_conversation_state_event_time(
+    extracted: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time-evicted per-conversation running stats. ``extracted``
+    must carry the ``ts`` event-time column (stream_extract does); the
+    watermark both bounds late data and drives eviction: a conversation
+    whose last turn is older than (watermark - gap) emits one final
+    ``closed=true`` row and leaves the state store."""
+    gap_ms = _duration_ms(gap)
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_event_time_updater(gap_ms),
+            outputStructType=EVICT_OUT_DDL,
+            stateStructType=EVENT_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    """'30 minutes' / '90 seconds' / '250 milliseconds' → ms (the tiny
+    subset of Spark's CalendarInterval syntax these APIs take)."""
+    qty, unit = spec.strip().split()
+    unit = unit.rstrip("s")
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}
+    if unit not in scale:
+        raise ValueError(f"unsupported duration unit in {spec!r}")
+    return int(qty) * scale[unit]

@@ -123,3 +123,35 @@ def test_splits_and_sinks(built):
     assert set(csv.columns) == {"imgName", "transcription", "sequence", "size", "trans_length"}
     charset_rows = spark.read.text(f"{out_dir}/charset.txt").count()
     assert charset_rows > 10
+
+
+def test_split_compatibility_gate(built):
+    """U3 full parity (check_valid_and_test_sets, utils.py:208-262):
+    splits built together agree on height + charset digest; a split
+    re-encoded under a DIFFERENT charset (label-id shift) aborts."""
+    import pyspark.sql.functions as F
+
+    spark, out_dir, counts = built
+    splits = {
+        name: spark.read.parquet(f"{out_dir}/{name}.parquet")
+        for name in counts
+    }
+    assert DB.check_split_compatibility(splits) == DB.MAX_HEIGHT
+
+    # drift: shift every label id by 1 in one split (same chars, new
+    # dictionary order — exactly the bug the reference gate catches)
+    bad = dict(splits)
+    victim = sorted(bad)[0]
+    bad[victim] = bad[victim].withColumn(
+        "sequence", F.transform("sequence", lambda x: x + 1)
+    )
+    with pytest.raises(ValueError, match="labels"):
+        DB.check_split_compatibility(bad)
+
+    # drift: height mismatch aborts before any label comparison
+    bad2 = dict(splits)
+    bad2[victim] = splits[victim].withColumn(
+        "h_scaled", F.lit(DB.MAX_HEIGHT + 1)
+    )
+    with pytest.raises(ValueError, match="height"):
+        DB.check_split_compatibility(bad2)

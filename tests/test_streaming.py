@@ -247,3 +247,105 @@ def test_stateful_stream_with_timeout_smoke(spark, tmp_path):
     q.stop()
     res = spark.sql("SELECT SUM(n_turns) s FROM t_state_to").collect()[0]
     assert int(res["s"]) == len(pdf)
+
+
+def test_event_time_updater_unit():
+    """Unit-level: event-time updater pins the timeout at max_ts+gap, and
+    the expiry invocation emits ONE closed=true final row then removes."""
+    from htrtf_spark.streaming.stateful import _duration_ms, make_event_time_updater
+
+    assert _duration_ms("30 minutes") == 1_800_000
+    assert _duration_ms("90 seconds") == 90_000
+
+    class MockState:
+        def __init__(self, exists=False, value=None, timed_out=False):
+            self.exists, self._v = exists, value
+            self.hasTimedOut = timed_out
+            self.removed, self.updated, self.armed_at = False, None, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ts_ms):
+            self.armed_at = ts_ms
+
+    fn = make_event_time_updater(gap_ms=1_800_000)
+
+    t0 = pd.Timestamp("2026-01-01 12:00:00")
+    batch = pd.DataFrame(
+        {
+            "reject_reason": [None, None, "empty_after_clean"],
+            "n_chars": pd.array([5, 7, None], dtype="Int64"),
+            "ts": [t0, t0 + pd.Timedelta(minutes=5), t0],
+        }
+    )
+    st = MockState()
+    out = list(fn(("c",), iter([batch]), st))
+    max_ms = int((t0 + pd.Timedelta(minutes=5)).value // 1_000_000)
+    assert st.updated == (3, 1, 12, max_ms)
+    assert st.armed_at == max_ms + 1_800_000
+    assert len(out) == 1 and not out[0]["closed"].iloc[0]
+
+    # expiry: final row with closed=true, state removed
+    st2 = MockState(exists=True, value=(3, 1, 12, max_ms), timed_out=True)
+    out2 = list(fn(("c",), iter([]), st2))
+    assert st2.removed
+    assert len(out2) == 1 and bool(out2[0]["closed"].iloc[0])
+    assert int(out2[0]["n_turns"].iloc[0]) == 3
+
+
+def test_event_time_eviction_two_batches(spark, tmp_path):
+    """End-to-end event-time eviction: conv A stops sending; when a later
+    batch from conv B advances the WATERMARK past A's (last ts + gap), A
+    emits its closed=true session record — no wall-clock involvement."""
+    from htrtf_spark.streaming import stateful
+
+    pdf = synth.synth_pandas(n_convs=4, seed=7)
+    convs = sorted(pdf["conv_id"].unique())
+    a, b = convs[0], convs[1]
+    base = pd.Timestamp("2026-01-01 12:00:00")
+    first = pdf[pdf["conv_id"].isin([a, b])].copy().reset_index(drop=True)
+    first["ts"] = base
+    second = pdf[pdf["conv_id"] == b].copy().reset_index(drop=True)
+    second["ts"] = base + pd.Timedelta(hours=3)  # >> gap + watermark
+
+    in_dir = tmp_path / "evt_in"
+    in_dir.mkdir()
+    spark.createDataFrame(first, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    ex = xs.stream_extract(xs.read_transcript_stream(spark, str(in_dir)))
+    q = (
+        stateful.stream_conversation_state_event_time(
+            ex, gap="30 minutes", watermark="10 minutes"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_evt")
+        .start()
+    )
+    q.processAllAvailable()
+    assert (
+        spark.sql("SELECT COUNT(*) c FROM t_evt WHERE closed").collect()[0]["c"]
+        == 0
+    )
+    spark.createDataFrame(second, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    q.processAllAvailable()
+    q.stop()
+
+    closed = spark.sql(
+        "SELECT * FROM t_evt WHERE closed ORDER BY conv_id"
+    ).toPandas()
+    # A was evicted by watermark advance; B is still live
+    assert list(closed["conv_id"]) == [a]
+    assert int(closed["n_turns"].iloc[0]) == int((first["conv_id"] == a).sum())
