@@ -16,6 +16,7 @@ Parity rules used throughout (so value-hash comparisons can't flake):
 from __future__ import annotations
 
 from htrtf_spark.queries import (
+    augment_queries,
     dedup,
     extraction_queries,
     pipeline_queries,
@@ -41,6 +42,7 @@ _MODULES = [
     vectors2,
     extraction_queries,
     pipeline_queries,
+    augment_queries,
 ]
 
 
@@ -54,6 +56,8 @@ _RUN_FIRST = [
     "q66_beam_decode",
     "q67_iceberg_extract",
     "q68_event_time_eviction",
+    "q69_augment_deterministic",
+    "q70_augment_randomized",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",
     "q40_lsh_ann_topk",

@@ -1,0 +1,208 @@
+"""Gate queries for the augmentation family (SURVEY §2.10 D1–D8) and the
+event-time stateful eviction path.
+
+q69 runs the REAL warp+morph machinery with pinned parameters so every
+output integer is recomputable from the closed-form synth pixels by
+DuckDB (translate = index shift, dilate = clamped 3×3 neighborhood max).
+q70 runs the fully randomized D7 pipeline (seeded per-row RNG) and gates
+the deterministic projection of its output (dims, pack frame, input ink
+mass) — the random ink/payload columns are pytest-verified instead.
+q68 drives a real two-batch Structured Streaming run where the WATERMARK
+(not wall clock) evicts the first batch's conversations; the closed-row
+totals are restated in SQL over the same events.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from htrtf_spark.operators import augment, multimodal
+from htrtf_spark.queries.util import clean_sql
+
+_N_MEDIA = 300
+
+# --------------------------------------------------------------------- q69
+# Deterministic-parameter augmentation: invert → translate(+3,+2) nearest
+# → full-3×3 dilate (clamped-edge max), exact integer sums.
+
+
+def q69_augment_deterministic(spark, sf_dir):
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return augment.deterministic_augment(media, ty=2, tx=3)
+
+
+_Q69_SQL = f"""
+WITH dims AS (
+  SELECT i AS media_id,
+         16 + (i * 7) % 17 AS h,
+         16 + (i * 11) % 23 AS w
+  FROM range(0, {_N_MEDIA}, 3) t(i)
+),
+cells AS (
+  SELECT d.media_id, d.h, d.w, r.r, c.c
+  FROM dims d
+  JOIN generate_series(0, 40) r(r) ON r.r < d.h
+  JOIN generate_series(0, 40) c(c) ON c.c < d.w
+),
+-- shifted inverted image: S(r,c) = 255 - P(r-2, c-3) inside, else 0
+shifted_sum AS (
+  SELECT media_id,
+         SUM(CASE WHEN r >= 2 AND c >= 3
+             THEN 255 - ((3*media_id + 7*(r-2) + 13*(c-3)) % 256)
+             ELSE 0 END) AS ink_shifted
+  FROM cells GROUP BY media_id
+),
+neigh AS (
+  SELECT media_id, h, w, r, c,
+         LEAST(GREATEST(r + dr.dr, 0), h - 1) AS rr,
+         LEAST(GREATEST(c + dc.dc, 0), w - 1) AS cc
+  FROM cells, (VALUES (-1),(0),(1)) dr(dr), (VALUES (-1),(0),(1)) dc(dc)
+),
+dil AS (
+  SELECT media_id, r, c,
+         MAX(CASE WHEN rr >= 2 AND cc >= 3
+             THEN 255 - ((3*media_id + 7*(rr-2) + 13*(cc-3)) % 256)
+             ELSE 0 END) AS mx
+  FROM neigh GROUP BY media_id, r, c
+),
+dil_sum AS (
+  SELECT media_id, SUM(mx) AS ink_dilated FROM dil GROUP BY media_id
+)
+SELECT d.media_id,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(s.ink_shifted AS BIGINT) AS ink_shifted,
+       CAST(x.ink_dilated AS BIGINT) AS ink_dilated
+FROM dims d
+JOIN shifted_sum s USING (media_id)
+JOIN dil_sum x USING (media_id)
+"""
+
+# --------------------------------------------------------------------- q70
+# Randomized D1–D8 (the production shape): full distort pipeline runs in
+# Spark with per-row seeded draws; the gate hashes its deterministic
+# projection. ink_in is the pre-augmentation inverted-pixel sum — the
+# same closed form as q42's sum_inv — so a hash match proves the real
+# decode fed the randomized pipeline.
+
+_PACK_H, _PACK_W = 64, 64
+
+
+def q70_augment_randomized(spark, sf_dir):
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return augment.augment_images(
+        media, seed=7, prob=0.5, pack_h=_PACK_H, pack_w=_PACK_W
+    ).select("media_id", "height", "width", "pack_h", "pack_w", "ink_in")
+
+
+_Q70_SQL = f"""
+WITH dims AS (
+  SELECT i AS media_id,
+         16 + (i * 11) % 23 AS w,
+         16 + (i * 7) % 17 AS h
+  FROM range(0, {_N_MEDIA}, 3) t(i)
+)
+SELECT media_id,
+       CAST(h AS INTEGER) AS height,
+       CAST(w AS INTEGER) AS width,
+       CAST({_PACK_H} AS INTEGER) AS pack_h,
+       CAST({_PACK_W} AS INTEGER) AS pack_w,
+       CAST(list_sum([255 - ((3*media_id + 7*(i // w) + 13*(i % w)) % 256)
+                      for i in generate_series(0, w*h - 1)]) AS BIGINT)
+           AS ink_in
+FROM dims
+"""
+
+# --------------------------------------------------------------------- q68
+# Event-time eviction through the gate: two file-batches of real driver
+# events reshaped as transcripts; batch 1 (even user_ids, ts=base) goes
+# idle, batch 2 (odd user_ids, ts=base+3h) advances the watermark past
+# base+gap, so every batch-1 conversation emits its closed=true session
+# record. The oracle recomputes each closed conversation's totals with
+# the q32 extraction SQL. Gate-scale streaming proof; the production
+# path is identical but unbounded.
+
+_EVICT_MOD = 8  # keep the stream small: user_id % _EVICT_MOD ∈ {0, 1}
+
+
+def _evict_input(spark, sf_dir):
+    from htrtf_spark.sources.transcripts import events_as_transcripts
+
+    tr = events_as_transcripts(spark, sf_dir)
+    uid = F.split_part(F.col("conv_id"), F.lit("-"), F.lit(2)).cast("long")
+    base = F.to_timestamp(F.lit("2026-01-01 12:00:00"))
+    return (
+        tr.filter(uid % _EVICT_MOD < 2)
+        .withColumn(
+            "ts",
+            F.when(uid % _EVICT_MOD == 0, base).otherwise(
+                base + F.expr("INTERVAL 3 HOURS")
+            ),
+        )
+        .withColumn("_batch", (uid % _EVICT_MOD).cast("int"))
+    )
+
+
+def q68_event_time_eviction(spark, sf_dir):
+    from htrtf_spark.streaming import extract_stream as xs
+    from htrtf_spark.streaming import stateful
+
+    inp = _evict_input(spark, sf_dir).cache()
+    in_dir = tempfile.mkdtemp(prefix="htrtf_evict_gate_")
+    sink = "q68_evict_sink"
+
+    inp.filter(F.col("_batch") == 0).drop("_batch").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    ex = xs.stream_extract(xs.read_transcript_stream(spark, in_dir))
+    q = (
+        stateful.stream_conversation_state_event_time(
+            ex, gap="30 minutes", watermark="10 minutes"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        inp.filter(F.col("_batch") == 1).drop("_batch").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        inp.unpersist()
+    return (
+        spark.table(sink)
+        .filter("closed")
+        .select("conv_id", "n_turns", "n_rejected", "total_chars")
+    )
+
+
+_Q68_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         user_id,
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text
+  FROM events
+  WHERE user_id % {_EVICT_MOD} = 0
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN {clean_sql("text")} = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rejected,
+       CAST(SUM(length({clean_sql("text")})) AS BIGINT) AS total_chars
+FROM tr
+GROUP BY conv_id, user_id
+"""
+
+
+QUERIES = {
+    "q68_event_time_eviction": (q68_event_time_eviction, _Q68_SQL),
+    "q69_augment_deterministic": (q69_augment_deterministic, _Q69_SQL),
+    "q70_augment_randomized": (q70_augment_randomized, _Q70_SQL),
+}
