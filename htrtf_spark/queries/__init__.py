@@ -58,6 +58,7 @@ _RUN_FIRST = [
     "q68_event_time_eviction",
     "q69_augment_deterministic",
     "q70_augment_randomized",
+    "q71_conv_featurize",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",
     "q40_lsh_ann_topk",

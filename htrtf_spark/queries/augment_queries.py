@@ -201,8 +201,51 @@ GROUP BY conv_id, user_id
 """
 
 
+# --------------------------------------------------------------------- q71
+# S7 + T1/T2 through the gate: external params written to a parquet
+# table, loaded + broadcast, and the conv featurizer run over real PNG
+# payloads. Two independently-SQL-checkable facets ride the hash: the
+# ceil-dim/seq_len tracking of the pooled stack (T2, layers.py:282-289)
+# and ``box_sum`` — the SAME conv2d code with an all-ones 3x3 kernel on
+# the raw inverted integers, equal to Σ V(r,c)·cover(r)·cover(c) where
+# cover is 2 at the border, 3 inside (zero 'SAME' padding). The float
+# feature vector itself is pytest-verified (cross-engine float hazard).
+
+
+def q71_conv_featurize(spark, sf_dir):
+    from htrtf_spark.operators import convnet
+
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    pdir = os.path.join(tempfile.mkdtemp(prefix="htrtf_params_gate_"), "params")
+    convnet.write_params(spark, convnet.synth_params(seed=5), pdir)
+    return convnet.featurize_conv(media, pdir).drop("feat")
+
+
+_Q71_SQL = f"""
+WITH dims AS (
+  SELECT i AS media_id,
+         16 + (i * 7) % 17 AS h,
+         16 + (i * 11) % 23 AS w
+  FROM range(0, {_N_MEDIA}, 3) t(i)
+)
+SELECT media_id,
+       CAST(h AS INTEGER) AS height,
+       CAST(w AS INTEGER) AS width,
+       CAST(CEIL(h / 8.0) AS INTEGER) AS out_h,
+       CAST(CEIL(w / 8.0) AS INTEGER) AS out_w,
+       CAST(CEIL(w / 8.0) AS INTEGER) AS seq_len_out,
+       CAST(list_sum(
+         [(255 - ((3*media_id + 7*(i // w) + 13*(i % w)) % 256))
+          * (3 - CAST(i // w = 0 AS INT) - CAST(i // w = h - 1 AS INT))
+          * (3 - CAST(i % w = 0 AS INT) - CAST(i % w = w - 1 AS INT))
+          for i in generate_series(0, w*h - 1)]) AS BIGINT) AS box_sum
+FROM dims
+"""
+
+
 QUERIES = {
     "q68_event_time_eviction": (q68_event_time_eviction, _Q68_SQL),
     "q69_augment_deterministic": (q69_augment_deterministic, _Q69_SQL),
     "q70_augment_randomized": (q70_augment_randomized, _Q70_SQL),
+    "q71_conv_featurize": (q71_conv_featurize, _Q71_SQL),
 }

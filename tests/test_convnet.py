@@ -1,0 +1,117 @@
+"""Conv feature stack (T1/T2/T17/T18) + external-params source (S7):
+vectorized ops vs naive recomputation, shape validation, broadcast
+stage end-to-end.
+
+Reference: layers.py:215-248 (CNN), :282-289 (max_pool),
+:298-313 (layer norm), tasks.py:72-76 (mask),
+utils.py:392-440,718-740 (param loading)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from htrtf_spark.operators import convnet, multimodal
+from htrtf_spark.operators.png_io import normalize
+
+
+def _naive_conv(x, w, b):
+    h, wd, cin = x.shape
+    cout = w.shape[3]
+    out = np.zeros((h, wd, cout))
+    for r in range(h):
+        for c in range(wd):
+            acc = b.astype(np.float64).copy()
+            for dy in range(3):
+                for dx in range(3):
+                    rr, cc = r + dy - 1, c + dx - 1
+                    if 0 <= rr < h and 0 <= cc < wd:
+                        acc += x[rr, cc].astype(np.float64) @ w[dy, dx]
+            out[r, c] = acc
+    return out
+
+
+def test_conv2d_same_vs_naive():
+    rs = np.random.RandomState(0)
+    x = rs.rand(7, 9, 3)
+    w = rs.normal(0, 1, size=(3, 3, 3, 4))
+    b = rs.normal(0, 1, size=4)
+    assert np.allclose(convnet.conv2d_same(x, w, b), _naive_conv(x, w, b))
+
+
+def test_max_pool_2x2_same_vs_naive():
+    rs = np.random.RandomState(1)
+    for h, w in [(6, 8), (7, 9), (1, 5)]:
+        x = rs.rand(h, w, 2)
+        got = convnet.max_pool_2x2_same(x)
+        ho, wo = -(-h // 2), -(-w // 2)
+        assert got.shape == (ho, wo, 2)
+        for r in range(ho):
+            for c in range(wo):
+                block = x[2 * r : 2 * r + 2, 2 * c : 2 * c + 2]
+                assert np.allclose(got[r, c], block.reshape(-1, 2).max(axis=0))
+
+
+def test_layer_norm_and_mask():
+    rs = np.random.RandomState(2)
+    x = rs.rand(4, 5, 8) * 10 + 3
+    y = convnet.layer_norm(x)
+    assert np.allclose(y.mean(axis=-1), 0, atol=1e-6)
+    assert np.allclose(y.std(axis=-1), 1, atol=1e-3)
+    m = convnet.valid_mask(3, 4, 5, 6)
+    assert m.sum() == 12 and m[:3, :4].all() and m[3:].sum() == 0
+
+
+def test_out_dims_ceil_tracking():
+    # three pooled layers → ceil(dim/8); matches layers.py:285 arithmetic
+    assert convnet.out_dims(16, 16) == (2, 2)
+    assert convnet.out_dims(17, 23) == (3, 3)
+    assert convnet.out_dims(1, 1) == (1, 1)
+
+
+def test_params_roundtrip_and_validation(spark, tmp_path):
+    params = convnet.synth_params(seed=5)
+    pdir = str(tmp_path / "params")
+    convnet.write_params(spark, params, pdir)
+    loaded = convnet.load_params(spark, pdir)
+    assert sorted(loaded) == sorted(params)
+    for k in params:
+        assert np.allclose(loaded[k], params[k], atol=1e-7)
+        assert loaded[k].shape == params[k].shape
+    convnet.validate_params(loaded)
+
+    # shape drift aborts at load
+    bad = dict(params)
+    bad["conv1/kernel"] = bad["conv1/kernel"][:, :, :, :8]
+    with pytest.raises(ValueError, match="conv1/kernel"):
+        convnet.validate_params(bad)
+    del bad["conv1/kernel"]
+    with pytest.raises(ValueError, match="missing params"):
+        convnet.validate_params(bad)
+
+
+def test_featurize_conv_end_to_end(spark, tmp_path):
+    params = convnet.synth_params(seed=5)
+    pdir = str(tmp_path / "p2")
+    convnet.write_params(spark, params, pdir)
+    media = multimodal.synth_media(spark, n=15, seed=42)
+    rows = {r["media_id"]: r for r in
+            convnet.featurize_conv(media, pdir).collect()}
+    img_ids = [r["media_id"] for r in media.filter("kind='image'").collect()]
+    assert sorted(rows) == sorted(img_ids)
+    for mid in img_ids:
+        arr = multimodal.synth_image_array(mid)
+        img = normalize(arr)
+        fmap, oh, ow = convnet.conv_stack(img, params)
+        r = rows[mid]
+        assert (r["out_h"], r["out_w"]) == (oh, ow)
+        assert r["seq_len_out"] == convnet.out_dims(*img.shape)[1]
+        assert np.allclose(
+            r["feat"], fmap.mean(axis=(0, 1)), atol=1e-5
+        )
+        # integer box-conv probe: cover-weighted closed-form sum
+        inv = (255 - arr.astype(np.int64))
+        h, w = inv.shape
+        cr = np.full(h, 3); cr[[0, -1]] = 2
+        cc = np.full(w, 3); cc[[0, -1]] = 2
+        assert r["box_sum"] == int((inv * np.outer(cr, cc)).sum())
