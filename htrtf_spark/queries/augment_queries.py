@@ -243,9 +243,52 @@ FROM dims
 """
 
 
+# --------------------------------------------------------------------- q72
+# The reference's ENTIRE eval path (conv stack → height-collapse → 5×
+# BiLSTM → dense logits → CTC greedy collapse → text) as one broadcast-
+# weight Arrow stage over real PNGs (T1–T5+T7/T8). The LSTM floats are
+# not SQL-recomputable, so the gate hashes the closed-form projection
+# (dims + frame count); the decoded strings and a logit checksum are
+# verified against a local recompute in tests/test_rnn.py.
+
+_NET_CLASSES = 28  # 27-char toy charset + blank
+
+
+def q72_net_decode(spark, sf_dir):
+    from htrtf_spark.operators import convnet, rnn
+
+    charset = list("abcdefghijklmnopqrstuvwxyz ")
+    params = rnn.synth_net_params(
+        seed=5, num_hidden=8, num_classes=_NET_CLASSES, image_height=40
+    )
+    pdir = os.path.join(tempfile.mkdtemp(prefix="htrtf_netp_gate_"), "params")
+    convnet.write_params(spark, params, pdir)
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return rnn.net_decode(media, pdir, charset, image_height=40).select(
+        "media_id", "height", "width", "t_frames", "n_classes"
+    )
+
+
+_Q72_SQL = f"""
+WITH dims AS (
+  SELECT i AS media_id,
+         16 + (i * 7) % 17 AS h,
+         16 + (i * 11) % 23 AS w
+  FROM range(0, {_N_MEDIA}, 3) t(i)
+)
+SELECT media_id,
+       CAST(h AS INTEGER) AS height,
+       CAST(w AS INTEGER) AS width,
+       CAST(CEIL(w / 8.0) AS INTEGER) AS t_frames,
+       CAST({_NET_CLASSES} AS INTEGER) AS n_classes
+FROM dims
+"""
+
+
 QUERIES = {
     "q68_event_time_eviction": (q68_event_time_eviction, _Q68_SQL),
     "q69_augment_deterministic": (q69_augment_deterministic, _Q69_SQL),
     "q70_augment_randomized": (q70_augment_randomized, _Q70_SQL),
     "q71_conv_featurize": (q71_conv_featurize, _Q71_SQL),
+    "q72_net_decode": (q72_net_decode, _Q72_SQL),
 }
