@@ -60,6 +60,7 @@ _RUN_FIRST = [
     "q70_augment_randomized",
     "q71_conv_featurize",
     "q72_net_decode",
+    "q73_mdlstm_features",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",
     "q40_lsh_ann_topk",

@@ -285,10 +285,45 @@ FROM dims
 """
 
 
+# --------------------------------------------------------------------- q73
+# T10-T16 through the gate: 4-direction MDLSTM wavefront sweep (width-
+# chunked, T12) with broadcast weights over real PNGs. The recurrence
+# floats are not SQL-recomputable; the gate hashes the closed-form dims
+# projection while the numerics are pytest-verified against an
+# independent raster-order recursion (tests/test_mdlstm.py).
+
+_MD_UNITS = 6
+
+
+def q73_mdlstm_features(spark, sf_dir):
+    from htrtf_spark.operators import mdlstm
+
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return mdlstm.mdlstm_features(media, units=_MD_UNITS, seed=11, chunk=16).select(
+        "media_id", "height", "width", "units"
+    )
+
+
+_Q73_SQL = f"""
+WITH dims AS (
+  SELECT i AS media_id,
+         16 + (i * 7) % 17 AS h,
+         16 + (i * 11) % 23 AS w
+  FROM range(0, {_N_MEDIA}, 3) t(i)
+)
+SELECT media_id,
+       CAST(h AS INTEGER) AS height,
+       CAST(w AS INTEGER) AS width,
+       CAST({_MD_UNITS} AS INTEGER) AS units
+FROM dims
+"""
+
+
 QUERIES = {
     "q68_event_time_eviction": (q68_event_time_eviction, _Q68_SQL),
     "q69_augment_deterministic": (q69_augment_deterministic, _Q69_SQL),
     "q70_augment_randomized": (q70_augment_randomized, _Q70_SQL),
     "q71_conv_featurize": (q71_conv_featurize, _Q71_SQL),
     "q72_net_decode": (q72_net_decode, _Q72_SQL),
+    "q73_mdlstm_features": (q73_mdlstm_features, _Q73_SQL),
 }
