@@ -63,6 +63,11 @@ def shingle_table(
     """
     g = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng"))
     if max_doc_freq is not None:
+        # cache the RAW posting table: it feeds both the df-count agg
+        # (stop detection) and the anti join below — uncached, the
+        # expensive word-ngram transform runs twice (measured ~0.5 s at
+        # bench scale; same lesson as the caller-side cache note)
+        g = g.cache()
         stop = (
             g.groupBy("ng").agg(F.count("*").alias("df_"))
             .filter(F.col("df_") > max_doc_freq)
@@ -150,10 +155,29 @@ def jaccard_pairs_postings(
     blow-up is bounded per list — which is why it must be paired with a
     stop-shingle cap at web scale (df_cap² × n_stop_shingles is the
     worst-case row count either way)."""
-    # cache is load-bearing: grams feeds both the posting-list groupBy and
-    # the sizes groupBy — uncached, the word-ngram transform runs twice
-    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
-    posting = grams.groupBy("ng").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    # cap applied ON the posting lists (df == size(ids)), riding the
+    # groupBy the pair expansion needs anyway — no separate df-count
+    # shuffle or anti join, one fewer pass than the self-join form
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
+    if max_doc_freq is None:
+        # grams feeds BOTH the posting groupBy and the sizes groupBy —
+        # cache or the word-ngram transform runs twice (measured 6×)
+        grams = grams.cache()
+    posting = grams.groupBy("ng").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    if max_doc_freq is not None:
+        # posting feeds both the pair expansion and the capped sizes
+        posting = posting.filter(F.size("ids") <= max_doc_freq).cache()
+        # sizes must count CAPPED shingles per doc (Jaccard over the
+        # same capped space as the self-join form)
+        sizes = (
+            posting.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("sz"))
+        )
+    else:
+        sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     ids = F.col("ids")
     pairs = F.flatten(
         F.transform(
@@ -169,7 +193,6 @@ def jaccard_pairs_postings(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.round(
