@@ -30,6 +30,33 @@ def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRANSCRIPTS_SCHEMA).json(path)
 
 
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned ORC read (Spark's built-in columnar alternative;
+    same pushdown/pruning properties as parquet)."""
+    return spark.read.schema(TRANSCRIPTS_SCHEMA).orc(path)
+
+
+def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-pinned CSV read. Quoting/escaping/whitespace handling
+    pinned explicitly: transcript text contains newlines, quotes and
+    whitespace-only turns, so ``multiLine``, RFC-4180 double-quote
+    escaping and no-trim are all required — silent defaults corrupt turn
+    boundaries or fold whitespace-only text to NULL, exactly the drift
+    the byte-parity test catches. Writers must symmetrically set
+    ignoreLeading/TrailingWhiteSpace=false (the WRITE default trims!)."""
+    return (
+        spark.read.schema(TRANSCRIPTS_SCHEMA)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(path)
+    )
+
+
 def read_transcripts_iceberg(
     spark: SparkSession, table: str, snapshot_id: int | None = None
 ) -> DataFrame:

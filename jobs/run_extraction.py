@@ -21,6 +21,8 @@ def main(argv: list[str] | None = None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="transcripts parquet path")
     src.add_argument("--input-jsonl", help="transcripts JSON-lines path")
+    src.add_argument("--input-orc", help="transcripts ORC path")
+    src.add_argument("--input-csv", help="transcripts CSV path (RFC-4180 quoting)")
     src.add_argument("--iceberg-table", help="Iceberg table name (catalog.db.tbl)")
     p.add_argument("--output", required=True, help="output dir (data/ + _manifest/)")
     p.add_argument("--buckets", type=int, default=64)
@@ -40,8 +42,10 @@ def main(argv: list[str] | None = None) -> int:
         run_extraction_checkpointed,
     )
     from htrtf_spark.sources.transcripts import (
+        read_transcripts_csv,
         read_transcripts_iceberg,
         read_transcripts_jsonl,
+        read_transcripts_orc,
         read_transcripts_parquet,
     )
 
@@ -49,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
         df = read_transcripts_iceberg(spark, args.iceberg_table)
     elif args.input_jsonl:
         df = read_transcripts_jsonl(spark, args.input_jsonl)
+    elif args.input_orc:
+        df = read_transcripts_orc(spark, args.input_orc)
+    elif args.input_csv:
+        df = read_transcripts_csv(spark, args.input_csv)
     else:
         df = read_transcripts_parquet(spark, args.input)
 

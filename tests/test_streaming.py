@@ -349,3 +349,50 @@ def test_event_time_eviction_two_batches(spark, tmp_path):
     # A was evicted by watermark advance; B is still live
     assert list(closed["conv_id"]) == [a]
     assert int(closed["n_turns"].iloc[0]) == int((first["conv_id"] == a).sum())
+
+
+def test_orc_and_csv_sources_match_parquet(spark, tmp_path):
+    """ORC and CSV transcripts (schema-pinned, quote/escape pinned)
+    extract byte-identically to the parquet path — including text with
+    embedded newlines, quotes, and commas."""
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.sources.transcripts import (
+        read_transcripts_csv,
+        read_transcripts_orc,
+    )
+
+    pdf = synth.synth_pandas(n_convs=10, seed=21)
+    # inject CSV-hostile text: embedded newline, quotes, commas
+    pdf.loc[pdf.index[0], "text"] = 'line one\nline "two", with, commas'
+    pdf.loc[pdf.index[1], "text"] = '  spaced, "quoted"\n\nblank  '
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    opath, cpath, ppath = (
+        str(tmp_path / "t.orc"), str(tmp_path / "t.csv"), str(tmp_path / "t.pq")
+    )
+    df.coalesce(2).write.orc(opath)
+    (
+        df.coalesce(1).write.option("header", True)
+        .option("quote", '"').option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(cpath)
+    )
+    df.coalesce(2).write.parquet(ppath)
+
+    cols = ["conv_id", "turn_idx", "mode", "extracted_text", "reject_reason"]
+
+    def run(frame):
+        return (
+            extract_turns(frame, check_schema=False)
+            .select(*cols).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+
+    base = run(spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(ppath))
+    assert len(base) == len(pdf)
+    for got in (run(read_transcripts_orc(spark, opath)),
+                run(read_transcripts_csv(spark, cpath))):
+        for c in cols:
+            assert (
+                got[c].fillna("<N>").values == base[c].fillna("<N>").values
+            ).all(), c
