@@ -258,13 +258,17 @@ def minhash_lsh_pairs(
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """LSH candidates, optionally verified with true Jaccard (both
-    phases computed over cap-filtered shingles)."""
-    cand = lsh_candidates(
-        minhash_signatures(df, id_col, text_col, n, k, max_doc_freq), k, band_width
-    )
+    phases computed over cap-filtered shingles). ONE capped shingle
+    table feeds the signature agg, the per-doc sizes, and both verify
+    join sides — cached once instead of rebuilt per phase."""
+    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    cand = lsh_candidates(grams.groupBy("id").agg(*aggs), k, band_width)
     if min_jaccard_bp is None:
         return cand
-    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     ga = grams.select(F.col("id").alias("id_a"), "ng")
     gb = grams.select(F.col("id").alias("id_b"), "ng")
