@@ -28,10 +28,22 @@ Data files are parquet written by Spark itself (one directory per
 commit), so the write path stays distributed; only the metadata commit
 is driver-side — which is true of Iceberg everywhere.
 
-Limits (documented, not hidden): unpartitioned spec only (spec-id 0,
-no partition fields), null Avro codec, no delete files / row-level
-deletes, no schema evolution after create. Those are additive follow-ups
-on the same layout.
+Identity partitioning + partition evolution: ``partition_by`` columns
+write Hive-layout data files (Spark ``partitionBy`` — the write stays
+distributed), the per-file partition tuple is recorded in the manifest
+entry (spec-typed Avro record, field-ids 1000+), each manifest carries
+its own partition-spec, and an append may introduce a NEW spec
+(evolution) — old manifests keep their old spec, exactly the Iceberg
+model. Reads prune DATA FILES BY MANIFEST PARTITION VALUES before any
+parquet scan (``partition_filter=``) — files under a spec that lacks a
+filtered column are conservatively kept, the correct evolution
+semantics. Identity partition columns are materialized from metadata on
+read (one lit per file group), as Iceberg readers do.
+
+Limits (documented, not hidden): identity transform only (no
+bucket/truncate/days), null Avro codec, no delete files / row-level
+deletes, no schema evolution after create. Those are additive
+follow-ups on the same layout.
 """
 
 from __future__ import annotations
@@ -86,33 +98,65 @@ def _spark_schema(ice_schema: dict) -> T.StructType:
 
 # Avro schema for manifest entries (Iceberg spec "Manifests" table;
 # optional stats columns omitted — they are optional in the spec).
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ],
-}
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+# The ``partition`` record is SPEC-TYPED: one field per partition column
+# (field-ids 1000+), so every manifest entry carries its file's
+# partition tuple — what read-side pruning keys on.
+
+# identity-partitionable Iceberg types and their Avro encodings
+_ICE_TO_AVRO_PART = {"string": "string", "int": "int", "long": "long"}
+
+
+def _partition_record_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    fields = []
+    for pf in spec_fields:
+        src = by_id[pf["source-id"]]
+        avro_t = _ICE_TO_AVRO_PART[src["type"]]
+        fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", avro_t],
+                "field-id": pf["field-id"],
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _data_file_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": _partition_record_schema(spec_fields, ice_schema),
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+
+
+def _manifest_entry_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+            {
+                "name": "data_file",
+                "type": _data_file_schema(spec_fields, ice_schema),
+                "field-id": 2,
+            },
+        ],
+    }
 # Avro schema for manifest-list entries (spec "Manifest Lists").
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -154,23 +198,85 @@ def current_metadata(location: str) -> dict:
 
 
 # ----------------------------------------------------------------- write
-def _write_data_files(df: DataFrame, location: str, seq: int) -> list[dict]:
+def _make_spec(ice_schema: dict, partition_by: list[str], spec_id: int) -> dict:
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    fields = []
+    for i, col in enumerate(partition_by):
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in table schema")
+        if by_name[col]["type"] not in _ICE_TO_AVRO_PART:
+            raise ValueError(
+                f"identity partition on {col!r} needs string/int/long, "
+                f"got {by_name[col]['type']}"
+            )
+        fields.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return {"spec-id": spec_id, "fields": fields}
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_part_value(raw: str, ice_type: str):
+    from urllib.parse import unquote
+
+    if raw == _HIVE_NULL:
+        return None
+    return int(raw) if ice_type in ("int", "long") else unquote(raw)
+
+
+def _write_data_files(
+    df: DataFrame,
+    location: str,
+    seq: int,
+    spec_fields: list[dict] | None = None,
+    ice_schema: dict | None = None,
+) -> list[dict]:
     """Distributed parquet write for one commit; returns data_file records
-    (path, record_count from the parquet footer, size)."""
+    (path, record_count from the parquet footer, size, partition tuple).
+    Partitioned commits use Spark's Hive-layout ``partitionBy`` (still
+    fully distributed) and parse each file's partition values from its
+    path into the manifest entry."""
     import pyarrow.parquet as pq
 
     commit_dir = os.path.join(
         location, "data", f"commit-{seq:05d}-{uuid.uuid4().hex[:8]}"
     )
-    df.write.mode("error").parquet(commit_dir)
+    part_cols = [pf["name"] for pf in spec_fields or []]
+    if part_cols:
+        df.write.mode("error").partitionBy(*part_cols).parquet(commit_dir)
+        pattern = os.path.join(commit_dir, *["*"] * len(part_cols), "*.parquet")
+    else:
+        df.write.mode("error").parquet(commit_dir)
+        pattern = os.path.join(commit_dir, "*.parquet")
+    types = (
+        {f["name"]: f["type"] for f in ice_schema["fields"]} if ice_schema else {}
+    )
     entries = []
-    for p in sorted(glob.glob(os.path.join(commit_dir, "*.parquet"))):
+    for p in sorted(glob.glob(pattern)):
+        partition: dict = {}
+        if part_cols:
+            rel = os.path.relpath(p, commit_dir).split(os.sep)[:-1]
+            for col, seg in zip(part_cols, rel):
+                name, _, raw = seg.partition("=")
+                if name != col:
+                    raise ValueError(
+                        f"unexpected partition path segment {seg!r} "
+                        f"(expected column {col!r})"
+                    )
+                partition[col] = _parse_part_value(raw, types[col])
         entries.append(
             {
                 "content": 0,  # DATA
                 "file_path": os.path.abspath(p),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": partition,
                 "record_count": pq.ParquetFile(p).metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(p),
             }
@@ -183,15 +289,19 @@ def _commit(
     ice_schema: dict,
     data_files: list[dict],
     prev_meta: dict | None,
+    spec: dict | None = None,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
     version file is the atomic commit point (written last), and
-    version-hint.text then points readers at it."""
+    version-hint.text then points readers at it. ``spec`` is this
+    commit's partition spec (manifests keep their own spec forever —
+    that is what makes evolution safe)."""
     meta_dir = _meta_dir(location)
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
 
+    spec = spec or {"spec-id": 0, "fields": []}
     seq = (prev_meta["last-sequence-number"] + 1) if prev_meta else 1
     snapshot_id = seq  # deterministic, unique per table
     parent_id = prev_meta["current-snapshot-id"] if prev_meta else None
@@ -211,12 +321,12 @@ def _commit(
     ]
     avro_write(
         manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(spec["fields"], ice_schema),
         entries,
         file_meta={
             "schema": json.dumps(ice_schema),
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec": json.dumps(spec["fields"]),
+            "partition-spec-id": str(spec["spec-id"]),
             "format-version": "2",
             "content": "data",
         },
@@ -225,7 +335,7 @@ def _commit(
     new_manifest = {
         "manifest_path": os.path.abspath(manifest_path),
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec["spec-id"],
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -280,9 +390,11 @@ def _commit(
             "last-column-id": len(ice_schema["fields"]),
             "current-schema-id": 0,
             "schemas": [ice_schema],
-            "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "default-spec-id": spec["spec-id"],
+            "partition-specs": [spec],
+            "last-partition-id": max(
+                [999] + [f["field-id"] for f in spec["fields"]]
+            ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
@@ -298,6 +410,16 @@ def _commit(
         with open(_version_hint(location)) as fh:
             version = int(fh.read().strip()) + 1
         meta = dict(prev_meta)
+        known_specs = {s["spec-id"]: s for s in prev_meta["partition-specs"]}
+        if spec["spec-id"] not in known_specs:
+            # partition evolution: register the new spec; prior
+            # manifests keep referencing theirs
+            meta["partition-specs"] = prev_meta["partition-specs"] + [spec]
+            meta["last-partition-id"] = max(
+                [prev_meta["last-partition-id"]]
+                + [f["field-id"] for f in spec["fields"]]
+            )
+        meta["default-spec-id"] = spec["spec-id"]
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snapshot_id
@@ -324,18 +446,29 @@ def _commit(
     return snapshot_id
 
 
-def write_iceberg_table(df: DataFrame, location: str) -> int:
-    """Create an Iceberg v2 table at ``location`` from ``df`` (snapshot 1).
-    Fails if the table already exists."""
+def write_iceberg_table(
+    df: DataFrame, location: str, partition_by: list[str] | None = None
+) -> int:
+    """Create an Iceberg v2 table at ``location`` from ``df`` (snapshot 1),
+    optionally identity-partitioned. Fails if the table already exists."""
     if os.path.exists(_version_hint(location)):
         raise FileExistsError(f"Iceberg table already exists at {location}")
     ice_schema = _iceberg_schema(df.schema)
-    files = _write_data_files(df, location, seq=1)
-    return _commit(location, ice_schema, files, prev_meta=None)
+    spec = _make_spec(ice_schema, partition_by or [], spec_id=0)
+    files = _write_data_files(
+        df, location, seq=1, spec_fields=spec["fields"], ice_schema=ice_schema
+    )
+    return _commit(location, ice_schema, files, prev_meta=None, spec=spec)
 
 
-def append_iceberg_table(df: DataFrame, location: str) -> int:
-    """Append ``df`` as a new snapshot; schema must match the table's."""
+def append_iceberg_table(
+    df: DataFrame, location: str, partition_by: list[str] | None = None
+) -> int:
+    """Append ``df`` as a new snapshot; schema must match the table's.
+    ``partition_by=None`` keeps the table's current default spec; a
+    DIFFERENT column list is partition evolution — a new spec-id is
+    registered and becomes the default, while existing manifests keep
+    their original spec (no data rewrite, the Iceberg model)."""
     meta = current_metadata(location)
     ice_schema = meta["schemas"][meta["current-schema-id"]]
     want = _spark_schema(ice_schema)
@@ -350,8 +483,22 @@ def append_iceberg_table(df: DataFrame, location: str) -> int:
             f"append schema mismatch: table={want_n.simpleString()} "
             f"df={got.simpleString()}"
         )
-    files = _write_data_files(df, location, seq=meta["last-sequence-number"] + 1)
-    return _commit(location, ice_schema, files, prev_meta=meta)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if partition_by is None:
+        spec = specs[meta["default-spec-id"]]
+    else:
+        match = [
+            s for s in specs.values()
+            if [f["name"] for f in s["fields"]] == list(partition_by)
+        ]
+        spec = match[0] if match else _make_spec(
+            ice_schema, list(partition_by), spec_id=max(specs) + 1
+        )
+    files = _write_data_files(
+        df, location, seq=meta["last-sequence-number"] + 1,
+        spec_fields=spec["fields"], ice_schema=ice_schema,
+    )
+    return _commit(location, ice_schema, files, prev_meta=meta, spec=spec)
 
 
 # ------------------------------------------------------------------ read
@@ -367,30 +514,86 @@ def snapshot_ids(location: str) -> list[int]:
 
 
 def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]:
-    """Data-file records visible at a snapshot (default: current)."""
+    """Data-file records visible at a snapshot (default: current), each
+    annotated with ``_spec_cols`` — the partition column names of the
+    manifest's spec (evolution-aware: per manifest, not per table)."""
     meta = current_metadata(location)
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _find_snapshot(meta, sid)
     _, _, manifests = avro_read(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
-        _, _, entries = avro_read(m["manifest_path"])
+        _, mmeta, entries = avro_read(m["manifest_path"])
+        spec_cols = [f["name"] for f in json.loads(mmeta.get("partition-spec", "[]"))]
         for e in entries:
             if e["status"] != _DELETED:
-                files.append(e["data_file"])
+                rec = dict(e["data_file"])
+                rec["_spec_cols"] = spec_cols
+                files.append(rec)
     return files
 
 
 def read_iceberg_table(
-    spark: SparkSession, location: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the manifest-listed live files, with
     the table schema pinned from metadata (no parquet inference drift).
-    ``snapshot_id`` time-travels to any committed snapshot."""
+    ``snapshot_id`` time-travels to any committed snapshot.
+
+    ``partition_filter`` maps column → value or collection of values:
+    data files are pruned FROM THE MANIFESTS (no parquet footer is even
+    opened for a pruned file — the 400k-files-at-100TB path). Files
+    written under a spec that does not partition by a filtered column
+    are kept (cannot prune what was not partitioned) and the residual
+    predicate is applied to them as a plain filter, so the result is
+    exact across partition evolution. Identity partition columns are
+    materialized from manifest metadata (one lit per file group),
+    mirroring native Iceberg readers."""
+    from pyspark.sql import functions as F
+
     meta = current_metadata(location)
     ice_schema = meta["schemas"][meta["current-schema-id"]]
-    files = [f["file_path"] for f in live_data_files(location, snapshot_id)]
     schema = _spark_schema(ice_schema)
-    if not files:
+    pf = {
+        k: set(v) if isinstance(v, (list, tuple, set, frozenset)) else {v}
+        for k, v in (partition_filter or {}).items()
+    }
+    unknown = set(pf) - {f["name"] for f in ice_schema["fields"]}
+    if unknown:
+        raise ValueError(f"partition_filter on unknown columns: {sorted(unknown)}")
+
+    # group live files by (spec partition tuple); prune by the filter
+    groups: dict[tuple, list[str]] = {}
+    for rec in live_data_files(location, snapshot_id):
+        cols = rec["_spec_cols"]
+        vals = tuple((c, rec["partition"].get(c)) for c in cols)
+        if any(
+            c in pf and rec["partition"].get(c) not in pf[c] for c in cols
+        ):
+            continue  # manifest-level prune
+        groups.setdefault(vals, []).append(rec["file_path"])
+
+    if not groups:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    parts = []
+    by_name = {f.name: f for f in schema.fields}
+    for vals, paths in sorted(groups.items()):
+        part_cols = [c for c, _v in vals]
+        file_schema = T.StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        df = spark.read.schema(file_schema).parquet(*paths)
+        for c, v in vals:
+            df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # residual predicate for files from non-partitioned (or differently
+    # partitioned) specs that survived the manifest prune
+    for c, wanted in pf.items():
+        out = out.filter(F.col(c).isin(*wanted))
+    return out

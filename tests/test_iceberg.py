@@ -218,3 +218,85 @@ def test_checkpointed_job_over_iceberg(spark, tmp_path):
 
     direct = extract_turns(tr, check_schema=True)
     assert _collect(got.select(*direct.columns)) == _collect(direct)
+
+
+def test_partitioned_create_prune_and_materialize(spark, transcripts_df, tmp_path):
+    """Identity partitioning: Hive-layout distributed write, partition
+    values recorded per manifest entry, manifest-level file pruning (the
+    pruned files never reach the scan — checked via inputFiles), and
+    partition columns materialized from metadata."""
+    loc = str(tmp_path / "ptbl")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+
+    # manifest entries carry typed partition tuples
+    files = I.live_data_files(loc)
+    assert files and all(f["_spec_cols"] == ["role"] for f in files)
+    roles = {f["partition"]["role"] for f in files}
+    assert roles == {"user", "assistant"}
+
+    # full read equals the source (partition col materialized from meta)
+    back = I.read_iceberg_table(spark, loc)
+    assert back.schema.fieldNames() == transcripts_df.schema.fieldNames()
+    assert _collect(back) == _collect(transcripts_df)
+
+    # pruned read: only user-partition files are scanned
+    pruned = I.read_iceberg_table(spark, loc, partition_filter={"role": "user"})
+    assert _collect(pruned) == _collect(transcripts_df.filter("role = 'user'"))
+    user_files = {f["file_path"] for f in files if f["partition"]["role"] == "user"}
+
+    def _norm(uri):
+        return uri.removeprefix("file://")
+
+    assert {_norm(p) for p in pruned.inputFiles()} <= user_files
+    assert len(pruned.inputFiles()) < len(files)
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        I.read_iceberg_table(spark, loc, partition_filter={"nope": 1})
+
+
+def test_partition_evolution(spark, transcripts_df, tmp_path):
+    """Spec evolution: a table created unpartitioned gains a partitioned
+    default spec on append; old manifests keep spec 0, reads stay exact
+    (residual filter on unpruned old files), and new-spec files prune."""
+    loc = str(tmp_path / "etbl")
+    I.write_iceberg_table(transcripts_df, loc)  # spec 0: unpartitioned
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-g2"))
+    )
+    I.append_iceberg_table(extra, loc, partition_by=["role"])  # spec 1
+
+    meta = I.current_metadata(loc)
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    assert meta["default-spec-id"] == 1
+
+    # per-manifest specs: old files unpartitioned, new files role-typed
+    files = I.live_data_files(loc)
+    spec_sets = {tuple(f["_spec_cols"]) for f in files}
+    assert spec_sets == {(), ("role",)}
+
+    both = transcripts_df.unionByName(extra)
+    assert _collect(I.read_iceberg_table(spark, loc)) == _collect(both)
+
+    # filtered read is exact across both specs: new-spec files prune at
+    # the manifest, old-spec files pass through the residual filter
+    got = I.read_iceberg_table(spark, loc, partition_filter={"role": "user"})
+    assert _collect(got) == _collect(both.filter("role = 'user'"))
+    # at least the non-user new-spec files were never scanned
+    new_nonuser = {
+        f["file_path"] for f in files
+        if f["_spec_cols"] == ["role"] and f["partition"]["role"] != "user"
+    }
+    scanned = {p.removeprefix("file://") for p in got.inputFiles()}
+    assert not (scanned & new_nonuser)
+
+    # keeping the default spec on plain append still partitions
+    I.append_iceberg_table(
+        transcripts_df.withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("-g3"))
+        ),
+        loc,
+    )
+    files3 = I.live_data_files(loc)
+    assert sum(1 for f in files3 if f["_spec_cols"] == ["role"]) > sum(
+        1 for f in files if f["_spec_cols"] == ["role"]
+    )
