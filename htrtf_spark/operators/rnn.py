@@ -133,6 +133,9 @@ def ctc_loss(log_probs: np.ndarray, targets: np.ndarray, blank: int) -> float:
     label sequence (merge-repeated semantics). log_probs: [T, C] already
     log-softmaxed; targets: [L] label ids."""
     t_len = log_probs.shape[0]
+    if t_len == 0:
+        # zero frames: only the empty labeling has probability 1
+        return 0.0 if len(targets) == 0 else float("inf")
     ext = np.full(2 * len(targets) + 1, blank, dtype=np.int64)
     ext[1::2] = targets
     s_len = len(ext)

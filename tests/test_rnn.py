@@ -151,3 +151,9 @@ def test_net_decode_stage_vs_local(spark, tmp_path):
         assert r["decoded"] == "".join(charset[i] for i in seq)
         assert r["t_frames"] == logits.shape[0]
         assert r["logit_sum_bp"] == int(round(float(logits.sum()) * 1e4))
+
+
+def test_ctc_loss_zero_frames():
+    lp = np.zeros((0, 3))
+    assert rnn.ctc_loss(lp, np.array([], dtype=np.int64), 2) == 0.0
+    assert rnn.ctc_loss(lp, np.array([0]), 2) == math.inf
