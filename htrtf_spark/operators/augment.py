@@ -258,7 +258,7 @@ def augment_map_in_pandas(seed: int = 0, prob: float = 0.5,
     driver's convention) → D7 distort with a per-row seeded RNG → D8 pack
     → re-encode. Emits integer ink mass before/after for lineage, and
     the packed augmented image as PNG bytes."""
-    from htrtf_spark.operators.png_io import decode_png, encode_png
+    from htrtf_spark.operators.png_io import decode_png, encode_png, to_gray
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -268,12 +268,10 @@ def augment_map_in_pandas(seed: int = 0, prob: float = 0.5,
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    img = decode_png(raw)
+                    img = to_gray(decode_png(raw))
                 except (ValueError, OSError, zlib.error):
                     continue
-                if img.ndim == 3:
-                    img = (img.astype(np.int64).sum(axis=2) // img.shape[2]).astype(np.uint8)
-                inv = (255 - img.astype(np.int64)).astype(np.uint8)
+                inv = (255 - img).astype(np.uint8)
                 rs = _row_rng(seed, int(mid))
                 aug = distort(inv, rs, prob)
                 h, w = aug.shape
@@ -314,7 +312,7 @@ def deterministic_augment_map_in_pandas(ty: int = 2, tx: int = 3):
     by an external SQL engine. The randomized path shares every
     primitive with this one (same warp/morph code, p=1 and fixed
     draws), so a hash match here certifies the machinery."""
-    from htrtf_spark.operators.png_io import decode_png
+    from htrtf_spark.operators.png_io import decode_png, to_gray
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -323,10 +321,10 @@ def deterministic_augment_map_in_pandas(ty: int = 2, tx: int = 3):
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    img = decode_png(raw)
+                    img = to_gray(decode_png(raw))
                 except (ValueError, OSError, zlib.error):
                     continue
-                inv = (255 - img.astype(np.int64)).astype(np.uint8)
+                inv = (255 - img).astype(np.uint8)
                 mat = np.array([[1.0, 0.0, float(tx)], [0.0, 1.0, float(ty)]])
                 shifted = affine_warp(inv, mat, interp="nearest")
                 dil = _morph(shifted, np.ones((3, 3), dtype=bool), "max")

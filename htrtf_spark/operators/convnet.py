@@ -190,7 +190,7 @@ def featurize_conv_map_in_pandas(bc_params, spec=None):
     an exact-integer probe through the SAME conv code: an all-ones
     3×3 kernel over the raw inverted uint8 image — every value integer,
     recomputable externally, so the conv arithmetic itself is gated."""
-    from htrtf_spark.operators.png_io import decode_png, normalize
+    from htrtf_spark.operators.png_io import decode_png, normalize, to_gray
 
     ones_k = np.ones((3, 3, 1, 1), dtype=np.float32)
     zero_b = np.zeros(1, dtype=np.float32)
@@ -212,7 +212,9 @@ def featurize_conv_map_in_pandas(bc_params, spec=None):
                 h, w = img.shape
                 fmap, oh, ow = conv_stack(img, params, spec)
                 feat = fmap.mean(axis=(0, 1)).astype(np.float32)
-                inv = (255.0 - dec.astype(np.float64))[:, :, None]
+                # fold RGB before the integer probe (decode_png can
+                # return [H, W, 3]); grey passes through unchanged
+                inv = (255.0 - to_gray(dec).astype(np.float64))[:, :, None]
                 box = conv2d_same(inv, ones_k, zero_b)
                 out["media_id"].append(int(mid))
                 out["height"].append(h)

@@ -29,6 +29,10 @@ DEFAULT_BAND_WIDTH = 2
 # shingle). Callers must pass max_doc_freq=None explicitly to disable.
 DEFAULT_MAX_DOC_FREQ = 1000
 
+# stop lists up to this size are inlined as a NOT-IN literal; beyond it
+# the broadcast anti join takes over (same semantics, no plan blow-up)
+STOP_LIST_INLINE_MAX = 10_000
+
 
 def tokens(text_col: str) -> F.Column:
     return F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
@@ -56,24 +60,33 @@ def shingle_table(
     frequency exceeds ``max_doc_freq`` are dropped (the web-scale fan-out
     guard — ON by default, pass None to disable explicitly).
 
-    Scale shape: the DROP list (df > cap) is tiny by construction — only
-    boilerplate shingles clear a high-df bar — so it is broadcast and
-    removed with a broadcast LEFT ANTI join. (Semi-joining the keep-list
+    Scale shape: the DROP list (df > cap) is small by construction —
+    only boilerplate shingles clear a high-df bar — so it is removed as
+    an inlined NOT-IN literal (≤ STOP_LIST_INLINE_MAX entries) or, past
+    that bound, a broadcast LEFT ANTI join. (Semi-joining the keep-list
     would shuffle/broadcast nearly the whole shingle vocabulary.)
     """
     g = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng"))
     if max_doc_freq is not None:
-        # cache the RAW posting table: it feeds both the df-count agg
-        # (stop detection) and the anti join below — uncached, the
-        # expensive word-ngram transform runs twice (measured ~0.5 s at
-        # bench scale; same lesson as the caller-side cache note)
-        g = g.cache()
-        stop = (
+        # the stop list is SMALL by construction (only boilerplate
+        # shingles clear a high-df bar): collect it eagerly and inline
+        # it as a NOT-IN literal — one extra job, but no lingering
+        # .cache() of the full posting table (the largest intermediate
+        # of the pipeline) pinned across a long session, and no
+        # recompute of the ngram transform for an anti-join build side.
+        # If the list ever exceeds the inline bound (possible at web
+        # scale with a low cap), fall back to the broadcast anti join,
+        # whose build side is that same bounded-small frame.
+        stop_df = (
             g.groupBy("ng").agg(F.count("*").alias("df_"))
             .filter(F.col("df_") > max_doc_freq)
             .select("ng")
         )
-        g = g.join(F.broadcast(stop), "ng", "left_anti")
+        head = stop_df.head(STOP_LIST_INLINE_MAX + 1)
+        if len(head) > STOP_LIST_INLINE_MAX:
+            g = g.join(F.broadcast(stop_df), "ng", "left_anti")
+        elif head:
+            g = g.filter(~F.col("ng").isin([r["ng"] for r in head]))
     return g
 
 

@@ -181,13 +181,11 @@ def image_stats_map_in_pandas(
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
             raw = bytes(payload) if payload is not None else b""
             try:
-                from htrtf_spark.operators.png_io import decode_png
+                from htrtf_spark.operators.png_io import decode_png, to_gray
 
-                img = decode_png(raw).astype(np.int64)
+                img = to_gray(decode_png(raw))
             except (ValueError, OSError, zlib.error):
                 continue
-            if img.ndim == 3:
-                img = img.sum(axis=2) // img.shape[2]
             h, w = img.shape
             s = int((255 - img).sum())
             n_px = h * w

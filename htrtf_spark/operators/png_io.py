@@ -136,11 +136,19 @@ def decode_png(data: bytes) -> np.ndarray:
     return _unfilter(raw, h, w, channels)
 
 
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """Fold an RGB [H, W, C] image to grey [H, W] by integer channel
+    mean (exact-integer arithmetic so SQL oracles can recompute it);
+    already-grey input passes through. The ONE definition every stage
+    must use — decode_png can return either shape."""
+    arr = np.asarray(img, dtype=np.int64)
+    if arr.ndim == 3:
+        arr = arr.sum(axis=2) // arr.shape[2]
+    return arr
+
+
 def normalize(img: np.ndarray) -> np.ndarray:
     """Reference normalization: ``(255 - img) / 255`` (ink=1, paper=0),
     exactly /root/reference/Modules/utils.py:184-186. RGB is folded to
     grey first by integer mean."""
-    arr = np.asarray(img, dtype=np.int64)
-    if arr.ndim == 3:
-        arr = arr.sum(axis=2) // arr.shape[2]
-    return ((255 - arr) / 255.0).astype(np.float32)
+    return ((255 - to_gray(img)) / 255.0).astype(np.float32)

@@ -17,14 +17,18 @@ deterministically from a seed so results are reproducible cluster-wide.
 
 from __future__ import annotations
 
+import glob
 import math
+import os
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Rows of the broadcast side collected per chunk in the exact all-pairs
-# block product: 250k × 64-dim float64 ≈ 128 MB per chunk in driver +
-# executor memory, independent of total corpus size.
+# Arrow rows streamed per side chunk in the exact all-pairs block
+# product: 250k × 64-dim float64 ≈ 128 MB per task while scoring,
+# independent of total corpus size.
 DEFAULT_SIDE_CHUNK_ROWS = 250_000
 
 
@@ -49,6 +53,7 @@ def block_matmul_near_pairs(
     min_sim_bp: int,
     id_out: tuple[str, str] = ("id_a", "id_b"),
     side_chunk_rows: int = DEFAULT_SIDE_CHUNK_ROWS,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine near neighbors above a basis-point threshold,
     as a chunked block matrix product: each Arrow batch of rows computes
@@ -58,16 +63,21 @@ def block_matmul_near_pairs(
 
     This is the distributed block-nested-loop shape for exact scoring:
     work is O(n^2 / executors) with each task touching its row block once
-    per side chunk. The broadcast side is collected in fixed-size id-range
-    CHUNKS of ``side_chunk_rows`` rows (never the whole table in the
-    driver): each chunk is broadcast, one narrow mapInPandas pass scores
-    row_block @ chunk.T, and the per-chunk pair outputs are unioned.
-    Chunks partition the id_b space, so the union is exact and
-    duplicate-free. Driver/executor peak memory is one chunk
-    (dim × side_chunk_rows × 8 bytes), independent of corpus size; the
-    scan count grows as n / side_chunk_rows — past a few chunks the
+    per side chunk. The side matrix is MATERIALIZED ONCE by a distributed
+    parquet write (no driver collect, no broadcast pinning every chunk for
+    the job's lifetime); each task then STREAMS it back in
+    ``side_chunk_rows``-row Arrow chunks and scores row_block @ chunk.T.
+    Peak memory per task is one input batch + one side chunk
+    (dim × side_chunk_rows × 8 bytes), independent of corpus size, and
+    the driver never holds vector data at all. The side scan count grows
+    as (input batches × n / side_chunk_rows) — past a few chunks the
     sub-linear paths (``lsh_topk`` / ``ivf_topk``, recall-checked against
     this operator) are the right tool.
+
+    ``scratch_dir``: where the side matrix is staged. Defaults to a local
+    tempdir (correct for local[*] and tests); on a multi-node cluster
+    pass a shared-filesystem path (HDFS/S3), as with any spill-to-storage
+    operator.
 
     Float parity: raw float64 dot products divided by the norm product,
     rounded half-up to basis points — the same association order as the
@@ -81,67 +91,59 @@ def block_matmul_near_pairs(
     base = vecs.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # ids only (8 bytes/row) — the boundary plan, not the vector payload
-    ids_sorted = np.sort(
-        base.select("id").toPandas()["id"].to_numpy()
-    )
     id_a, id_b = id_out
     out_schema = f"{id_a} long, {id_b} long, sim_bp long"
-    sc = vecs.sparkSession.sparkContext
 
-    def chunk_pass(lo, hi):
-        side = (
-            base.filter(F.col("id").between(int(lo), int(hi)))
-            .orderBy("id")
-            .toPandas()
-        )
-        ids_chunk = side["id"].to_numpy()
-        mat = np.stack(side["v"].to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        bvar = sc.broadcast((ids_chunk, mat, norms))
+    side_dir = os.path.join(
+        scratch_dir or tempfile.mkdtemp(prefix="htrtf_blockmm_"),
+        f"side-{uuid.uuid4().hex[:8]}",
+    )
+    base.write.parquet(side_dir)
+    side_files = tuple(sorted(glob.glob(os.path.join(side_dir, "*.parquet"))))
 
-        def gen(batches):
-            ids_b, m_b, n_b = bvar.value
-            m_bt = np.ascontiguousarray(m_b.T)
-            for pin in batches:
-                if not len(pin):
-                    continue
-                a = np.stack(pin["v"].to_numpy()).astype(np.float64)
-                na = np.sqrt(np.einsum("ij,ij->i", a, a))
-                a_ids = pin["id"].to_numpy()
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = (a @ m_bt) / np.outer(na, n_b)
-                    x = sims * 10000.0
-                    # HALF_UP = half away from zero (matches F.round /
-                    # DuckDB ROUND); plain floor(x+.5) would differ at
-                    # negative .5; NaN propagates through either branch
-                    bp = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
-                mask = (ids_b[None, :] > a_ids[:, None]) & (
-                    bp >= float(min_sim_bp)
-                )
-                ai, bj = np.nonzero(mask)
-                yield pd.DataFrame(
-                    {
-                        id_a: a_ids[ai],
-                        id_b: ids_b[bj],
-                        "sim_bp": bp[ai, bj].astype(np.int64),
-                    }
-                )
+    def gen(batches):
+        import pyarrow.parquet as pq
 
-        # left-side prune: a pair needs id_a < id_b ≤ hi, so rows with
-        # id_a ≥ hi can never match anything in this chunk
-        return base.filter(F.col("id") < int(hi)).mapInPandas(
-            gen, schema=out_schema
-        )
+        for pin in batches:
+            if not len(pin):
+                continue
+            a = np.stack(pin["v"].to_numpy()).astype(np.float64)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            a_ids = pin["id"].to_numpy()
+            for path in side_files:
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=side_chunk_rows):
+                    side = rb.to_pandas()
+                    ids_b = side["id"].to_numpy()
+                    # pair needs id_a < id_b: skip chunks entirely below
+                    # this input block's id range
+                    if int(ids_b.max()) <= int(a_ids.min()):
+                        continue
+                    m_b = np.stack(side["v"].to_numpy()).astype(np.float64)
+                    n_b = np.sqrt(np.einsum("ij,ij->i", m_b, m_b))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        sims = (a @ m_b.T) / np.outer(na, n_b)
+                        x = sims * 10000.0
+                        # HALF_UP = half away from zero (matches F.round
+                        # / DuckDB ROUND); plain floor(x+.5) would differ
+                        # at negative .5; NaN propagates either branch
+                        bp = np.where(
+                            x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+                        )
+                    mask = (ids_b[None, :] > a_ids[:, None]) & (
+                        bp >= float(min_sim_bp)
+                    )
+                    ai, bj = np.nonzero(mask)
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                id_a: a_ids[ai],
+                                id_b: ids_b[bj],
+                                "sim_bp": bp[ai, bj].astype(np.int64),
+                            }
+                        )
 
-    out = None
-    for start in range(0, len(ids_sorted), side_chunk_rows):
-        chunk_ids = ids_sorted[start : start + side_chunk_rows]
-        part = chunk_pass(chunk_ids[0], chunk_ids[-1])
-        out = part if out is None else out.unionByName(part)
-    if out is None:  # empty input
-        return vecs.sparkSession.createDataFrame([], schema=out_schema)
-    return out
+    return base.mapInPandas(gen, schema=out_schema)
 
 
 def block_matmul_topk(

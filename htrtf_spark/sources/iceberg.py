@@ -580,7 +580,13 @@ def read_iceberg_table(
         return spark.createDataFrame([], schema)
     parts = []
     by_name = {f.name: f for f in schema.fields}
-    for vals, paths in sorted(groups.items()):
+    # None partition values (__HIVE_DEFAULT_PARTITION__) sort first —
+    # plain tuple sort would TypeError comparing None with str/int
+    def _group_key(item):
+        vals, _paths = item
+        return tuple((c, v is not None, "" if v is None else str(v)) for c, v in vals)
+
+    for vals, paths in sorted(groups.items(), key=_group_key):
         part_cols = [c for c, _v in vals]
         file_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_cols]
@@ -593,7 +599,14 @@ def read_iceberg_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     # residual predicate for files from non-partitioned (or differently
-    # partitioned) specs that survived the manifest prune
+    # partitioned) specs that survived the manifest prune. NULL needs an
+    # explicit isNull branch — isin() never matches NULL under SQL
+    # three-valued logic, which would silently drop the null-partition
+    # rows the manifest prune correctly kept.
     for c, wanted in pf.items():
-        out = out.filter(F.col(c).isin(*wanted))
+        non_null = [v for v in wanted if v is not None]
+        cond = F.col(c).isin(*non_null) if non_null else F.lit(False)
+        if None in wanted:
+            cond = cond | F.col(c).isNull()
+        out = out.filter(cond)
     return out

@@ -134,7 +134,11 @@ def make_event_time_updater(gap_ms: int):
             if pd.notna(batch_max):
                 max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
         state.update((n_turns, n_rejected, total_chars, max_ts_ms))
-        state.setTimeoutTimestamp(max_ts_ms + gap_ms)
+        # only arm the timer once a real event timestamp has been seen:
+        # with all-NULL ts, max_ts_ms is still 0 and Spark rejects a
+        # 1970 timeout as not later than the watermark, killing the query
+        if max_ts_ms > 0:
+            state.setTimeoutTimestamp(max_ts_ms + gap_ms)
         yield from emit(n_turns, n_rejected, total_chars, False)
 
     return update

@@ -115,3 +115,43 @@ def test_featurize_conv_end_to_end(spark, tmp_path):
         cr = np.full(h, 3); cr[[0, -1]] = 2
         cc = np.full(w, 3); cc[[0, -1]] = 2
         assert r["box_sum"] == int((inv * np.outer(cr, cc)).sum())
+
+
+def test_featurize_conv_rgb_payload(spark, tmp_path):
+    """Truecolor PNGs (decode_png returns [H,W,3]) must flow through the
+    conv featurizer via the shared grey fold — not crash the stage."""
+    import struct
+    import zlib as _z
+
+    from htrtf_spark.operators.png_io import _chunk, _SIG, to_gray
+
+    rs = np.random.RandomState(9)
+    img = rs.randint(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(10))
+    ihdr = struct.pack(">IIBBBBB", 12, 10, 8, 2, 0, 0, 0)
+    png = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", _z.compress(raw)) + _chunk(b"IEND", b"")
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0],
+            "kind": ["image"],
+            "payload": [bytearray(png)],
+            "width": [12],
+            "height": [10],
+            "duration_ms": [None],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    params = convnet.synth_params(seed=5)
+    pdir = str(tmp_path / "rgbp")
+    convnet.write_params(spark, params, pdir)
+    rows = convnet.featurize_conv(media, pdir).collect()
+    assert len(rows) == 1
+    grey = to_gray(img)
+    h, w = grey.shape
+    cr = np.full(h, 3); cr[[0, -1]] = 2
+    cc = np.full(w, 3); cc[[0, -1]] = 2
+    inv = 255 - grey
+    assert rows[0]["box_sum"] == int((inv * np.outer(cr, cc)).sum())

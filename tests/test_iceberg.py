@@ -300,3 +300,31 @@ def test_partition_evolution(spark, transcripts_df, tmp_path):
     assert sum(1 for f in files3 if f["_spec_cols"] == ["role"]) > sum(
         1 for f in files if f["_spec_cols"] == ["role"]
     )
+
+
+def test_partitioned_null_values(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) roundtrip:
+    reads don't crash on mixed None/str group sort, and a None in
+    partition_filter matches the null-partition rows (isNull branch,
+    not the never-matching isin)."""
+    rows = [
+        ("conv-a", 0, "user", "hello", None, "2024-01-01 00:00:00"),
+        ("conv-b", 0, None, "ghost role", None, "2024-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    loc = str(tmp_path / "ntbl")
+    I.write_iceberg_table(df, loc, partition_by=["role"])
+
+    files = I.live_data_files(loc)
+    assert {f["partition"]["role"] for f in files} == {"user", None}
+
+    assert _collect(I.read_iceberg_table(spark, loc)) == _collect(df)
+    got = I.read_iceberg_table(spark, loc, partition_filter={"role": [None]})
+    assert _collect(got) == _collect(df.filter(F.col("role").isNull()))
+    both = I.read_iceberg_table(
+        spark, loc, partition_filter={"role": [None, "user"]}
+    )
+    assert _collect(both) == _collect(df)
