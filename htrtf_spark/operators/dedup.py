@@ -113,6 +113,26 @@ def stop_shingle_stats(
     )
 
 
+def _cap_cached(raw: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Apply the stop-shingle cap to an ALREADY-CACHED raw posting table:
+    the df-count action populates the cache, the returned filter reads
+    it — so the whole capped pipeline costs one ngram explode and one
+    caller-owned cache (no second cache, no second explode)."""
+    if max_doc_freq is None:
+        return raw
+    stop_df = (
+        raw.groupBy("ng").agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("ng")
+    )
+    head = stop_df.head(STOP_LIST_INLINE_MAX + 1)
+    if len(head) > STOP_LIST_INLINE_MAX:
+        return raw.join(F.broadcast(stop_df), "ng", "left_anti")
+    if head:
+        return raw.filter(~F.col("ng").isin([r["ng"] for r in head]))
+    return raw
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: (fp, rep_id, n_copies)."""
     return (
@@ -133,7 +153,10 @@ def jaccard_pairs(
     """Near-dup pairs (id_a, id_b, jaccard_bp) via inverted-index join.
     The stop-shingle cap is active by default (DEFAULT_MAX_DOC_FREQ);
     pass ``max_doc_freq=None`` to opt out explicitly."""
-    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
+    # one caller-owned cache of the RAW posting table; the stop-list agg
+    # populates it and the capped filter reads it — one explode total
+    raw = shingle_table(df, id_col, text_col, n, max_doc_freq=None).cache()
+    grams = _cap_cached(raw, max_doc_freq)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -271,10 +294,11 @@ def minhash_lsh_pairs(
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """LSH candidates, optionally verified with true Jaccard (both
-    phases computed over cap-filtered shingles). ONE capped shingle
-    table feeds the signature agg, the per-doc sizes, and both verify
-    join sides — cached once instead of rebuilt per phase."""
-    grams = shingle_table(df, id_col, text_col, n, max_doc_freq).cache()
+    phases computed over cap-filtered shingles). ONE cached raw shingle
+    table feeds the stop-list agg, the signature agg, the per-doc sizes,
+    and both verify join sides — one explode, one caller-owned cache."""
+    raw = shingle_table(df, id_col, text_col, n, max_doc_freq=None).cache()
+    grams = _cap_cached(raw, max_doc_freq)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
         for i in range(k)
