@@ -61,6 +61,7 @@ _RUN_FIRST = [
     "q71_conv_featurize",
     "q72_net_decode",
     "q73_mdlstm_features",
+    "q74_iceberg_dedup_apply",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",
     "q40_lsh_ann_topk",

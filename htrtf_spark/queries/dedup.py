@@ -6,6 +6,8 @@ hashing (md5 strings + lexicographic MIN) in pure SQL.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+
 from htrtf_spark.operators import dedup as D
 from htrtf_spark.queries.util import t
 
@@ -286,3 +288,69 @@ QUERIES = {
     "q36_simhash_pairs": (q36_simhash_pairs, _Q36_SQL),
     "q57_minhash_estimate": (q57_minhash_estimate, _Q57_SQL),
 }
+
+
+# --------------------------------------------------------------------- q74
+# Dedup APPLIED to the lakehouse: a corpus with planted duplicates is
+# committed as an Iceberg v2 table, the non-representative doc_ids
+# (keep-first over md5 fingerprint) are removed via an EQUALITY_DELETES
+# file — no data file rewritten — and the gate hashes the table as read
+# back through the snapshot + delete-application path. The oracle
+# restates the whole thing (planting included) in SQL.
+
+_DUP_MOD = 7
+_DUP_OFFSET = 10_000_000
+
+
+def q74_iceberg_dedup_apply(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.sources.iceberg import (
+        delete_iceberg_rows,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % _DUP_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + _DUP_OFFSET
+    )
+    corpus = docs.unionByName(dups)
+    loc = os.path.join(
+        tempfile.mkdtemp(prefix="htrtf_dedup_ice_"), "docs"
+    )
+    write_iceberg_table(corpus, loc)
+
+    keyed = corpus.withColumn("fp", F.md5("text"))
+    victims = (
+        keyed.withColumn(
+            "keep", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    delete_iceberg_rows(victims, loc, ["doc_id"])
+    return read_iceberg_table(spark, loc).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+
+
+_Q74_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {_DUP_MOD} = 0
+),
+ranked AS (
+  SELECT doc_id, md5(text) AS fp,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM corpus
+)
+SELECT doc_id, fp FROM ranked WHERE doc_id = keep
+"""
+
+QUERIES["q74_iceberg_dedup_apply"] = (q74_iceberg_dedup_apply, _Q74_SQL)

@@ -40,10 +40,19 @@ filtered column are conservatively kept, the correct evolution
 semantics. Identity partition columns are materialized from metadata on
 read (one lit per file group), as Iceberg readers do.
 
+Row-level deletes: ``delete_iceberg_rows`` writes a v2
+EQUALITY_DELETES parquet file (data_file.content=2, equality_ids =
+field-ids) under a DELETES manifest (content=1). Reads apply each
+delete file to every data file with a strictly smaller sequence number
+via a broadcast anti join — rows appended after the delete are
+untouched, and time travel to a pre-delete snapshot still sees the
+rows, exactly the spec's applicability rule. No data file is ever
+rewritten.
+
 Limits (documented, not hidden): identity transform only (no
-bucket/truncate/days), null Avro codec, no delete files / row-level
-deletes, no schema evolution after create. Those are additive
-follow-ups on the same layout.
+bucket/truncate/days), null Avro codec, equality deletes only (no
+positional deletes), no schema evolution after create. Those are
+additive follow-ups on the same layout.
 """
 
 from __future__ import annotations
@@ -137,6 +146,13 @@ def _data_file_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # field-ids of the equality columns for EQUALITY_DELETES
+            # files (content=2); null for data files — spec field 135
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+            },
         ],
     }
 
@@ -279,6 +295,7 @@ def _write_data_files(
                 "partition": partition,
                 "record_count": pq.ParquetFile(p).metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(p),
+                "equality_ids": None,
             }
         )
     return entries
@@ -290,6 +307,7 @@ def _commit(
     data_files: list[dict],
     prev_meta: dict | None,
     spec: dict | None = None,
+    manifest_content: int = 0,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
@@ -328,7 +346,7 @@ def _commit(
             "partition-spec": json.dumps(spec["fields"]),
             "partition-spec-id": str(spec["spec-id"]),
             "format-version": "2",
-            "content": "data",
+            "content": "data" if manifest_content == 0 else "deletes",
         },
     )
 
@@ -336,7 +354,7 @@ def _commit(
         "manifest_path": os.path.abspath(manifest_path),
         "manifest_length": os.path.getsize(manifest_path),
         "partition_spec_id": spec["spec-id"],
-        "content": 0,
+        "content": manifest_content,
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
@@ -372,7 +390,7 @@ def _commit(
         "manifest-list": os.path.abspath(manifest_list_path),
         "schema-id": 0,
         "summary": {
-            "operation": "append",
+            "operation": "append" if manifest_content == 0 else "delete",
             "added-data-files": str(len(data_files)),
             "added-records": str(new_manifest["added_rows_count"]),
         },
@@ -419,7 +437,11 @@ def _commit(
                 [prev_meta["last-partition-id"]]
                 + [f["field-id"] for f in spec["fields"]]
             )
-        meta["default-spec-id"] = spec["spec-id"]
+        if manifest_content == 0:
+            # only DATA commits move the default write spec; a delete
+            # commit's (possibly empty) spec must not change how later
+            # appends are partitioned
+            meta["default-spec-id"] = spec["spec-id"]
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         meta["current-snapshot-id"] = snapshot_id
@@ -501,6 +523,58 @@ def append_iceberg_table(
     return _commit(location, ice_schema, files, prev_meta=meta, spec=spec)
 
 
+def delete_iceberg_rows(
+    keys_df: DataFrame, location: str, equality_cols: list[str]
+) -> int:
+    """Row-level delete via an Iceberg v2 EQUALITY_DELETES file
+    (spec "Delete Formats"): rows of ``keys_df``'s distinct
+    ``equality_cols`` values are written as a parquet delete file
+    (distributed write), committed under a DELETES manifest
+    (content=1, data_file.content=2, equality_ids=field-ids). It
+    applies to every data file with a STRICTLY SMALLER sequence
+    number — rows appended after the delete are untouched, exactly
+    the spec's applicability rule. No data file is rewritten."""
+    meta = current_metadata(location)
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in table schema: {missing}")
+    eq_ids = [by_name[c]["id"] for c in equality_cols]
+
+    import pyarrow.parquet as pq
+
+    seq = meta["last-sequence-number"] + 1
+    del_dir = os.path.join(
+        location, "data", f"delete-{seq:05d}-{uuid.uuid4().hex[:8]}"
+    )
+    keys_df.select(*equality_cols).distinct().write.mode("error").parquet(del_dir)
+    entries = []
+    for p in sorted(glob.glob(os.path.join(del_dir, "*.parquet"))):
+        entries.append(
+            {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": os.path.abspath(p),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": pq.ParquetFile(p).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "equality_ids": eq_ids,
+            }
+        )
+    # delete manifests use the unpartitioned spec (global deletes)
+    spec = {"spec-id": 0, "fields": []}
+    known = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if known.get(0, {"fields": []})["fields"]:
+        # spec 0 is partitioned on this table; global deletes still ride
+        # an empty partition tuple, so synthesize an unpartitioned spec
+        spec = {"spec-id": max(known) + 1, "fields": []}
+    return _commit(
+        location, ice_schema, entries, prev_meta=meta, spec=spec,
+        manifest_content=1,
+    )
+
+
 # ------------------------------------------------------------------ read
 def _find_snapshot(meta: dict, snapshot_id: int) -> dict:
     for s in meta["snapshots"]:
@@ -523,14 +597,42 @@ def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]
     _, _, manifests = avro_read(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # delete manifests are listed by live_delete_files
         _, mmeta, entries = avro_read(m["manifest_path"])
         spec_cols = [f["name"] for f in json.loads(mmeta.get("partition-spec", "[]"))]
         for e in entries:
             if e["status"] != _DELETED:
                 rec = dict(e["data_file"])
                 rec["_spec_cols"] = spec_cols
+                rec["_seq"] = e["sequence_number"]
                 files.append(rec)
     return files
+
+
+def live_delete_files(location: str, snapshot_id: int | None = None) -> list[dict]:
+    """EQUALITY_DELETES file records visible at a snapshot, each with
+    its sequence number and equality column NAMES (resolved from the
+    recorded field-ids)."""
+    meta = current_metadata(location)
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = _find_snapshot(meta, sid)
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    _, _, manifests = avro_read(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _, _, entries = avro_read(m["manifest_path"])
+        for e in entries:
+            if e["status"] == _DELETED:
+                continue
+            rec = dict(e["data_file"])
+            rec["_seq"] = e["sequence_number"]
+            rec["_eq_cols"] = [by_id[i] for i in rec["equality_ids"] or []]
+            out.append(rec)
+    return out
 
 
 def read_iceberg_table(
@@ -565,7 +667,9 @@ def read_iceberg_table(
     if unknown:
         raise ValueError(f"partition_filter on unknown columns: {sorted(unknown)}")
 
-    # group live files by (spec partition tuple); prune by the filter
+    # group live files by (spec partition tuple, sequence number) —
+    # the seq matters because equality deletes apply only to data files
+    # with a strictly smaller sequence number; prune by the filter
     groups: dict[tuple, list[str]] = {}
     for rec in live_data_files(location, snapshot_id):
         cols = rec["_spec_cols"]
@@ -574,19 +678,37 @@ def read_iceberg_table(
             c in pf and rec["partition"].get(c) not in pf[c] for c in cols
         ):
             continue  # manifest-level prune
-        groups.setdefault(vals, []).append(rec["file_path"])
+        groups.setdefault((vals, rec["_seq"]), []).append(rec["file_path"])
 
     if not groups:
         return spark.createDataFrame([], schema)
+
+    deletes = live_delete_files(location, snapshot_id)
+    del_dfs = [
+        (
+            d["_seq"],
+            d["_eq_cols"],
+            spark.read.schema(
+                T.StructType(
+                    [f for f in schema.fields if f.name in d["_eq_cols"]]
+                )
+            ).parquet(d["file_path"]),
+        )
+        for d in deletes
+    ]
+
     parts = []
     by_name = {f.name: f for f in schema.fields}
     # None partition values (__HIVE_DEFAULT_PARTITION__) sort first —
     # plain tuple sort would TypeError comparing None with str/int
     def _group_key(item):
-        vals, _paths = item
-        return tuple((c, v is not None, "" if v is None else str(v)) for c, v in vals)
+        (vals, seq), _paths = item
+        return (
+            tuple((c, v is not None, "" if v is None else str(v)) for c, v in vals),
+            seq,
+        )
 
-    for vals, paths in sorted(groups.items(), key=_group_key):
+    for (vals, seq), paths in sorted(groups.items(), key=_group_key):
         part_cols = [c for c, _v in vals]
         file_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_cols]
@@ -594,6 +716,10 @@ def read_iceberg_table(
         df = spark.read.schema(file_schema).parquet(*paths)
         for c, v in vals:
             df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
+        for dseq, eq_cols, ddf in del_dfs:
+            if dseq > seq:  # strict: later deletes hit earlier data
+                df = df.join(F.broadcast(ddf), on=eq_cols, how="left_anti")
+        # select LAST: the anti join moves its key columns to the front
         parts.append(df.select(*[f.name for f in schema.fields]))
     out = parts[0]
     for p in parts[1:]:

@@ -328,3 +328,65 @@ def test_partitioned_null_values(spark, tmp_path):
         spark, loc, partition_filter={"role": [None, "user"]}
     )
     assert _collect(both) == _collect(df)
+
+
+def test_equality_deletes(spark, transcripts_df, tmp_path):
+    """v2 equality deletes: delete file + DELETES manifest, strict
+    sequence-number applicability, time travel unaffected."""
+    loc = str(tmp_path / "dtbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    keys = spark.createDataFrame([("conv-a",)], "conv_id string")
+    I.delete_iceberg_rows(keys, loc, ["conv_id"])
+
+    # deleted rows gone from the current snapshot
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(transcripts_df.filter("conv_id <> 'conv-a'"))
+    # the delete file is listed with resolved equality column names
+    dels = I.live_delete_files(loc)
+    assert len(dels) == 1 and dels[0]["_eq_cols"] == ["conv_id"]
+    assert dels[0]["content"] == 2
+    # time travel to the pre-delete snapshot still sees every row
+    assert _collect(I.read_iceberg_table(spark, loc, snapshot_id=s1)) == _collect(
+        transcripts_df
+    )
+
+    # rows APPENDED AFTER the delete are untouched (strict seq rule),
+    # even with the same equality key
+    revived = transcripts_df.filter("conv_id = 'conv-a'")
+    I.append_iceberg_table(revived, loc)
+    got2 = I.read_iceberg_table(spark, loc)
+    assert _collect(got2) == _collect(
+        transcripts_df.filter("conv_id <> 'conv-a'").unionByName(revived)
+    )
+
+    with pytest.raises(ValueError, match="equality columns"):
+        I.delete_iceberg_rows(keys.withColumnRenamed("conv_id", "nope"), loc, ["nope"])
+
+
+def test_equality_delete_on_partitioned_table(spark, transcripts_df, tmp_path):
+    """Deletes on a partitioned table ride a synthesized unpartitioned
+    spec and must NOT change the default write spec for later appends."""
+    loc = str(tmp_path / "dptbl")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    keys = spark.createDataFrame([("assistant",)], "role string")
+    I.delete_iceberg_rows(keys, loc, ["role"])
+    meta = I.current_metadata(loc)
+    assert meta["default-spec-id"] == 0  # unchanged by the delete commit
+
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(transcripts_df.filter("role <> 'assistant'"))
+    # partition pruning still composes with delete application
+    got_u = I.read_iceberg_table(spark, loc, partition_filter={"role": "user"})
+    assert _collect(got_u) == _collect(transcripts_df.filter("role = 'user'"))
+
+    # append after the delete stays partitioned under spec 0
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-new"))
+    )
+    I.append_iceberg_table(extra, loc)
+    files = I.live_data_files(loc)
+    assert all(f["_spec_cols"] == ["role"] for f in files)
+    got3 = I.read_iceberg_table(spark, loc)
+    assert _collect(got3) == _collect(
+        transcripts_df.filter("role <> 'assistant'").unionByName(extra)
+    )
