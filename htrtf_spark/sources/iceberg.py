@@ -49,10 +49,17 @@ untouched, and time travel to a pre-delete snapshot still sees the
 rows, exactly the spec's applicability rule. No data file is ever
 rewritten.
 
+Schema evolution: ``evolve_iceberg_schema`` supports the add-column
+subset — new nullable columns get fresh field-ids, the new schema is
+registered under the next schema-id and becomes current, and reads
+pin the CURRENT schema over every file (old parquet files simply
+surface NULL for columns they predate). Rename/drop need id-based
+column resolution in the parquet reader and are rejected explicitly.
+
 Limits (documented, not hidden): identity transform only (no
 bucket/truncate/days), null Avro codec, equality deletes only (no
-positional deletes), no schema evolution after create. Those are
-additive follow-ups on the same layout.
+positional deletes), add-only schema evolution (no rename/drop).
+Those are additive follow-ups on the same layout.
 """
 
 from __future__ import annotations
@@ -521,6 +528,67 @@ def append_iceberg_table(
         spec_fields=spec["fields"], ice_schema=ice_schema,
     )
     return _commit(location, ice_schema, files, prev_meta=meta, spec=spec)
+
+
+def evolve_iceberg_schema(location: str, new_schema: T.StructType) -> int:
+    """ADD-COLUMN schema evolution (spec "Schema Evolution"): the new
+    schema must contain every existing column with its name and type
+    unchanged (field-ids are preserved — Iceberg's rename/drop rules
+    need id-based column resolution, which the add-only subset doesn't);
+    new columns get fresh field-ids and must be nullable (old data files
+    have no values for them — reads surface NULL). Registers the schema
+    under the next schema-id and makes it current; no data is touched.
+    Returns the new schema-id."""
+    meta = current_metadata(location)
+    cur = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in cur["fields"]}
+    new_names = [f.name for f in new_schema.fields]
+    missing = [n for n in by_name if n not in new_names]
+    if missing:
+        raise ValueError(
+            f"schema evolution is add-only: dropped columns {missing}"
+        )
+    next_id = meta["last-column-id"]
+    fields = []
+    for f in new_schema.fields:
+        ice_t = _SPARK_TO_ICE.get(f.dataType)
+        if ice_t is None:
+            raise ValueError(f"unsupported Iceberg column type: {f.dataType}")
+        if f.name in by_name:
+            if by_name[f.name]["type"] != ice_t:
+                raise ValueError(
+                    f"schema evolution is add-only: column {f.name!r} "
+                    f"changed type {by_name[f.name]['type']} → {ice_t}"
+                )
+            fields.append(dict(by_name[f.name]))
+        else:
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name!r} must be nullable (old data "
+                    "files have no values for it)"
+                )
+            next_id += 1
+            fields.append(
+                {"id": next_id, "name": f.name, "required": False, "type": ice_t}
+            )
+    schema_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_ice = {"type": "struct", "schema-id": schema_id, "fields": fields}
+
+    with open(_version_hint(location)) as fh:
+        version = int(fh.read().strip()) + 1
+    new_meta = dict(meta)
+    new_meta["schemas"] = meta["schemas"] + [new_ice]
+    new_meta["current-schema-id"] = schema_id
+    new_meta["last-column-id"] = next_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    os.rename(tmp, meta_path)  # atomic commit point
+    with open(_version_hint(location), "w") as fh:
+        fh.write(str(version))
+    return schema_id
 
 
 def delete_iceberg_rows(

@@ -390,3 +390,64 @@ def test_equality_delete_on_partitioned_table(spark, transcripts_df, tmp_path):
     assert _collect(got3) == _collect(
         transcripts_df.filter("role <> 'assistant'").unionByName(extra)
     )
+
+
+def test_schema_evolution_add_column(spark, transcripts_df, tmp_path):
+    """Add-only schema evolution: new nullable column gets a fresh
+    field-id; pre-evolution files read as NULL; appends carry values;
+    rename/drop/type-change/non-nullable are rejected."""
+    import pyspark.sql.types as T
+
+    loc = str(tmp_path / "evtbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    old_last = I.current_metadata(loc)["last-column-id"]
+
+    new_schema = T.StructType(
+        list(transcripts_df.schema.fields)
+        + [T.StructField("lang", T.StringType(), True)]
+    )
+    sid = I.evolve_iceberg_schema(loc, new_schema)
+    meta = I.current_metadata(loc)
+    assert meta["current-schema-id"] == sid
+    assert meta["last-column-id"] == old_last + 1
+    lang_field = [
+        f for f in meta["schemas"][sid]["fields"] if f["name"] == "lang"
+    ][0]
+    assert lang_field["id"] == old_last + 1 and not lang_field["required"]
+
+    # old rows surface NULL for the new column
+    got = I.read_iceberg_table(spark, loc)
+    assert "lang" in got.columns
+    assert got.filter(F.col("lang").isNotNull()).count() == 0
+
+    # appends under the evolved schema carry real values
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-v2"))
+    ).withColumn("lang", F.lit("en"))
+    I.append_iceberg_table(extra, loc)
+    got2 = I.read_iceberg_table(spark, loc)
+    assert got2.count() == 2 * transcripts_df.count()
+    assert got2.filter("lang = 'en'").count() == transcripts_df.count()
+    assert got2.filter(F.col("lang").isNull()).count() == transcripts_df.count()
+
+    # rejected evolutions
+    with pytest.raises(ValueError, match="dropped columns"):
+        I.evolve_iceberg_schema(
+            loc, T.StructType([f for f in new_schema.fields if f.name != "role"])
+        )
+    with pytest.raises(ValueError, match="changed type"):
+        bad = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "role" else f.dataType, True)
+                for f in new_schema.fields
+            ]
+        )
+        I.evolve_iceberg_schema(loc, bad)
+    with pytest.raises(ValueError, match="must be nullable"):
+        I.evolve_iceberg_schema(
+            loc,
+            T.StructType(
+                list(new_schema.fields)
+                + [T.StructField("score", T.LongType(), False)]
+            ),
+        )
