@@ -56,10 +56,16 @@ pin the CURRENT schema over every file (old parquet files simply
 surface NULL for columns they predate). Rename/drop need id-based
 column resolution in the parquet reader and are rejected explicitly.
 
+Position deletes: ``delete_iceberg_positions`` writes a v2
+POSITION_DELETES file of (file_path, pos) rows (content=1);
+``find_positions`` builds that set from a SQL predicate using Spark's
+``_metadata.row_index``. Reads anti-join the scan's (path, row index)
+against applicable position-delete sets (seq ≤ delete's — they may
+target same-commit rows).
+
 Limits (documented, not hidden): identity transform only (no
-bucket/truncate/days), null Avro codec, equality deletes only (no
-positional deletes), add-only schema evolution (no rename/drop).
-Those are additive follow-ups on the same layout.
+bucket/truncate/days), null Avro codec, add-only schema evolution
+(no rename/drop). Those are additive follow-ups on the same layout.
 """
 
 from __future__ import annotations
@@ -643,6 +649,86 @@ def delete_iceberg_rows(
     )
 
 
+def delete_iceberg_positions(pos_df: DataFrame, location: str) -> int:
+    """Row-level delete via a v2 POSITION_DELETES file (spec "Position
+    Delete Files"): ``pos_df`` carries (file_path, pos) — the data file
+    path exactly as recorded in the manifests and the 0-based row index
+    within it. Applies to data files with sequence number ≤ the
+    delete's (position deletes may target rows added in the same
+    commit). Use ``find_positions`` to build ``pos_df`` from a
+    predicate."""
+    meta = current_metadata(location)
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+
+    import pyarrow.parquet as pq
+
+    seq = meta["last-sequence-number"] + 1
+    del_dir = os.path.join(
+        location, "data", f"posdelete-{seq:05d}-{uuid.uuid4().hex[:8]}"
+    )
+    (
+        pos_df.selectExpr(
+            "CAST(file_path AS STRING) AS file_path", "CAST(pos AS LONG) AS pos"
+        )
+        .distinct()
+        .write.mode("error")
+        .parquet(del_dir)
+    )
+    entries = []
+    for p in sorted(glob.glob(os.path.join(del_dir, "*.parquet"))):
+        entries.append(
+            {
+                "content": 1,  # POSITION_DELETES
+                "file_path": os.path.abspath(p),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": pq.ParquetFile(p).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "equality_ids": None,
+            }
+        )
+    spec = {"spec-id": 0, "fields": []}
+    known = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if known.get(0, {"fields": []})["fields"]:
+        spec = {"spec-id": max(known) + 1, "fields": []}
+    return _commit(
+        location, ice_schema, entries, prev_meta=meta, spec=spec,
+        manifest_content=1,
+    )
+
+
+_STRIP_SCHEME = r"^file:(//)?"
+
+
+def find_positions(
+    spark: SparkSession, location: str, predicate: str
+) -> DataFrame:
+    """(file_path, pos) of every CURRENTLY-VISIBLE row matching a SQL
+    predicate — the scan attaches Spark's ``_metadata`` file path and
+    row index, normalized to the manifest path form. Feed the result to
+    ``delete_iceberg_positions``."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(location)
+    schema = _spark_schema(meta["schemas"][meta["current-schema-id"]])
+    paths = [f["file_path"] for f in live_data_files(location)]
+    if not paths:
+        return spark.createDataFrame([], "file_path string, pos long")
+    return (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), _STRIP_SCHEME, "").alias(
+                "file_path"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .filter(predicate)
+        .select("file_path", "pos")
+    )
+
+
 # ------------------------------------------------------------------ read
 def _find_snapshot(meta: dict, snapshot_id: int) -> dict:
     for s in meta["snapshots"]:
@@ -679,9 +765,10 @@ def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]
 
 
 def live_delete_files(location: str, snapshot_id: int | None = None) -> list[dict]:
-    """EQUALITY_DELETES file records visible at a snapshot, each with
-    its sequence number and equality column NAMES (resolved from the
-    recorded field-ids)."""
+    """Delete-file records visible at a snapshot — EQUALITY_DELETES
+    (content=2, with equality column NAMES resolved from the recorded
+    field-ids) and POSITION_DELETES (content=1) — each with its
+    sequence number."""
     meta = current_metadata(location)
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _find_snapshot(meta, sid)
@@ -698,7 +785,8 @@ def live_delete_files(location: str, snapshot_id: int | None = None) -> list[dic
                 continue
             rec = dict(e["data_file"])
             rec["_seq"] = e["sequence_number"]
-            rec["_eq_cols"] = [by_id[i] for i in rec["equality_ids"] or []]
+            if rec["content"] == 2:
+                rec["_eq_cols"] = [by_id[i] for i in rec["equality_ids"] or []]
             out.append(rec)
     return out
 
@@ -763,6 +851,17 @@ def read_iceberg_table(
             ).parquet(d["file_path"]),
         )
         for d in deletes
+        if d["content"] == 2
+    ]
+    pos_dfs = [
+        (
+            d["_seq"],
+            spark.read.schema("file_path string, pos long").parquet(
+                d["file_path"]
+            ),
+        )
+        for d in deletes
+        if d["content"] == 1
     ]
 
     parts = []
@@ -781,13 +880,39 @@ def read_iceberg_table(
         file_schema = T.StructType(
             [f for f in schema.fields if f.name not in part_cols]
         )
-        df = spark.read.schema(file_schema).parquet(*paths)
+        reader = spark.read.schema(file_schema).parquet(*paths)
+        pos_applicable = [p for ds, p in pos_dfs if ds >= seq]
+        if pos_applicable:
+            # attach the scan's (file path, row index) and anti-join
+            # each applicable position-delete set (path ≤-seq rule:
+            # position deletes may target same-commit rows)
+            df = reader.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _STRIP_SCHEME, ""
+                ).alias("_fp"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+            for pdf_del in pos_applicable:
+                df = df.join(
+                    F.broadcast(
+                        pdf_del.select(
+                            F.col("file_path").alias("_fp"),
+                            F.col("pos").alias("_pos"),
+                        )
+                    ),
+                    on=["_fp", "_pos"],
+                    how="left_anti",
+                )
+            df = df.drop("_fp", "_pos")
+        else:
+            df = reader
         for c, v in vals:
             df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
         for dseq, eq_cols, ddf in del_dfs:
             if dseq > seq:  # strict: later deletes hit earlier data
                 df = df.join(F.broadcast(ddf), on=eq_cols, how="left_anti")
-        # select LAST: the anti join moves its key columns to the front
+        # select LAST: the anti joins move their key columns to the front
         parts.append(df.select(*[f.name for f in schema.fields]))
     out = parts[0]
     for p in parts[1:]:

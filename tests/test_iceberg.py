@@ -451,3 +451,34 @@ def test_schema_evolution_add_column(spark, transcripts_df, tmp_path):
                 + [T.StructField("score", T.LongType(), False)]
             ),
         )
+
+
+def test_position_deletes(spark, transcripts_df, tmp_path):
+    """v2 POSITION_DELETES: predicate → (file_path, pos) via
+    _metadata.row_index, committed as a content=1 delete file; reads
+    drop exactly those rows; time travel unaffected; composes with a
+    later equality delete."""
+    loc = str(tmp_path / "postbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    pos = I.find_positions(spark, loc, "conv_id = 'conv-b'")
+    rows = pos.collect()
+    assert len(rows) == 1 and rows[0]["pos"] >= 0
+    assert not rows[0]["file_path"].startswith("file:")
+    I.delete_iceberg_positions(pos, loc)
+
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(transcripts_df.filter("conv_id <> 'conv-b'"))
+    assert _collect(I.read_iceberg_table(spark, loc, snapshot_id=s1)) == _collect(
+        transcripts_df
+    )
+    dels = I.live_delete_files(loc)
+    assert [d["content"] for d in dels] == [1]
+
+    # stack an equality delete on top — both apply
+    I.delete_iceberg_rows(
+        spark.createDataFrame([("conv-a",)], "conv_id string"), loc, ["conv_id"]
+    )
+    got2 = I.read_iceberg_table(spark, loc)
+    assert _collect(got2) == _collect(
+        transcripts_df.filter("conv_id NOT IN ('conv-a', 'conv-b')")
+    )
