@@ -63,6 +63,13 @@ POSITION_DELETES file of (file_path, pos) rows (content=1);
 against applicable position-delete sets (seq ≤ delete's — they may
 target same-commit rows).
 
+Maintenance: ``compact_iceberg_table`` rewrites the visible rows into
+fresh data files (deletes merged away; the new snapshot's manifest
+list references only the rewrite, older snapshots keep time-traveling
+to the originals) and ``expire_snapshots`` drops expired snapshots and
+physically removes files referenced only by them — the standard
+Iceberg lifecycle pair.
+
 Limits (documented, not hidden): identity transform only (no
 bucket/truncate/days), null Avro codec, add-only schema evolution
 (no rename/drop). Those are additive follow-ups on the same layout.
@@ -321,6 +328,7 @@ def _commit(
     prev_meta: dict | None,
     spec: dict | None = None,
     manifest_content: int = 0,
+    carry_prior_manifests: bool = True,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
@@ -379,7 +387,7 @@ def _commit(
         "deleted_rows_count": 0,
     }
     prior_manifests: list[dict] = []
-    if prev_meta is not None:
+    if prev_meta is not None and carry_prior_manifests:
         prev_snap = _find_snapshot(prev_meta, prev_meta["current-snapshot-id"])
         _, _, prior_manifests = avro_read(prev_snap["manifest-list"])
     manifest_list_path = os.path.join(
@@ -727,6 +735,95 @@ def find_positions(
         .filter(predicate)
         .select("file_path", "pos")
     )
+
+
+# ----------------------------------------------------------- maintenance
+def compact_iceberg_table(
+    spark: SparkSession, location: str, partition_by: list[str] | None = None
+) -> int:
+    """Maintenance REWRITE (the spec's replace operation): materialize
+    the CURRENT visible rows (all deletes applied), write them as fresh
+    data files under the default (or given) partition spec, and commit a
+    snapshot whose manifest list contains ONLY the new manifest — prior
+    data and delete files stop being referenced (still present on disk
+    for older snapshots' time travel until expire_snapshots). This is
+    how accumulated delete files get merged away without breaking
+    snapshot isolation."""
+    meta = current_metadata(location)
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    current = read_iceberg_table(spark, location)
+
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    if partition_by is None:
+        spec = specs[meta["default-spec-id"]]
+    else:
+        match = [
+            s for s in specs.values()
+            if [f["name"] for f in s["fields"]] == list(partition_by)
+        ]
+        spec = match[0] if match else _make_spec(
+            ice_schema, list(partition_by), spec_id=max(specs) + 1
+        )
+    files = _write_data_files(
+        current, location, seq=meta["last-sequence-number"] + 1,
+        spec_fields=spec["fields"], ice_schema=ice_schema,
+    )
+    return _commit(
+        location, ice_schema, files, prev_meta=meta, spec=spec,
+        carry_prior_manifests=False,
+    )
+
+
+def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots from the table
+    metadata and DELETE the data/delete/manifest files referenced ONLY
+    by the expired snapshots (exactly Iceberg's expire-snapshots
+    maintenance contract). Returns the expired snapshot ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = current_metadata(location)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep_last:
+        return []
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+
+    def _referenced(snapshots):
+        manifests, data = set(), set()
+        for s in snapshots:
+            _, _, mans = avro_read(s["manifest-list"])
+            for m in mans:
+                manifests.add(m["manifest_path"])
+                _, _, entries = avro_read(m["manifest_path"])
+                for e in entries:
+                    data.add(e["data_file"]["file_path"])
+        return manifests, data
+
+    keep_man, keep_data = _referenced(keep)
+    drop_man, drop_data = _referenced(drop)
+    for path in sorted(drop_man - keep_man) + sorted(drop_data - keep_data):
+        if os.path.exists(path):
+            os.remove(path)
+    for s in drop:
+        if os.path.exists(s["manifest-list"]):
+            os.remove(s["manifest-list"])
+
+    with open(_version_hint(location)) as fh:
+        version = int(fh.read().strip()) + 1
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keep
+    kept_ids = {s["snapshot-id"] for s in keep}
+    new_meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    os.rename(tmp, meta_path)
+    with open(_version_hint(location), "w") as fh:
+        fh.write(str(version))
+    return [s["snapshot-id"] for s in drop]
 
 
 # ------------------------------------------------------------------ read

@@ -482,3 +482,37 @@ def test_position_deletes(spark, transcripts_df, tmp_path):
     assert _collect(got2) == _collect(
         transcripts_df.filter("conv_id NOT IN ('conv-a', 'conv-b')")
     )
+
+
+def test_compact_and_expire(spark, transcripts_df, tmp_path):
+    """Maintenance: compaction rewrites visible rows into fresh files
+    (deletes merged away, one manifest), and expire_snapshots removes
+    files referenced only by expired snapshots while the current read
+    stays intact."""
+    loc = str(tmp_path / "mtbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    I.delete_iceberg_rows(
+        spark.createDataFrame([("conv-a",)], "conv_id string"), loc, ["conv_id"]
+    )
+    expect = transcripts_df.filter("conv_id <> 'conv-a'")
+
+    I.compact_iceberg_table(spark, loc)
+    # compacted snapshot: no delete files, one data manifest, same rows
+    assert I.live_delete_files(loc) == []
+    assert _collect(I.read_iceberg_table(spark, loc)) == _collect(expect)
+    meta = I.current_metadata(loc)
+    snap = [s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]][0]
+    _, _, mans = I.avro_read(snap["manifest-list"])
+    assert len(mans) == 1
+
+    old_files = {f["file_path"] for f in I.live_data_files(loc, snapshot_id=1)}
+    expired = I.expire_snapshots(loc, keep_last=1)
+    assert len(expired) == 2
+    # expired-only data files are physically gone; current read intact
+    import os as _os
+
+    assert all(not _os.path.exists(p) for p in old_files)
+    assert _collect(I.read_iceberg_table(spark, loc)) == _collect(expect)
+    with pytest.raises(KeyError):
+        I.read_iceberg_table(spark, loc, snapshot_id=1).collect()
