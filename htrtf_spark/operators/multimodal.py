@@ -73,9 +73,11 @@ def synth_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
             rows.append((i, kind, bytearray(payload), int(w), int(h), None))
         else:
             payload = rs.bytes(64 + int(rs.randint(0, 192)))
+            # duration is CLOSED-FORM (not an RNG draw) so frame/window
+            # grids derived from it are externally recomputable
             rows.append(
                 (i, kind, bytearray(payload), None, None,
-                 int(rs.randint(100, 600000)))
+                 100 + (i * 937) % 599900)
             )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
@@ -218,4 +220,99 @@ def media_size_stats(media: DataFrame) -> DataFrame:
             F.max("duration_ms").alias("max_duration_ms"),
         )
         .orderBy("kind")
+    )
+
+
+# ------------------------------------------------------- frame sampling
+
+FRAMES_DDL = (
+    "media_id long, frame_idx int, frame_ts_ms long, feat_digest long"
+)
+
+_FPS_DEN = 1000  # frame stride expressed in integer ms — no float clock
+
+
+def sample_frames_map_in_pandas(stride_ms: int = 200, max_frames: int = 64):
+    """Video frame sampling as Arrow-stage plumbing (the task's
+    "frame-sample" op): one output row per sampled frame at timestamps
+    0, stride, 2·stride, … < duration (capped at ``max_frames`` —
+    uniform head sampling; a real decoder would seek those timestamps).
+    The decode itself is the documented stub (no video codec in this
+    container): ``feat_digest`` is a deterministic 48-bit digest of
+    (payload bytes, frame ts) standing in for the decoded frame's
+    feature hash, so downstream joins/dedup over frames are exercisable
+    end to end. Exact integer arithmetic throughout — the frame grid is
+    externally recomputable from duration_ms alone."""
+    import hashlib
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "frame_ts_ms", "feat_digest")}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if dur is None or dur <= 0:
+                    continue
+                n = min(-(-int(dur) // stride_ms), max_frames)
+                raw = bytes(payload) if payload is not None else b""
+                base = hashlib.sha256(raw).digest()
+                for i in range(n):
+                    ts = i * stride_ms
+                    d = hashlib.sha256(base + ts.to_bytes(8, "big")).digest()
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["feat_digest"].append(
+                        int.from_bytes(d[:6], "big")
+                    )
+            yield pd.DataFrame(out)
+
+    return stage
+
+
+def sample_frames(media: DataFrame, stride_ms: int = 200,
+                  max_frames: int = 64) -> DataFrame:
+    """Frame grid over the video rows; narrow (no shuffle)."""
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        sample_frames_map_in_pandas(stride_ms, max_frames), schema=FRAMES_DDL
+    )
+
+
+# ------------------------------------------------------- audio framing
+
+AUDIO_FRAMES_DDL = (
+    "media_id long, n_frames int, first_center_ms long, last_center_ms long"
+)
+
+
+def audio_framing_map_in_pandas(win_ms: int = 25, hop_ms: int = 10):
+    """Audio analysis framing (the task's audio feature-extract
+    plumbing): the standard win/hop grid — n_frames =
+    1 + floor((duration − win) / hop) for duration ≥ win, else 0 —
+    with integer frame centers. The PCM decode is the documented stub;
+    the grid arithmetic (what the Spark stage owns) is exact and
+    externally recomputable from duration_ms."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_frames", "first_center_ms", "last_center_ms")}
+            for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
+                if dur is None or int(dur) < win_ms:
+                    continue
+                n = 1 + (int(dur) - win_ms) // hop_ms
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(n)
+                out["first_center_ms"].append(win_ms // 2)
+                out["last_center_ms"].append((n - 1) * hop_ms + win_ms // 2)
+            yield pd.DataFrame(out)
+
+    return stage
+
+
+def audio_framing(media: DataFrame, win_ms: int = 25,
+                  hop_ms: int = 10) -> DataFrame:
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        audio_framing_map_in_pandas(win_ms, hop_ms), schema=AUDIO_FRAMES_DDL
     )

@@ -62,6 +62,8 @@ _RUN_FIRST = [
     "q72_net_decode",
     "q73_mdlstm_features",
     "q74_iceberg_dedup_apply",
+    "q75_video_frame_sample",
+    "q76_audio_framing",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",
     "q40_lsh_ann_topk",

@@ -327,3 +327,66 @@ QUERIES = {
     "q72_net_decode": (q72_net_decode, _Q72_SQL),
     "q73_mdlstm_features": (q73_mdlstm_features, _Q73_SQL),
 }
+
+
+# --------------------------------------------------------------------- q75
+# Video frame sampling (the task's "frame-sample" op): uniform stride
+# grid over closed-form durations, capped; the gate hashes the whole
+# frame table (media_id, frame_idx, frame_ts_ms). The per-frame feature
+# digest is payload-derived (decode stubbed — no video codec here) and
+# pytest-verified for determinism instead.
+
+_STRIDE_MS, _MAX_FRAMES = 200, 64
+
+
+def q75_video_frame_sample(spark, sf_dir):
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return multimodal.sample_frames(
+        media, stride_ms=_STRIDE_MS, max_frames=_MAX_FRAMES
+    ).select("media_id", "frame_idx", "frame_ts_ms")
+
+
+_Q75_SQL = f"""
+WITH vids AS (
+  SELECT i AS media_id, 100 + (i * 937) % 599900 AS dur
+  FROM range(2, {_N_MEDIA}, 3) t(i)
+),
+grid AS (
+  SELECT media_id,
+         LEAST(CAST(CEIL(dur / {_STRIDE_MS}.0) AS INT), {_MAX_FRAMES}) AS n
+  FROM vids
+)
+SELECT media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * {_STRIDE_MS} AS BIGINT) AS frame_ts_ms
+FROM grid, LATERAL (SELECT unnest(range(0, n)) AS f)
+"""
+
+# --------------------------------------------------------------------- q76
+# Audio analysis framing: the standard 25ms-window / 10ms-hop grid —
+# n = 1 + (dur - win) // hop, integer centers — exact on both engines.
+
+_WIN_MS, _HOP_MS = 25, 10
+
+
+def q76_audio_framing(spark, sf_dir):
+    media = multimodal.synth_media(spark, n=_N_MEDIA, seed=42)
+    return multimodal.audio_framing(media, win_ms=_WIN_MS, hop_ms=_HOP_MS)
+
+
+_Q76_SQL = f"""
+WITH auds AS (
+  SELECT i AS media_id, 100 + (i * 937) % 599900 AS dur
+  FROM range(1, {_N_MEDIA}, 3) t(i)
+)
+SELECT media_id,
+       CAST(1 + (dur - {_WIN_MS}) // {_HOP_MS} AS INTEGER) AS n_frames,
+       CAST({_WIN_MS} // 2 AS BIGINT) AS first_center_ms,
+       CAST(((dur - {_WIN_MS}) // {_HOP_MS}) * {_HOP_MS} + {_WIN_MS} // 2
+            AS BIGINT) AS last_center_ms
+FROM auds
+WHERE dur >= {_WIN_MS}
+"""
+
+QUERIES["q75_video_frame_sample"] = (q75_video_frame_sample, _Q75_SQL)
+QUERIES["q76_audio_framing"] = (q76_audio_framing, _Q76_SQL)

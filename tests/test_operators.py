@@ -334,3 +334,51 @@ def test_stop_shingle_stats(spark, docs):
     assert row["n_stop_shingles"] >= 1
     assert row["n_postings_dropped"] >= 3
     assert row["n_shingles"] > row["n_stop_shingles"]
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.synth_media(spark, n=30, seed=1)
+    frames = multimodal.sample_frames(media, stride_ms=200, max_frames=64)
+    rows = frames.collect()
+    vids = {r["media_id"]: r["duration_ms"]
+            for r in media.filter("kind='video'").collect()}
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert sorted(by_vid) == sorted(vids)
+    for mid, frs in by_vid.items():
+        n = min(-(-vids[mid] // 200), 64)
+        assert [f["frame_idx"] for f in sorted(frs, key=lambda x: x["frame_idx"])] == list(range(n))
+        assert all(f["frame_ts_ms"] == f["frame_idx"] * 200 for f in frs)
+        assert all(f["frame_ts_ms"] < vids[mid] for f in frs)
+    # deterministic digests (same payload+ts → same digest on rerun)
+    again = {(r["media_id"], r["frame_idx"]): r["feat_digest"]
+             for r in multimodal.sample_frames(media).collect()}
+    first = {(r["media_id"], r["frame_idx"]): r["feat_digest"] for r in rows}
+    assert first == again
+    # distinct payloads → overwhelmingly distinct digests
+    assert len(set(first.values())) > 0.99 * len(first)
+
+
+def test_audio_framing(spark):
+    media = multimodal.synth_media(spark, n=30, seed=1)
+    rows = {r["media_id"]: r for r in
+            multimodal.audio_framing(media, win_ms=25, hop_ms=10).collect()}
+    auds = {r["media_id"]: r["duration_ms"]
+            for r in media.filter("kind='audio'").collect()}
+    assert sorted(rows) == sorted(m for m, d in auds.items() if d >= 25)
+    for mid, r in rows.items():
+        n = 1 + (auds[mid] - 25) // 10
+        assert r["n_frames"] == n
+        assert r["first_center_ms"] == 12
+        assert r["last_center_ms"] == (n - 1) * 10 + 12
+    # sub-window durations are dropped, not zero-row'd
+    import pandas as pd
+
+    short = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "kind": ["audio"],
+                      "payload": [bytearray(b"x")], "width": [None],
+                      "height": [None], "duration_ms": [10]}),
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.audio_framing(short).count() == 0
