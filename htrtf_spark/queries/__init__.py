@@ -26,6 +26,7 @@ from htrtf_spark.queries import (
     relational4,
     textops,
     textops2,
+    training_pipeline,
     vectors,
     vectors2,
 )
@@ -43,6 +44,7 @@ _MODULES = [
     extraction_queries,
     pipeline_queries,
     augment_queries,
+    training_pipeline,
 ]
 
 
@@ -63,6 +65,7 @@ _RUN_FIRST = [
     "q73_mdlstm_features",
     "q74_iceberg_dedup_apply",
     "q75_video_frame_sample",
+    "q77_training_corpus",
     "q76_audio_framing",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",

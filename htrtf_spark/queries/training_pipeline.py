@@ -1,0 +1,121 @@
+"""The flagship COMPOSITION gate: the full training-data pipeline —
+extraction → quality filter → exact dedup (keep-first) — chained as the
+real operators (the same mapInPandas extraction stage, token/quality
+aggregation, and window dedup the library ships), with the entire
+composition restated in SQL for the oracle. This is the "what the
+engine is for" query: a user turns raw text into a deduplicated,
+quality-filtered training corpus in one declarative plan.
+
+Production form: jobs/build_training_set.py (transcripts in — parquet or
+Iceberg — checkpointed extraction, same filter/dedup, Iceberg out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from htrtf_spark.operators.extraction import EXTRACTED_DDL, extract_map_in_pandas
+from htrtf_spark.queries.util import clean_sql, t
+
+# thresholds chosen so the gate EXERCISES the filter on the driver
+# corpus (token counts there span 10-99; ~20% of docs fall below 25)
+MIN_TOKENS = 25
+MAX_STOP_RATIO_BP = 8000
+
+
+def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """documents(id, text) → deduplicated quality corpus
+    (id, n_tokens, stop_ratio_bp, fp). One declarative plan:
+    narrow extraction → narrow quality projection → one shuffle for the
+    dedup window — Catalyst fuses the first two into the scan."""
+    from htrtf_spark.queries.textops import _STOPWORDS
+
+    pseudo = docs.select(
+        F.col(id_col).alias("_id"),
+        F.concat(F.lit("doc-"), F.lpad(F.col(id_col).cast("string"), 8, "0")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col(text_col).alias("text"),
+    )
+    extracted = pseudo.select("conv_id", "turn_idx", "role", "text").mapInPandas(
+        extract_map_in_pandas, schema=EXTRACTED_DDL
+    ).withColumn(
+        "_id", F.split_part(F.col("conv_id"), F.lit("-"), F.lit(2)).cast("long")
+    )
+    toks = F.filter(F.split("extracted_text", " "), lambda x: x != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    quality = extracted.filter(F.col("reject_reason").isNull()).select(
+        "_id",
+        F.col("extracted_text").alias("clean_text"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    kept = quality.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens")).cast("long")
+            <= MAX_STOP_RATIO_BP
+        )
+    )
+    fp = F.md5("clean_text")
+    w = Window.partitionBy(fp)
+    return (
+        kept.withColumn("fp", fp)
+        .withColumn("_keep", F.min("_id").over(w))
+        .filter(F.col("_id") == F.col("_keep"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            "n_tokens",
+            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens"))
+            .cast("long")
+            .alias("stop_ratio_bp"),
+            "fp",
+        )
+    )
+
+
+def q77_training_corpus(spark, sf_dir):
+    return training_corpus(t(spark, sf_dir, "documents"))
+
+
+def _q77_sql() -> str:
+    from htrtf_spark.queries.textops import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, {clean_sql("text")} AS clean_text FROM documents
+),
+quality AS (
+  SELECT doc_id, clean_text,
+         len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+             AS n_tokens,
+         len(list_filter(string_split(clean_text, ' '),
+             x -> x IN ({stoplist}))) AS n_stop
+  FROM cleaned
+  WHERE clean_text <> ''
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE n_tokens >= {MIN_TOKENS}
+    AND CAST(ROUND(10000.0 * n_stop / n_tokens) AS BIGINT)
+        <= {MAX_STOP_RATIO_BP}
+),
+ranked AS (
+  SELECT doc_id, n_tokens, n_stop, md5(clean_text) AS fp,
+         MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keep
+  FROM kept
+)
+SELECT doc_id, n_tokens,
+       CAST(ROUND(10000.0 * n_stop / n_tokens) AS BIGINT) AS stop_ratio_bp,
+       fp
+FROM ranked WHERE doc_id = keep
+"""
+
+
+QUERIES = {
+    "q77_training_corpus": (q77_training_corpus, _q77_sql()),
+}

@@ -1,0 +1,137 @@
+"""Production training-set builder: the full pipeline as one job.
+
+    spark-submit --master <cluster> --py-files htrtf_spark.zip \
+        jobs/build_training_set.py --input <transcripts.parquet> \
+        --output <iceberg-table-dir> [--min-tokens 25] \
+        [--max-stop-ratio-bp 8000] [--partition-by mode]
+
+transcripts in (parquet / JSONL / ORC / CSV / Iceberg) → vectorized
+extraction → per-turn quality filter (token count + stopword ratio) →
+exact dedup keep-first on extracted text → Iceberg v2 table out
+(identity-partitioned), with a lineage summary printed as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_training_set(
+    spark,
+    transcripts,
+    output: str,
+    min_tokens: int = 25,
+    max_stop_ratio_bp: int = 8000,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Library form (the job body; importable for tests): returns the
+    lineage summary dict."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.queries.textops import _STOPWORDS
+    from htrtf_spark.sources.iceberg import write_iceberg_table
+
+    extracted = extract_turns(transcripts, check_schema=False)
+    n_turns = extracted.count()
+
+    toks = F.filter(F.split("extracted_text", " "), lambda x: x != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    quality = extracted.filter(F.col("reject_reason").isNull()).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "mode",
+        "extracted_text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    kept = quality.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (
+            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens")).cast("long")
+            <= max_stop_ratio_bp
+        )
+    )
+    fp = F.md5("extracted_text")
+    w = Window.partitionBy(fp)
+    key = F.struct("conv_id", "turn_idx")
+    deduped = (
+        kept.withColumn("_fp", fp)
+        .withColumn("_keep", F.min(key).over(w))
+        .filter(key == F.col("_keep"))
+        .drop("_fp", "_keep", "n_stop")
+    )
+    out = deduped.cache()
+    n_out = out.count()
+    write_iceberg_table(out, output, partition_by=partition_by)
+    summary = {
+        "output": output,
+        "turns_in": n_turns,
+        "turns_out": n_out,
+        "dropped": n_turns - n_out,
+        "partition_by": partition_by or [],
+    }
+    out.unpersist()
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="transcripts parquet path")
+    src.add_argument("--input-jsonl", help="transcripts JSON-lines path")
+    src.add_argument("--input-orc", help="transcripts ORC path")
+    src.add_argument("--input-csv", help="transcripts CSV path")
+    src.add_argument("--iceberg-table", help="Iceberg transcripts table")
+    p.add_argument("--output", required=True, help="Iceberg output table dir")
+    p.add_argument("--min-tokens", type=int, default=25)
+    p.add_argument("--max-stop-ratio-bp", type=int, default=8000)
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated identity partition columns")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from htrtf_spark.sources.transcripts import (
+        read_transcripts_csv,
+        read_transcripts_iceberg,
+        read_transcripts_jsonl,
+        read_transcripts_orc,
+        read_transcripts_parquet,
+    )
+
+    if args.iceberg_table:
+        tr = read_transcripts_iceberg(spark, args.iceberg_table)
+    elif args.input_jsonl:
+        tr = read_transcripts_jsonl(spark, args.input_jsonl)
+    elif args.input_orc:
+        tr = read_transcripts_orc(spark, args.input_orc)
+    elif args.input_csv:
+        tr = read_transcripts_csv(spark, args.input_csv)
+    else:
+        tr = read_transcripts_parquet(spark, args.input)
+
+    summary = build_training_set(
+        spark, tr, args.output,
+        min_tokens=args.min_tokens,
+        max_stop_ratio_bp=args.max_stop_ratio_bp,
+        partition_by=(
+            args.partition_by.split(",") if args.partition_by else None
+        ),
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

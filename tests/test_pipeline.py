@@ -116,3 +116,46 @@ def test_conversation_documents_null_and_order(spark):
     assert got["a"] == ("hello world", 2)
     assert got["b"] == (None, 2)
     assert got["c"] == ("only", 1)
+
+
+def test_build_training_set_job(spark, tmp_path):
+    """End-to-end training-set builder: extraction → quality filter →
+    keep-first dedup → partitioned Iceberg out, with conserved lineage
+    and a recomputable kept-set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_training_set import build_training_set
+
+    from htrtf_spark import synth
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+    from htrtf_spark.sources.iceberg import live_data_files, read_iceberg_table
+
+    pdf = synth.synth_pandas(n_convs=40, seed=9)
+    # plant exact duplicate texts across conversations
+    dup = pdf[pdf["conv_id"] == pdf["conv_id"].iloc[0]].copy()
+    dup["conv_id"] = "zzz-dup"
+    import pandas as pd
+
+    tr = spark.createDataFrame(
+        pd.concat([pdf, dup], ignore_index=True), schema=TRANSCRIPTS_SCHEMA
+    )
+    out = str(tmp_path / "train_set")
+    summary = build_training_set(
+        spark, tr, out, min_tokens=3, max_stop_ratio_bp=10000,
+        partition_by=["mode"],
+    )
+    assert summary["turns_in"] == len(pdf) + len(dup)
+    assert 0 < summary["turns_out"] < summary["turns_in"]
+
+    back = read_iceberg_table(spark, out)
+    assert back.count() == summary["turns_out"]
+    # dedup: every extracted_text appears exactly once
+    assert back.select("extracted_text").distinct().count() == back.count()
+    # the planted duplicate conversation lost to keep-first ordering
+    assert back.filter("conv_id = 'zzz-dup'").count() == 0
+    # quality: no kept row under the token floor
+    assert back.filter("n_tokens < 3").count() == 0
+    # partitioned by mode in the manifests
+    files = live_data_files(out)
+    assert files and all(f["_spec_cols"] == ["mode"] for f in files)
