@@ -89,3 +89,39 @@ def test_whole_stage_codegen_on_relational(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "codegen id" in plan  # aggregation stays inside whole-stage codegen
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Bucketed tables joined on the bucket key plan WITHOUT an
+    Exchange on either side (the pay-the-shuffle-once pattern); a
+    bucket-count mismatch is caught by the guard."""
+    import pyspark.sql.functions as F
+
+    from htrtf_spark.plans import bucketing as B
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("conv_key"), (F.col("id") % 97).alias("x")
+    )
+    right = spark.range(0, 5000, 3).select(
+        F.col("id").alias("conv_key"), (F.col("id") % 31).alias("y")
+    )
+    B.write_bucketed(left, "t_bleft", "conv_key", n_buckets=8,
+                     path=str(tmp_path / "bl"))
+    B.write_bucketed(right, "t_bright", "conv_key", n_buckets=8,
+                     path=str(tmp_path / "br"))
+    try:
+        j = B.bucketed_join(spark, "t_bleft", "t_bright", "conv_key")
+        B.assert_no_shuffle_join(j)  # must not raise
+        assert j.count() == right.count()  # join result correct
+
+        # mismatched bucket count → a real Exchange appears → guard fires
+        B.write_bucketed(right, "t_bwrong", "conv_key", n_buckets=4,
+                         path=str(tmp_path / "bw"))
+        bad = B.bucketed_join(spark, "t_bleft", "t_bwrong", "conv_key")
+        with pytest.raises(AssertionError, match="Exchange"):
+            B.assert_no_shuffle_join(bad)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("t_bleft", "t_bright", "t_bwrong"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
