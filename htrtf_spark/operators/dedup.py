@@ -68,25 +68,29 @@ def shingle_table(
     """
     g = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng"))
     if max_doc_freq is not None:
-        # the stop list is SMALL by construction (only boilerplate
-        # shingles clear a high-df bar): collect it eagerly and inline
-        # it as a NOT-IN literal — one extra job, but no lingering
-        # .cache() of the full posting table (the largest intermediate
-        # of the pipeline) pinned across a long session, and no
-        # recompute of the ngram transform for an anti-join build side.
-        # If the list ever exceeds the inline bound (possible at web
-        # scale with a low cap), fall back to the broadcast anti join,
-        # whose build side is that same bounded-small frame.
-        stop_df = (
-            g.groupBy("ng").agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") > max_doc_freq)
-            .select("ng")
-        )
-        head = stop_df.head(STOP_LIST_INLINE_MAX + 1)
-        if len(head) > STOP_LIST_INLINE_MAX:
-            g = g.join(F.broadcast(stop_df), "ng", "left_anti")
-        elif head:
-            g = g.filter(~F.col("ng").isin([r["ng"] for r in head]))
+        g = _stop_filter(g, max_doc_freq)
+    return g
+
+
+def _stop_filter(g: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop stop shingles from a posting table (ONE implementation,
+    shared by shingle_table and _cap_cached). The stop list is SMALL by
+    construction (only boilerplate shingles clear a high-df bar):
+    collect it eagerly and inline it as a NOT-IN literal — one action,
+    no anti-join build side, no second compute of the ngram transform.
+    Past the inline bound (possible at web scale with a low cap) the
+    broadcast anti join takes over, its build side being that same
+    bounded-small frame."""
+    stop_df = (
+        g.groupBy("ng").agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("ng")
+    )
+    head = stop_df.head(STOP_LIST_INLINE_MAX + 1)
+    if len(head) > STOP_LIST_INLINE_MAX:
+        return g.join(F.broadcast(stop_df), "ng", "left_anti")
+    if head:
+        return g.filter(~F.col("ng").isin([r["ng"] for r in head]))
     return g
 
 
@@ -114,23 +118,24 @@ def stop_shingle_stats(
 
 
 def _cap_cached(raw: DataFrame, max_doc_freq: int | None) -> DataFrame:
-    """Apply the stop-shingle cap to an ALREADY-CACHED raw posting table:
-    the df-count action populates the cache, the returned filter reads
-    it — so the whole capped pipeline costs one ngram explode and one
-    caller-owned cache (no second cache, no second explode)."""
+    """Apply the stop-shingle cap to an ALREADY-CACHED raw posting
+    table, then SWAP the cache: the stop-list action populates the raw
+    cache, the capped result is materialized into its own cache (one
+    cheap in-memory pass), and the raw cache — which still contains the
+    quadratic-fanout stop postings the cap exists to drop — is released.
+    Net: one ngram explode, and the only lingering cache is the CAPPED
+    table. Returns a cached DataFrame; callers must not re-cache."""
     if max_doc_freq is None:
         return raw
-    stop_df = (
-        raw.groupBy("ng").agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") > max_doc_freq)
-        .select("ng")
-    )
-    head = stop_df.head(STOP_LIST_INLINE_MAX + 1)
-    if len(head) > STOP_LIST_INLINE_MAX:
-        return raw.join(F.broadcast(stop_df), "ng", "left_anti")
-    if head:
-        return raw.filter(~F.col("ng").isin([r["ng"] for r in head]))
-    return raw
+    capped = _stop_filter(raw, max_doc_freq)
+    if capped is raw:
+        # no stop shingles at this scale: raw IS the capped table —
+        # swapping would unpersist the one cache we need
+        return raw
+    capped = capped.cache()
+    capped.count()  # populate from the (still-cached) raw table
+    raw.unpersist()
+    return capped
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

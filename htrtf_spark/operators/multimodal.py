@@ -252,7 +252,9 @@ def sample_frames_map_in_pandas(stride_ms: int = 200, max_frames: int = 64):
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                if dur is None or dur <= 0:
+                # a nullable int column with NULLs arrives as float64
+                # NaN through Arrow — pd.isna covers both None and NaN
+                if pd.isna(dur) or int(dur) <= 0:
                     continue
                 n = min(-(-int(dur) // stride_ms), max_frames)
                 raw = bytes(payload) if payload is not None else b""
@@ -299,7 +301,7 @@ def audio_framing_map_in_pandas(win_ms: int = 25, hop_ms: int = 10):
             out = {k: [] for k in (
                 "media_id", "n_frames", "first_center_ms", "last_center_ms")}
             for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
-                if dur is None or int(dur) < win_ms:
+                if pd.isna(dur) or int(dur) < win_ms:
                     continue
                 n = 1 + (int(dur) - win_ms) // hop_ms
                 out["media_id"].append(int(mid))

@@ -409,7 +409,7 @@ def _commit(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.abspath(manifest_list_path),
-        "schema-id": 0,
+        "schema-id": ice_schema.get("schema-id", 0),
         "summary": {
             "operation": "append" if manifest_content == 0 else "delete",
             "added-data-files": str(len(data_files)),
@@ -645,12 +645,11 @@ def delete_iceberg_rows(
             }
         )
     # delete manifests use the unpartitioned spec (global deletes)
-    spec = {"spec-id": 0, "fields": []}
     known = {s["spec-id"]: s for s in meta["partition-specs"]}
-    if known.get(0, {"fields": []})["fields"]:
-        # spec 0 is partitioned on this table; global deletes still ride
-        # an empty partition tuple, so synthesize an unpartitioned spec
-        spec = {"spec-id": max(known) + 1, "fields": []}
+    empty = [s for s in known.values() if not s["fields"]]
+    # global deletes ride an empty partition tuple: reuse any existing
+    # unpartitioned spec; synthesize one only the first time
+    spec = empty[0] if empty else {"spec-id": max(known) + 1, "fields": []}
     return _commit(
         location, ice_schema, entries, prev_meta=meta, spec=spec,
         manifest_content=1,
@@ -695,10 +694,11 @@ def delete_iceberg_positions(pos_df: DataFrame, location: str) -> int:
                 "equality_ids": None,
             }
         )
-    spec = {"spec-id": 0, "fields": []}
     known = {s["spec-id"]: s for s in meta["partition-specs"]}
-    if known.get(0, {"fields": []})["fields"]:
-        spec = {"spec-id": max(known) + 1, "fields": []}
+    empty = [s for s in known.values() if not s["fields"]]
+    # global deletes ride an empty partition tuple: reuse any existing
+    # unpartitioned spec; synthesize one only the first time
+    spec = empty[0] if empty else {"spec-id": max(known) + 1, "fields": []}
     return _commit(
         location, ice_schema, entries, prev_meta=meta, spec=spec,
         manifest_content=1,
@@ -711,30 +711,45 @@ _STRIP_SCHEME = r"^file:(//)?"
 def find_positions(
     spark: SparkSession, location: str, predicate: str
 ) -> DataFrame:
-    """(file_path, pos) of every CURRENTLY-VISIBLE row matching a SQL
+    """(file_path, pos) of every live-data-file row matching a SQL
     predicate — the scan attaches Spark's ``_metadata`` file path and
-    row index, normalized to the manifest path form. Feed the result to
+    row index, normalized to the manifest path form, and identity
+    partition columns are materialized from manifest metadata per file
+    group (Hive-layout files don't store them), so predicates may
+    reference partition columns. Feed the result to
     ``delete_iceberg_positions``."""
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
     schema = _spark_schema(meta["schemas"][meta["current-schema-id"]])
-    paths = [f["file_path"] for f in live_data_files(location)]
-    if not paths:
+    by_name = {f.name: f for f in schema.fields}
+
+    groups: dict[tuple, list[str]] = {}
+    for rec in live_data_files(location):
+        vals = tuple((c, rec["partition"].get(c)) for c in rec["_spec_cols"])
+        groups.setdefault(vals, []).append(rec["file_path"])
+    if not groups:
         return spark.createDataFrame([], "file_path string, pos long")
-    return (
-        spark.read.schema(schema)
-        .parquet(*paths)
-        .select(
+    parts = []
+    for vals, paths in groups.items():
+        part_cols = [c for c, _v in vals]
+        file_schema = T.StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        df = spark.read.schema(file_schema).parquet(*paths).select(
             "*",
-            F.regexp_replace(F.col("_metadata.file_path"), _STRIP_SCHEME, "").alias(
-                "file_path"
-            ),
+            F.regexp_replace(
+                F.col("_metadata.file_path"), _STRIP_SCHEME, ""
+            ).alias("file_path"),
             F.col("_metadata.row_index").alias("pos"),
         )
-        .filter(predicate)
-        .select("file_path", "pos")
-    )
+        for c, v in vals:
+            df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(predicate).select("file_path", "pos")
 
 
 # ----------------------------------------------------------- maintenance
@@ -1008,7 +1023,16 @@ def read_iceberg_table(
             df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
         for dseq, eq_cols, ddf in del_dfs:
             if dseq > seq:  # strict: later deletes hit earlier data
-                df = df.join(F.broadcast(ddf), on=eq_cols, how="left_anti")
+                # NULL-SAFE equality per the spec: a null delete key
+                # deletes rows where the column IS NULL (plain equi-join
+                # anti would never match NULL = NULL)
+                right = ddf
+                cond = None
+                for c in eq_cols:
+                    right = right.withColumnRenamed(c, f"__d_{c}")
+                    term = F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+                    cond = term if cond is None else cond & term
+                df = df.join(F.broadcast(right), on=cond, how="left_anti")
         # select LAST: the anti joins move their key columns to the front
         parts.append(df.select(*[f.name for f in schema.fields]))
     out = parts[0]

@@ -36,7 +36,10 @@ def build_training_set(
     from htrtf_spark.sources.iceberg import write_iceberg_table
 
     extracted = extract_turns(transcripts, check_schema=False)
-    n_turns = extracted.count()
+    # extraction preserves row count (one output row per turn), so the
+    # lineage count comes from the INPUT — no second run of the Python
+    # extraction stage just to count
+    n_turns = transcripts.count()
 
     toks = F.filter(F.split("extracted_text", " "), lambda x: x != F.lit(""))
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
@@ -58,14 +61,12 @@ def build_training_set(
             <= max_stop_ratio_bp
         )
     )
-    fp = F.md5("extracted_text")
-    w = Window.partitionBy(fp)
+    w = Window.partitionBy(F.md5("extracted_text"))
     key = F.struct("conv_id", "turn_idx")
     deduped = (
-        kept.withColumn("_fp", fp)
-        .withColumn("_keep", F.min(key).over(w))
+        kept.withColumn("_keep", F.min(key).over(w))
         .filter(key == F.col("_keep"))
-        .drop("_fp", "_keep", "n_stop")
+        .drop("_keep", "n_stop")
     )
     out = deduped.cache()
     n_out = out.count()

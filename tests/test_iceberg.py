@@ -516,3 +516,50 @@ def test_compact_and_expire(spark, transcripts_df, tmp_path):
     assert _collect(I.read_iceberg_table(spark, loc)) == _collect(expect)
     with pytest.raises(KeyError):
         I.read_iceberg_table(spark, loc, snapshot_id=1).collect()
+
+
+def test_equality_delete_null_key(spark, transcripts_df, tmp_path):
+    """A NULL delete key deletes rows WHERE col IS NULL (null-safe
+    equality per the spec; plain equi-anti would never match)."""
+    rows = [
+        ("c1", 0, "user", "keep me", None, "2024-01-01 00:00:00"),
+        ("c2", 0, "user", "null tool row", None, "2024-01-01 00:00:01"),
+        ("c3", 0, "user", "tooled row", "tool_x", "2024-01-01 00:00:02"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    loc = str(tmp_path / "nulldel")
+    I.write_iceberg_table(df, loc)
+    keys = spark.createDataFrame([(None,)], "tool string")
+    I.delete_iceberg_rows(keys, loc, ["tool"])
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(df.filter(F.col("tool").isNotNull()))
+
+
+def test_find_positions_on_partition_column(spark, transcripts_df, tmp_path):
+    """find_positions predicates may reference identity partition
+    columns (materialized from manifests; Hive-layout files don't store
+    them)."""
+    loc = str(tmp_path / "pospart")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    pos = I.find_positions(spark, loc, "role = 'assistant'")
+    assert pos.count() == transcripts_df.filter("role = 'assistant'").count() > 0
+    I.delete_iceberg_positions(pos, loc)
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(transcripts_df.filter("role <> 'assistant'"))
+
+
+def test_delete_commits_reuse_empty_spec(spark, transcripts_df, tmp_path):
+    """Repeated deletes on a partitioned table reuse ONE synthesized
+    unpartitioned spec instead of registering a new spec-id per
+    commit."""
+    loc = str(tmp_path / "specbloat")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    for conv in ("conv-a", "conv-b"):
+        I.delete_iceberg_rows(
+            spark.createDataFrame([(conv,)], "conv_id string"), loc, ["conv_id"]
+        )
+    meta = I.current_metadata(loc)
+    assert len(meta["partition-specs"]) == 2  # partitioned + ONE empty

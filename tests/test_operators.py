@@ -382,3 +382,21 @@ def test_audio_framing(spark):
         schema=multimodal.MEDIA_SCHEMA,
     )
     assert multimodal.audio_framing(short).count() == 0
+
+
+def test_frame_ops_skip_null_durations(spark):
+    """NULL duration_ms rows (NaN through Arrow) are skipped, not a
+    stage crash."""
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1],
+            "kind": ["video", "audio"],
+            "payload": [bytearray(b"v"), bytearray(b"a")],
+            "width": [None, None],
+            "height": [None, None],
+            "duration_ms": [None, None],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    assert multimodal.sample_frames(media).count() == 0
+    assert multimodal.audio_framing(media).count() == 0
