@@ -76,8 +76,15 @@ def build_training_set(
         "turns_in": n_turns,
         "turns_out": n_out,
         "dropped": n_turns - n_out,
+        "min_tokens": min_tokens,
+        "max_stop_ratio_bp": max_stop_ratio_bp,
         "partition_by": partition_by or [],
     }
+    # lineage lives NEXT TO the data (north-rule style), not only stdout
+    import os
+
+    with open(os.path.join(output, "_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
     out.unpersist()
     return summary
 

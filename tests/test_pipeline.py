@@ -159,3 +159,9 @@ def test_build_training_set_job(spark, tmp_path):
     # partitioned by mode in the manifests
     files = live_data_files(out)
     assert files and all(f["_spec_cols"] == ["mode"] for f in files)
+    # lineage summary persisted next to the table
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out, "_summary.json")) as fh:
+        assert _json.load(fh)["turns_out"] == summary["turns_out"]
