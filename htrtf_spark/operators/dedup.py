@@ -405,3 +405,84 @@ def simhash_near_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: min-label propagation to a
+    fixpoint — every node's label becomes the smallest id reachable
+    through the (undirected) edge set, i.e. its connected component
+    representative. Returns (id, cluster_rep).
+
+    Scale shape: each iteration is one join (labels ⋈ edges) + one
+    partial-aggregated min groupBy — plain shuffles, no driver-side
+    graph state; the loop is over ITERATIONS (O(component diameter),
+    which for near-dup clusters is tiny), not over data. Convergence is
+    detected by a changed-label count; AQE handles the shrinking
+    frontier. This is the dedup-cluster step every web-scale pipeline
+    runs between pair generation and keep-one-per-cluster."""
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # candidate labels: my own + the labels of my neighbors
+        from_neighbors = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        # localCheckpoint (eager) TRUNCATES the lineage — without it
+        # every iteration re-analyzes a one-deeper plan and the loop
+        # goes quadratic in planning time (the classic iterative-Spark
+        # pitfall; same reason GraphX checkpoints Pregel supersteps)
+        prop = (
+            labels.unionByName(from_neighbors)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping (label := label's label): halves the distance
+        # to the component minimum every round → O(log diameter)
+        # iterations instead of O(diameter)
+        jump = prop.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            prop.join(jump, prop.label == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("jlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_rep"))

@@ -354,3 +354,59 @@ SELECT doc_id, fp FROM ranked WHERE doc_id = keep
 """
 
 QUERIES["q74_iceberg_dedup_apply"] = (q74_iceberg_dedup_apply, _Q74_SQL)
+
+
+# --------------------------------------------------------------------- q78
+# Near-dup CLUSTERING: connected components over the verified MinHash
+# pairs (the step between pair generation and keep-one-per-cluster).
+# Spark side: distributed min-label propagation to a fixpoint; oracle:
+# the same pairs rebuilt by the q27 SQL, closed under a RECURSIVE CTE
+# (min reachable id == component representative).
+
+
+def q78_neardup_clusters(spark, sf_dir):
+    pairs = D.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_jaccard_bp=JACCARD_BP_MIN,
+    )
+    return D.connected_components(pairs)
+
+
+_Q78_SQL = f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+{_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.id = c.id_a
+  JOIN grams gb ON gb.id = c.id_b AND gb.ng = ga.ng
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  WHERE CAST(ROUND(10000.0 * inter / (sa.sz + sb.sz - inter)) AS BIGINT)
+        >= {JACCARD_BP_MIN}
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT p.dst, w.label FROM walk w JOIN sym p ON p.src = w.id
+)
+SELECT id, MIN(label) AS cluster_rep FROM walk GROUP BY id
+"""
+
+QUERIES["q78_neardup_clusters"] = (q78_neardup_clusters, _Q78_SQL)

@@ -400,3 +400,25 @@ def test_frame_ops_skip_null_durations(spark):
     media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
     assert multimodal.sample_frames(media).count() == 0
     assert multimodal.audio_framing(media).count() == 0
+
+
+def test_connected_components(spark):
+    """Min-label propagation: chains collapse to their min id, separate
+    components stay separate, convergence needs diameter iterations."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_rep"]
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    # a long chain exercises multi-iteration convergence
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    gotc = {r["id"]: r["cluster_rep"]
+            for r in dedup.connected_components(chain).collect()}
+    assert set(gotc.values()) == {0} and len(gotc) == 31
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(chain, max_iter=1)
