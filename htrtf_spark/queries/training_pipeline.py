@@ -119,3 +119,65 @@ FROM ranked WHERE doc_id = keep
 QUERIES = {
     "q77_training_corpus": (q77_training_corpus, _q77_sql()),
 }
+
+
+# --------------------------------------------------------------------- q79
+# Deterministic train/valid/test split by ENGINE-PORTABLE hash: bucket
+# = md5-prefix(id) mod 100 → split by cumulative weight. The reference
+# splits by curated set-lists (create_IAM_lines_dataset.py:225); at web
+# scale the same contract (stable membership, no RNG, reproducible on
+# any engine) comes from content hashing. 60-bit md5 prefix — the same
+# portable-hash trick the SimHash gate uses.
+
+_SPLIT_PCTS = (80, 10, 10)  # train / valid / test
+
+
+def hash_split_assign(df, id_col: str):
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    t_hi = _SPLIT_PCTS[0]
+    v_hi = _SPLIT_PCTS[0] + _SPLIT_PCTS[1]
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_hi, "train")
+        .when(bucket < v_hi, "valid")
+        .otherwise("test"),
+    )
+
+
+def q79_hash_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        hash_split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+_Q79_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+             AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {_SPLIT_PCTS[0]} THEN 'train'
+            WHEN bucket < {_SPLIT_PCTS[0] + _SPLIT_PCTS[1]} THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM b GROUP BY 1
+"""
+
+QUERIES["q79_hash_split"] = (q79_hash_split, _Q79_SQL)
