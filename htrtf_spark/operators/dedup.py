@@ -425,6 +425,8 @@ def connected_components(
     detected by a changed-label count; AQE handles the shrinking
     frontier. This is the dedup-cluster step every web-scale pipeline
     runs between pair generation and keep-one-per-cluster."""
+    import gc
+
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -437,52 +439,60 @@ def connected_components(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # candidate labels: my own + the labels of my neighbors
-        from_neighbors = (
-            sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
-        )
-        # localCheckpoint (eager) TRUNCATES the lineage — without it
-        # every iteration re-analyzes a one-deeper plan and the loop
-        # goes quadratic in planning time (the classic iterative-Spark
-        # pitfall; same reason GraphX checkpoints Pregel supersteps)
-        prop = (
-            labels.unionByName(from_neighbors)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jumping (label := label's label): halves the distance
-        # to the component minimum every round → O(log diameter)
-        # iterations instead of O(diameter)
-        jump = prop.select(
-            F.col("id").alias("jid"), F.col("label").alias("jlabel")
-        )
-        new_labels = (
-            prop.join(jump, prop.label == jump.jid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("jlabel", "label")
-                ).alias("label"),
+    try:
+        for _ in range(max_iter):
+            # candidate labels: my own + the labels of my neighbors
+            from_neighbors = (
+                sym.join(labels, sym.src == labels.id)
+                .select(F.col("dst").alias("id"), "label")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations"
-        )
-    sym.unpersist()
+            prop = (
+                labels.unionByName(from_neighbors)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jumping (label := label's label): halves the
+            # distance to the component minimum every round →
+            # O(log diameter) iterations instead of O(diameter)
+            jump = prop.select(
+                F.col("id").alias("jid"), F.col("label").alias("jlabel")
+            )
+            # localCheckpoint (eager) TRUNCATES the lineage — without
+            # it every iteration re-analyzes a one-deeper plan and the
+            # loop goes quadratic in planning time (the classic
+            # iterative-Spark pitfall; same reason GraphX checkpoints
+            # Pregel supersteps). Checkpoint blocks are reclaimed by
+            # the ContextCleaner once the PREVIOUS iteration's
+            # DataFrame is garbage — the rebind below drops the only
+            # reference and the explicit gc.collect() makes that
+            # prompt instead of whenever CPython feels like it.
+            new_labels = (
+                prop.join(jump, prop.label == jump.jid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("jlabel", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            gc.collect()  # release the prior iteration's checkpoint blocks
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations"
+            )
+    finally:
+        sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_rep"))

@@ -135,10 +135,12 @@ _SPLIT_PCTS = (80, 10, 10)  # train / valid / test
 def hash_split_assign(df, id_col: str):
     from pyspark.sql import functions as F
 
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
-    )
+    from htrtf_spark.operators.dedup import portable_token_hash
+
+    # the ONE canonical engine-portable 60-bit md5-prefix hash (same
+    # helper the SimHash gate uses) — keep split membership and the
+    # portable-hash convention in lockstep
+    bucket = portable_token_hash(F.col(id_col).cast("string")) % 100
     t_hi = _SPLIT_PCTS[0]
     v_hi = _SPLIT_PCTS[0] + _SPLIT_PCTS[1]
     return df.withColumn(

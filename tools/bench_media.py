@@ -26,6 +26,7 @@ def main() -> None:
     spark = get_spark(app_name="bench_media", master="local[32]")
     media = multimodal.synth_media(spark, n=n, seed=42).cache()
     n_img = media.filter("kind='image'").count()
+    n_video = media.filter("kind='video'").count()
 
     import tempfile
 
@@ -58,7 +59,9 @@ def main() -> None:
             t0 = time.monotonic()
             mk().count()
             best = min(best, time.monotonic() - t0)
-        unit = n_img if name != "frame_sample" else n - n_img
+        # sample_frames processes only the VIDEO rows (one third of the
+        # table), not everything that isn't an image
+        unit = n_img if name != "frame_sample" else n_video
         out[name] = {"wall_sec": round(best, 2),
                      "items_per_sec": int(unit / best)}
 
