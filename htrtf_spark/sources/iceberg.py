@@ -490,7 +490,10 @@ def _commit(
 
 
 def write_iceberg_table(
-    df: DataFrame, location: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Create an Iceberg v2 table at ``location`` from ``df`` (snapshot 1),
     optionally identity-partitioned. Fails if the table already exists."""
@@ -501,11 +504,35 @@ def write_iceberg_table(
     files = _write_data_files(
         df, location, seq=1, spec_fields=spec["fields"], ice_schema=ice_schema
     )
-    return _commit(location, ice_schema, files, prev_meta=None, spec=spec)
+    sid = _commit(location, ice_schema, files, prev_meta=None, spec=spec)
+    if properties:
+        set_table_properties(location, properties)
+    return sid
+
+
+def set_table_properties(location: str, properties: dict[str, str]) -> None:
+    """Metadata-only property merge, committed as a new metadata
+    version (atomic rename, same commit point as every other write)."""
+    meta = current_metadata(location)
+    with open(_version_hint(location)) as fh:
+        version = int(fh.read().strip()) + 1
+    new_meta = dict(meta)
+    new_meta["properties"] = {**meta.get("properties", {}), **properties}
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh, indent=2)
+    os.rename(tmp, meta_path)
+    with open(_version_hint(location), "w") as fh:
+        fh.write(str(version))
 
 
 def append_iceberg_table(
-    df: DataFrame, location: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; schema must match the table's.
     ``partition_by=None`` keeps the table's current default spec; a
@@ -541,6 +568,11 @@ def append_iceberg_table(
         df, location, seq=meta["last-sequence-number"] + 1,
         spec_fields=spec["fields"], ice_schema=ice_schema,
     )
+    if properties:
+        # merged into the metadata the SAME atomic commit publishes —
+        # readers never see the data without the property update
+        meta = dict(meta)
+        meta["properties"] = {**meta.get("properties", {}), **properties}
     return _commit(location, ice_schema, files, prev_meta=meta, spec=spec)
 
 

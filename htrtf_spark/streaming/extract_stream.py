@@ -83,3 +83,52 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+_BATCH_PROP = "streaming.last-batch-id"
+
+
+def stream_to_iceberg(
+    df: DataFrame, location: str, checkpoint_dir: str, query_name: str = "to_iceberg"
+):
+    """EXACTLY-ONCE streaming sink into an Iceberg v2 table: each
+    micro-batch appends under ``foreachBatch``, recording its batch id
+    as a table property IN THE SAME atomic metadata commit. On restart,
+    Structured Streaming replays the last possibly-uncommitted batch;
+    the property guard detects an id that already committed and skips
+    it — append-idempotence across failures, the standard
+    streaming-lakehouse pattern. Returns the started StreamingQuery."""
+    import os
+
+    from htrtf_spark.sources.iceberg import (
+        _version_hint,
+        append_iceberg_table,
+        current_metadata,
+        write_iceberg_table,
+    )
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        if not os.path.exists(_version_hint(location)):
+            # table born from this stream: the create IS batch_id's
+            # commit, property stamped in the same breath
+            write_iceberg_table(
+                batch_df, location, properties={_BATCH_PROP: str(batch_id)}
+            )
+            return
+        meta = current_metadata(location)
+        # -1 when absent: a PRE-EXISTING table the stream appends into
+        # must accept batch 0 (a "0" default would silently drop it)
+        last = int(meta.get("properties", {}).get(_BATCH_PROP, "-1"))
+        if batch_id <= last:
+            return  # replayed batch that already committed — skip
+        append_iceberg_table(
+            batch_df, location, properties={_BATCH_PROP: str(batch_id)}
+        )
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )

@@ -396,3 +396,44 @@ def test_orc_and_csv_sources_match_parquet(spark, tmp_path):
             assert (
                 got[c].fillna("<N>").values == base[c].fillna("<N>").values
             ).all(), c
+
+
+def test_stream_to_iceberg_exactly_once(spark, tmp_path):
+    """Streaming → Iceberg sink survives a stop/restart with no loss and
+    no duplication: each micro-batch's id commits atomically with its
+    append, and replayed batches are skipped by the property guard."""
+    from htrtf_spark.sources.iceberg import current_metadata, read_iceberg_table
+
+    pdf = synth.synth_pandas(n_convs=10, seed=33)
+    convs = sorted(pdf["conv_id"].unique())
+    first = pdf[pdf["conv_id"].isin(convs[:5])]
+    second = pdf[pdf["conv_id"].isin(convs[5:])]
+
+    in_dir, tbl, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "tbl"), str(tmp_path / "ck")
+    )
+    spark.createDataFrame(first, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def start():
+        ex = xs.stream_extract(xs.read_transcript_stream(spark, in_dir))
+        return xs.stream_to_iceberg(ex, tbl, ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert read_iceberg_table(spark, tbl).count() == len(first)
+
+    spark.createDataFrame(second, schema=TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = start()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_iceberg_table(spark, tbl)
+    assert got.count() == len(pdf)  # no loss, no duplication
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(pdf)
+    # the last committed batch id is recorded as a table property
+    assert "streaming.last-batch-id" in current_metadata(tbl)["properties"]
