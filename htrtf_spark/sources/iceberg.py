@@ -784,6 +784,20 @@ def find_positions(
     return out.filter(predicate).select("file_path", "pos")
 
 
+def upsert_iceberg_table(
+    df: DataFrame, location: str, key_cols: list[str]
+) -> int:
+    """MERGE-style upsert: rows in ``df`` REPLACE existing rows sharing
+    their key — composed from the row-level primitives (equality-delete
+    the incoming keys, then append the new rows), no data file
+    rewritten. Two snapshots rather than native MERGE's one (documented
+    divergence: our metadata commit is per-operation); readers between
+    the two see the table without the matched keys, never a duplicate.
+    Returns the append's snapshot id."""
+    delete_iceberg_rows(df.select(*key_cols), location, key_cols)
+    return append_iceberg_table(df, location)
+
+
 # ----------------------------------------------------------- maintenance
 def compact_iceberg_table(
     spark: SparkSession, location: str, partition_by: list[str] | None = None

@@ -563,3 +563,28 @@ def test_delete_commits_reuse_empty_spec(spark, transcripts_df, tmp_path):
         )
     meta = I.current_metadata(loc)
     assert len(meta["partition-specs"]) == 2  # partitioned + ONE empty
+
+
+def test_upsert(spark, transcripts_df, tmp_path):
+    """Upsert replaces matched keys and inserts new ones; unmatched rows
+    untouched; running the same upsert twice is idempotent in effect."""
+    loc = str(tmp_path / "uptbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    changes = spark.createDataFrame(
+        [
+            ("conv-a", 0, "user", "EDITED text", None, "2024-01-01 09:00:00"),
+            ("conv-c", 0, "user", "brand new", None, "2024-01-02 00:00:00"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    I.upsert_iceberg_table(changes, loc, ["conv_id", "turn_idx"])
+
+    got = I.read_iceberg_table(spark, loc)
+    expect = transcripts_df.join(
+        changes.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    ).unionByName(changes)
+    assert _collect(got) == _collect(expect)
+
+    # re-applying the same upsert leaves the same visible rows
+    I.upsert_iceberg_table(changes, loc, ["conv_id", "turn_idx"])
+    assert _collect(I.read_iceberg_table(spark, loc)) == _collect(expect)
