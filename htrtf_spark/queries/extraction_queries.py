@@ -223,3 +223,163 @@ QUERIES = {
     "q34_extract_synthetic": (q34_extract_synthetic, None),
     "q35_extraction_metrics": (q35_extraction_metrics, None),
 }
+
+
+# ------------------------------------------------------- q34/q35 oracles
+# THE FULL MULTI-MODE SPEC IN SQL: round 1 left q34/q35 rows-only
+# ("genuinely non-SQL-expressible"); this restates every mode in DuckDB
+# — CTC merge-repeats via an index lambda, DOM line classification via
+# list comprehensions, IAM/Washington stream decodes, the mode
+# classifier with an explicit whitespace class (RE2 \S is ASCII-only,
+# unlike Python's — the IAM pattern must spell the set out). The synth
+# input is deterministic, so the query fn materializes it to a FIXED
+# parquet path the oracle reads directly (the driver registers only the
+# ten testdata views; DuckDB can read any path literal).
+
+_Q34_INPUT = "/tmp/htrtf_q34_synth_input.parquet"
+
+
+def _sql_q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _ws_class() -> str:
+    # regex char class body for the exact isspace set (no escaping
+    # needed: none of the WS codepoints are regex metachars)
+    return cs.WS_CHARS
+
+
+def _extract_sql_cte() -> str:
+    """CTE chain turning the raw transcript parquet into the extracted
+    table — the SQL twin of oracle.extract_turn, mode by mode."""
+    ws = _sql_q(_ws_class())
+    tag_detect = _sql_q(cs.TAG_DETECT_PATTERN)
+    boiler = _sql_q(cs.BOILERPLATE_PATTERN)
+    anchor = _sql_q(cs.ANCHOR_SPAN_PATTERN)
+    tag_strip = _sql_q(cs.TAG_STRIP_PATTERN)
+    wash = _sql_q(cs.WASH_STREAM_PATTERN)
+    iam = f"^\\|[^{ws}]*\\|$"  # Python \S == NOT(isspace set), spelled out
+    marker = _sql_q(cs.CTC_MARKER)
+    mlen = len(cs.CTC_MARKER)
+    blank = cs.BLANK_CHAR
+    sep = cs.WORD_SEP
+
+    return f"""
+inp AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM '{_Q34_INPUT}/*.parquet'
+),
+st AS (
+  SELECT *, trim(text, '{ws}') AS s FROM inp
+),
+modes AS (
+  SELECT *,
+    CASE
+      WHEN text IS NULL THEN '{cs.MODE_NULL}'
+      WHEN s = '' THEN '{cs.MODE_EMPTY}'
+      WHEN starts_with(s, '{marker}') THEN '{cs.MODE_CTC}'
+      WHEN regexp_matches(s, '{tag_detect}') THEN '{cs.MODE_DOM}'
+      WHEN regexp_matches(s, '{iam}') THEN '{cs.MODE_IAM}'
+      WHEN regexp_matches(s, '{wash}') THEN '{cs.MODE_WASH}'
+      ELSE '{cs.MODE_PLAIN}'
+    END AS mode
+  FROM st
+),
+raw AS (
+  SELECT conv_id, turn_idx, role, mode,
+    CASE mode
+      WHEN '{cs.MODE_CTC}' THEN (
+        SELECT array_to_string(
+          list_transform(
+            list_filter(
+              list_filter(chars, (x, i) -> i = 1 OR chars[i-1] <> x),
+              x -> x <> '{blank}'),
+            x -> CASE WHEN x = '{sep}' THEN ' ' ELSE x END), '')
+        FROM (SELECT string_split(substr(s, {mlen + 1}), '') AS chars)
+      )
+      WHEN '{cs.MODE_DOM}' THEN (
+        SELECT array_to_string(
+          [regexp_replace(l, '{tag_strip}', ' ', 'g')
+           for l in lines
+           if len(l) > 0
+              AND NOT regexp_matches(l, '{boiler}')
+              AND 2 * (len(l) - len(regexp_replace(l, '{anchor}', '', 'g')))
+                  <= len(l)
+              AND trim(regexp_replace(l, '{tag_strip}', ' ', 'g'), '{ws}')
+                  <> ''], ' ')
+        FROM (SELECT string_split(s, chr(10)) AS lines)
+      )
+      WHEN '{cs.MODE_IAM}' THEN array_to_string(
+        list_filter(string_split(s, '{sep}'), x -> x <> ''), ' ')
+      WHEN '{cs.MODE_WASH}' THEN (
+        SELECT array_to_string(
+          list_transform(
+            list_filter(chars, (x, i) -> i % 2 = 1),
+            x -> CASE WHEN x = '{sep}' THEN ' ' ELSE x END), '')
+        FROM (SELECT string_split(s, '') AS chars)
+      )
+      WHEN '{cs.MODE_PLAIN}' THEN s
+      ELSE NULL
+    END AS rawtext
+  FROM modes
+),
+fin AS (
+  SELECT conv_id, turn_idx, role, mode,
+    CASE
+      WHEN mode = '{cs.MODE_NULL}' THEN NULL
+      WHEN mode = '{cs.MODE_EMPTY}' THEN ''
+      ELSE {clean_sql("rawtext")}
+    END AS extracted_text
+  FROM raw
+),
+extracted AS (
+  SELECT conv_id, turn_idx, role, mode, extracted_text,
+    CAST(length(extracted_text) AS INTEGER) AS n_chars,
+    CASE
+      WHEN mode = '{cs.MODE_NULL}' THEN '{cs.REJECT_NULL}'
+      WHEN extracted_text = '' THEN '{cs.REJECT_EMPTY}'
+    END AS reject_reason
+  FROM fin
+)"""
+
+
+def _q34_write_input(spark):
+    from htrtf_spark.synth import synth_spark
+
+    tr = synth_spark(spark, n_convs=300, seed=42, partitions=16)
+    tr.select("conv_id", "turn_idx", "role", "text").write.mode(
+        "overwrite"
+    ).parquet(_Q34_INPUT)
+    return tr
+
+
+def q34_extract_synthetic_v2(spark, sf_dir):
+    tr = _q34_write_input(spark)
+    return extract_turns(tr, check_schema=False)
+
+
+_Q34_SQL = f"""
+WITH {_extract_sql_cte()}
+SELECT * FROM extracted
+"""
+
+
+def q35_extraction_metrics_v2(spark, sf_dir):
+    tr = _q34_write_input(spark)
+    ex = extract_turns(tr, check_schema=False)
+    return extraction_metrics(ex).orderBy("mode")
+
+
+_Q35_SQL = f"""
+WITH {_extract_sql_cte()}
+SELECT mode,
+       COUNT(*) AS turns,
+       CAST(SUM(CASE WHEN reject_reason IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS rejected,
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+FROM extracted
+GROUP BY mode
+"""
+
+QUERIES["q34_extract_synthetic"] = (q34_extract_synthetic_v2, _Q34_SQL)
+QUERIES["q35_extraction_metrics"] = (q35_extraction_metrics_v2, _Q35_SQL)
