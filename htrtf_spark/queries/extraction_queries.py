@@ -172,23 +172,8 @@ WHERE doc_id % 10 = 0
 # driver; byte-exact vs the Python oracle in tests/test_pipeline.py.
 
 
-def q34_extract_synthetic(spark, sf_dir):
-    from htrtf_spark.synth import synth_spark
-
-    tr = synth_spark(spark, n_convs=300, seed=42, partitions=16)
-    return extract_turns(tr, check_schema=False)
-
-
 # --------------------------------------------------------------------- q35
 # Lineage metrics over the synthetic extraction (audit counters).
-
-
-def q35_extraction_metrics(spark, sf_dir):
-    from htrtf_spark.synth import synth_spark
-
-    tr = synth_spark(spark, n_convs=300, seed=42, partitions=16)
-    ex = extract_turns(tr, check_schema=False)
-    return extraction_metrics(ex).orderBy("mode")
 
 
 # --------------------------------------------------------------------- q59
@@ -220,8 +205,6 @@ QUERIES = {
     "q67_iceberg_extract": (q67_iceberg_extract, _Q32_SQL),
     "q33_ctc_roundtrip": (q33_ctc_roundtrip, _Q33_SQL),
     "q66_beam_decode": (q66_beam_decode, _Q66_SQL),
-    "q34_extract_synthetic": (q34_extract_synthetic, None),
-    "q35_extraction_metrics": (q35_extraction_metrics, None),
 }
 
 
