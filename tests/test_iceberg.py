@@ -588,3 +588,37 @@ def test_upsert(spark, transcripts_df, tmp_path):
     # re-applying the same upsert leaves the same visible rows
     I.upsert_iceberg_table(changes, loc, ["conv_id", "turn_idx"])
     assert _collect(I.read_iceberg_table(spark, loc)) == _collect(expect)
+
+
+def test_upsert_on_partitioned_table(spark, transcripts_df, tmp_path):
+    """Upsert composes with identity partitioning: the delete rides the
+    empty spec, the append stays partitioned under the default spec."""
+    loc = str(tmp_path / "uptbl2")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    changes = spark.createDataFrame(
+        [("conv-a", 1, "assistant", "REVISED", None, "2024-01-01 10:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    I.upsert_iceberg_table(changes, loc, ["conv_id", "turn_idx"])
+    got = I.read_iceberg_table(spark, loc)
+    expect = transcripts_df.join(
+        changes.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    ).unionByName(changes)
+    assert _collect(got) == _collect(expect)
+    # new data files still partitioned; default spec untouched
+    meta = I.current_metadata(loc)
+    assert meta["default-spec-id"] == 0
+    assert I.read_iceberg_table(
+        spark, loc, partition_filter={"role": "assistant"}
+    ).count() == expect.filter("role = 'assistant'").count()
+
+
+def test_set_table_properties_merge(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "proptbl")
+    I.write_iceberg_table(transcripts_df, loc, properties={"a": "1"})
+    I.set_table_properties(loc, {"b": "2"})
+    I.set_table_properties(loc, {"a": "3"})
+    props = I.current_metadata(loc)["properties"]
+    assert props["a"] == "3" and props["b"] == "2"
+    # data untouched by metadata-only commits
+    assert I.read_iceberg_table(spark, loc).count() == transcripts_df.count()
