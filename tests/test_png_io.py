@@ -223,3 +223,39 @@ def test_extract_features_real_path_bad_rows(spark):
             multimodal.extract_features(media, fake=False).collect()}
     assert rows[0]["decode_ok"] and not rows[1]["decode_ok"]
     assert rows[1]["feat"] is None
+
+
+# ------------------------------------------------------------ fuzzing
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st_.integers(min_value=1, max_value=40),
+        w=st_.integers(min_value=1, max_value=40),
+        seed=st_.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_fuzz_roundtrip_grey(h, w, seed):
+        img = _rand_img(h, w, seed)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st_.integers(min_value=1, max_value=24),
+        w=st_.integers(min_value=1, max_value=24),
+        seed=st_.integers(min_value=0, max_value=2**31 - 1),
+        filters=st_.lists(
+            st_.integers(min_value=0, max_value=4), min_size=1, max_size=5
+        ),
+    )
+    def test_fuzz_spec_filters(h, w, seed, filters):
+        """Decode must invert ANY spec-legal forward filtering, grey and
+        RGB, at every size down to 1×1."""
+        grey = _rand_img(h, w, seed)
+        assert np.array_equal(decode_png(_build_png(grey, filters)), grey)
+        rgb = _rand_img(h, w, seed + 1, channels=3)
+        assert np.array_equal(decode_png(_build_png(rgb, filters)), rgb)
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
