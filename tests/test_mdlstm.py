@@ -143,3 +143,27 @@ def test_mdlstm_features_stage_vs_local(spark):
             img, 16, lambda x: mdlstm.mdlstm_4dir(x, params)
         )
         assert rows[mid]["act_sum_bp"] == int(round(float(feats.sum()) * 1e4))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st_.integers(min_value=1, max_value=5),
+        w=st_.integers(min_value=1, max_value=5),
+        units=st_.integers(min_value=1, max_value=3),
+        seed=st_.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_fuzz_wavefront_equals_raster(h, w, units, seed):
+        rs = np.random.RandomState(seed)
+        cin = 2
+        img = rs.normal(0, 1, size=(h, w, cin))
+        kernel = rs.normal(0, 0.4, size=(cin + 2 * units, 5 * units))
+        bias = rs.normal(0, 0.1, size=5 * units)
+        got = mdlstm.mdlstm_sweep(img, kernel, bias)
+        assert np.allclose(got, _raster_mdlstm(img, kernel, bias), atol=1e-9)
+
+except ImportError:  # pragma: no cover
+    pass

@@ -157,3 +157,30 @@ def test_ctc_loss_zero_frames():
     lp = np.zeros((0, 3))
     assert rnn.ctc_loss(lp, np.array([], dtype=np.int64), 2) == 0.0
     assert rnn.ctc_loss(lp, np.array([0]), 2) == math.inf
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        t_len=st_.integers(min_value=1, max_value=5),
+        n_c=st_.integers(min_value=2, max_value=3),
+        seed=st_.integers(min_value=0, max_value=2**31 - 1),
+        tgt_len=st_.integers(min_value=0, max_value=3),
+    )
+    def test_fuzz_ctc_loss_vs_brute_force(t_len, n_c, seed, tgt_len):
+        rs = np.random.RandomState(seed)
+        lp = rnn.log_softmax(rs.normal(0, 2, size=(t_len, n_c)))
+        blank = n_c - 1
+        targets = rs.randint(0, n_c - 1, size=tgt_len)
+        got = rnn.ctc_loss(lp, targets, blank)
+        want = _brute_ctc(lp, list(targets), blank)
+        if want == np.inf or got == np.inf:
+            assert got == want
+        else:
+            assert got == pytest.approx(want, abs=1e-9)
+
+except ImportError:  # pragma: no cover
+    pass
