@@ -272,16 +272,16 @@ raw AS (
   SELECT conv_id, turn_idx, role, mode,
     CASE mode
       WHEN '{cs.MODE_CTC}' THEN (
-        SELECT array_to_string(
+        SELECT COALESCE(array_to_string(
           list_transform(
             list_filter(
               list_filter(chars, (x, i) -> i = 1 OR chars[i-1] <> x),
               x -> x <> '{blank}'),
-            x -> CASE WHEN x = '{sep}' THEN ' ' ELSE x END), '')
+            x -> CASE WHEN x = '{sep}' THEN ' ' ELSE x END), ''), '')
         FROM (SELECT string_split(substr(s, {mlen + 1}), '') AS chars)
       )
       WHEN '{cs.MODE_DOM}' THEN (
-        SELECT array_to_string(
+        SELECT COALESCE(array_to_string(
           [regexp_replace(l, '{tag_strip}', ' ', 'g')
            for l in lines
            if len(l) > 0
@@ -289,16 +289,16 @@ raw AS (
               AND 2 * (len(l) - len(regexp_replace(l, '{anchor}', '', 'g')))
                   <= len(l)
               AND trim(regexp_replace(l, '{tag_strip}', ' ', 'g'), '{ws}')
-                  <> ''], ' ')
+                  <> ''], ' '), '')
         FROM (SELECT string_split(s, chr(10)) AS lines)
       )
-      WHEN '{cs.MODE_IAM}' THEN array_to_string(
-        list_filter(string_split(s, '{sep}'), x -> x <> ''), ' ')
+      WHEN '{cs.MODE_IAM}' THEN COALESCE(array_to_string(
+        list_filter(string_split(s, '{sep}'), x -> x <> ''), ' '), '')
       WHEN '{cs.MODE_WASH}' THEN (
-        SELECT array_to_string(
+        SELECT COALESCE(array_to_string(
           list_transform(
             list_filter(chars, (x, i) -> i % 2 = 1),
-            x -> CASE WHEN x = '{sep}' THEN ' ' ELSE x END), '')
+            x -> CASE WHEN x = '{sep}' THEN ' ' ELSE x END), ''), '')
         FROM (SELECT string_split(s, '') AS chars)
       )
       WHEN '{cs.MODE_PLAIN}' THEN s
