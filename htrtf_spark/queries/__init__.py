@@ -68,6 +68,7 @@ _RUN_FIRST = [
     "q77_training_corpus",
     "q78_neardup_clusters",
     "q79_hash_split",
+    "q80_extract_spans",
     "q76_audio_framing",
     # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
     "q30_label_vector_stats",

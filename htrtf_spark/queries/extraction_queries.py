@@ -366,3 +366,53 @@ GROUP BY mode
 
 QUERIES["q34_extract_synthetic"] = (q34_extract_synthetic_v2, _Q34_SQL)
 QUERIES["q35_extraction_metrics"] = (q35_extraction_metrics_v2, _Q35_SQL)
+
+
+# --------------------------------------------------------------------- q80
+# Kept-content PROVENANCE SPANS through the gate (the north rule's
+# "extracted text/spans" counterpart — spans were previously pytest-only).
+# Over documents (plain mode, like q31) the span set is exactly one
+# region: [lead, lead + len(strip)] with Python-strip whitespace
+# semantics, restated in SQL with the explicit isspace class.
+
+
+def q80_extract_spans(spark, sf_dir):
+    from htrtf_spark.plans.pipeline import extract_turns_with_spans
+
+    d = t(spark, sf_dir, "documents")
+    pseudo = d.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+    )
+    return extract_turns_with_spans(pseudo, check_schema=False).select(
+        "conv_id", "mode", "reject_reason", "span_starts", "span_ends"
+    )
+
+
+def _q80_sql() -> str:
+    ws = cs.WS_CHARS.replace("'", "''")
+    return f"""
+WITH s AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         text,
+         length(text) - length(ltrim(text, '{ws}')) AS lead,
+         length(trim(text, '{ws}')) AS core,
+         {clean_sql("text")} AS clean
+  FROM documents
+)
+SELECT conv_id,
+       CASE WHEN core = 0 THEN 'empty' ELSE 'plain' END AS mode,
+       CASE WHEN clean = '' THEN 'empty_after_clean' END AS reject_reason,
+       CASE WHEN clean = '' THEN []
+            ELSE [CAST(lead AS INTEGER)] END AS span_starts,
+       CASE WHEN clean = '' THEN []
+            ELSE [CAST(lead + core AS INTEGER)] END AS span_ends
+FROM s
+"""
+
+
+QUERIES["q80_extract_spans"] = (q80_extract_spans, _q80_sql())
