@@ -125,9 +125,12 @@ def main() -> None:
             for k, v in scaling.items()
             if v is not None and k in ("cores_2_to_8", "executors_1_to_4_controlled")
         ]
-        scaling["efficiency_n_to_4n"] = min(1.0, max(gate_vals)) if gate_vals else None
+        # honest summary: the MIN of the valid instruments (the weakest
+        # evidence), not the max — each instrument must clear the gate
+        # on its own. Both raw values stay reported above.
+        scaling["efficiency_n_to_4n"] = min(gate_vals) if gate_vals else None
         scaling["gate"] = 0.8
-        scaling["pass"] = bool(gate_vals) and max(gate_vals) >= 0.8
+        scaling["pass"] = bool(gate_vals) and min(gate_vals) >= 0.8
         scaling["protocol"] = "BENCH/BASELINE.md"
     scaling = scaling or None
 

@@ -59,3 +59,77 @@ def stable_sorted(df: DataFrame) -> DataFrame:
     """Globally stable presentation order (range shuffle; use only when a
     totally-ordered materialization is required)."""
     return df.orderBy("conv_id", "turn_idx", "role", *_content_tiebreak(df))
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    key: str,
+    tiebreak: str,
+    out_col: str = "bucket",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY key, tiebreak)`` WITHOUT a
+    single-partition global window (the canonical scale-killer: a
+    partition-less ``Window.orderBy`` moves every row through one task).
+
+    Two-phase distributed global ranking instead:
+
+    1. Deterministic range cuts on ``key`` (Greenwald-Khanna
+       ``approxQuantile`` — a sketch pass; cut *placement* only affects
+       balance, never correctness, because every row with equal ``key``
+       lands in the same range so the concatenated ranges realize the
+       exact total order).
+    2. Per-range counts → driver gets one tiny array (``num_ranges``
+       longs), turns it into cumulative offsets.
+    3. Per-range local ``row_number`` window (partitioned — parallel) +
+       range offset = exact global row number; ntile bucket is then pure
+       arithmetic: first ``total % n`` buckets take ``total//n + 1``
+       rows, the rest ``total//n`` (ntile's uneven-split contract).
+
+    Cost: the sketch pass + two passes over the 2-column projection —
+    all parallel, nothing larger than ``num_ranges`` longs on the
+    driver. ``key`` must be numeric and non-null; ``tiebreak`` must make
+    (key, tiebreak) unique for a total order."""
+    import functools
+
+    proj = df.select(key, tiebreak)
+    cuts_f = [
+        float(c)
+        for c in sorted(
+            set(
+                proj.stat.approxQuantile(
+                    key, [i / num_ranges for i in range(1, num_ranges)], 0.001
+                )
+            )
+        )
+    ]
+    rng = functools.reduce(
+        lambda acc, c: acc + F.when(F.col(key) > F.lit(c), 1).otherwise(0),
+        cuts_f,
+        F.lit(0),
+    )
+    ranged = proj.withColumn("_rng", rng)
+    counts = {
+        r["_rng"]: r["cnt"]
+        for r in ranged.groupBy("_rng").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    local = Window.partitionBy("_rng").orderBy(F.asc(key), F.asc(tiebreak))
+    rn = F.element_at(off_map, F.col("_rng")) + F.row_number().over(local)
+    big, rem = divmod(total, n)
+    # rows 1..rem*(big+1) fall in the first `rem` (larger) buckets
+    boundary = rem * (big + 1)
+    bucket = F.when(
+        F.lit(rem > 0) & (rn <= F.lit(boundary)),
+        F.ceil(rn / F.lit(big + 1)),
+    ).otherwise(F.lit(rem) + F.ceil((rn - F.lit(boundary)) / F.lit(max(big, 1))))
+    return ranged.withColumn(out_col, bucket.cast("int")).drop("_rng")

@@ -54,38 +54,42 @@ _MODULES = [
 # FIRST so every operator accumulates a driver-verified row; newly
 # added queries are prioritized the same way each round.
 _RUN_FIRST = [
-    # new this round
-    "q66_beam_decode",
-    "q67_iceberg_extract",
-    "q68_event_time_eviction",
-    "q69_augment_deterministic",
-    "q70_augment_randomized",
-    "q71_conv_featurize",
-    "q72_net_decode",
-    "q73_mdlstm_features",
-    "q74_iceberg_dedup_apply",
-    "q75_video_frame_sample",
-    "q77_training_corpus",
-    "q78_neardup_clusters",
-    "q79_hash_split",
+    # new or fixed this round (round 3)
+    "q81_extract_dom_spans",
     "q80_extract_spans",
-    "q76_audio_framing",
-    # unrecorded in CORRECTNESS_r01.json (driver stopped at 50/65)
-    "q30_label_vector_stats",
-    "q40_lsh_ann_topk",
-    "q41_ivf_ann_topk",
-    "q42_multimodal_features",
-    "q58_batch_cosine_topk",
-    "q31_extract_documents",
-    "q59_sql_function_extract",
-    "q32_extract_events",
-    "q33_ctc_roundtrip",
-    "q34_extract_synthetic",
-    "q35_extraction_metrics",
-    "q48_keyword_spotting",
-    "q49_conversation_stats_salted",
-    "q50_ordered_extract",
-    "q62_conversation_documents",
+    "q52_order_value_quartiles",
+    "q55_term_df_topk",
+    # stale driver rows: recorded in CORRECTNESS_r01 against round-1 code
+    # and refactored since (dedup cache swap, capped shingles, simsearch
+    # restaging) — re-record against current code first (VERDICT r2 #2)
+    "q18_charset_clean",
+    "q19_token_stats",
+    "q20_quality_score",
+    "q21_langid",
+    "q22_fingerprint",
+    "q23_distinct_vocab",
+    "q24_exact_dedup",
+    "q25_trigram_jaccard_pairs",
+    "q26_minhash_lsh_candidates",
+    "q27_minhash_neardup_verified",
+    "q28_cosine_topk",
+    "q29_near_pairs",
+    "q36_simhash_pairs",
+    "q37_quality_features",
+    "q38_bpe_tokens",
+    "q39_rolling_fingerprints",
+    "q46_asof_click_view",
+    "q47_approx_distinct_sanity",
+    "q51_event_gaps",
+    "q53_grouping_sets",
+    "q54_last_nonclick_carry",
+    "q56_kmeans_step",
+    "q57_minhash_estimate",
+    "q60_approx_percentile_sanity",
+    "q61_null_semantics",
+    "q63_dedup_keep_first",
+    "q64_corpus_cer",
+    "q65_text_density",
 ]
 
 

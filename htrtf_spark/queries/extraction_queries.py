@@ -388,8 +388,21 @@ def q80_extract_spans(spark, sf_dir):
         F.lit("user").alias("role"),
         F.col("text"),
     )
+    # spans are serialized to canonical comma-joined strings for the gate:
+    # the driver canonicalizes results via pandas sort/factorize, which
+    # cannot hash array cells (round-2 red row). The array-typed API
+    # (extract_turns_with_spans) is unchanged — only the gate projection
+    # flattens.
     return extract_turns_with_spans(pseudo, check_schema=False).select(
-        "conv_id", "mode", "reject_reason", "span_starts", "span_ends"
+        "conv_id",
+        "mode",
+        "reject_reason",
+        F.array_join(F.col("span_starts").cast("array<string>"), ",").alias(
+            "span_starts"
+        ),
+        F.array_join(F.col("span_ends").cast("array<string>"), ",").alias(
+            "span_ends"
+        ),
     )
 
 
@@ -407,12 +420,143 @@ WITH s AS (
 SELECT conv_id,
        CASE WHEN core = 0 THEN 'empty' ELSE 'plain' END AS mode,
        CASE WHEN clean = '' THEN 'empty_after_clean' END AS reject_reason,
-       CASE WHEN clean = '' THEN []
-            ELSE [CAST(lead AS INTEGER)] END AS span_starts,
-       CASE WHEN clean = '' THEN []
-            ELSE [CAST(lead + core AS INTEGER)] END AS span_ends
+       CASE WHEN clean = '' THEN ''
+            ELSE CAST(lead AS VARCHAR) END AS span_starts,
+       CASE WHEN clean = '' THEN ''
+            ELSE CAST(lead + core AS VARCHAR) END AS span_ends
 FROM s
 """
 
 
 QUERIES["q80_extract_spans"] = (q80_extract_spans, _q80_sql())
+
+
+# --------------------------------------------------------------------- q81
+# DOM-mode PROVENANCE SPANS through the gate — the hardest span path
+# (extraction.py _dom_spans: per-line boilerplate / link-density / tag
+# strip, multiple kept regions per turn). Inputs are deterministic
+# HTML-ish multi-line turns built from documents (same construction both
+# sides: substrings sanitized of '<'/'>' so the only markup is the
+# scaffold's). The oracle is a GENERIC SQL restatement of the per-line
+# keep rule — not closed-form positions for this construction — so it
+# would catch any engine drift in classification, offsets, or decode.
+# Scaffold lines per turn: 1 kept <div> line (2 leading ws → lead
+# offset), 1 boilerplate <nav> (dropped), 1 empty line (dropped), 1 kept
+# <p> line, 1 pure-anchor line (link-density 1 → dropped).
+
+
+def _q81_build_text(text_col):
+    part = lambda a, b: F.translate(F.substring(text_col, a, b), "<>", "")
+    return F.concat(
+        F.lit("  <div>"), part(1, 40), F.lit("</div>\n"),
+        F.lit('<nav class="m">skip me</nav>\n\n'),
+        F.lit("<p>"), part(41, 60), F.lit("</p> tail\n"),
+        F.lit('<a href="#">'), part(5, 30), F.lit("</a>"),
+    )
+
+
+def q81_extract_dom_spans(spark, sf_dir):
+    from htrtf_spark.plans.pipeline import extract_turns_with_spans
+
+    d = t(spark, sf_dir, "documents")
+    pseudo = d.select(
+        F.concat(F.lit("dom-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        _q81_build_text(F.col("text")).alias("text"),
+    )
+    return extract_turns_with_spans(pseudo, check_schema=False).select(
+        "conv_id",
+        "mode",
+        "extracted_text",
+        "n_chars",
+        "reject_reason",
+        F.array_join(F.col("span_starts").cast("array<string>"), ",").alias(
+            "span_starts"
+        ),
+        F.array_join(F.col("span_ends").cast("array<string>"), ",").alias(
+            "span_ends"
+        ),
+    )
+
+
+def _q81_sql() -> str:
+    # quote-escape only: DuckDB string literals are standard SQL (no
+    # backslash escapes), so regex '\\b' etc. pass through verbatim.
+    ws = cs.WS_CHARS.replace("'", "''")
+    boiler = cs.BOILERPLATE_PATTERN.replace("'", "''")
+    anchor = cs.ANCHOR_SPAN_PATTERN.replace("'", "''")
+    tag_strip = cs.TAG_STRIP_PATTERN.replace("'", "''")
+    tag_detect = cs.TAG_DETECT_PATTERN.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT 'dom-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS conv_id,
+         '  <div>' || translate(substr(text, 1, 40), '<>', '') || '</div>' || chr(10)
+         || '<nav class="m">skip me</nav>' || chr(10) || chr(10)
+         || '<p>' || translate(substr(text, 41, 60), '<>', '') || '</p> tail'
+         || chr(10)
+         || '<a href="#">' || translate(substr(text, 5, 30), '<>', '') || '</a>'
+             AS text
+  FROM documents
+),
+s AS (
+  SELECT conv_id, text,
+         length(text) - length(ltrim(text, '{ws}')) AS lead,
+         trim(text, '{ws}') AS st,
+         string_split(trim(text, '{ws}'), chr(10)) AS parts
+  FROM src
+),
+expl AS (
+  SELECT conv_id, lead, unnest(parts) AS line,
+         generate_subscripts(parts, 1) AS i
+  FROM s
+),
+lines AS (
+  SELECT conv_id, lead, i, line,
+         SUM(length(line) + 1)
+             OVER (PARTITION BY conv_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (length(line) + 1) AS pos
+  FROM expl
+),
+judged AS (
+  SELECT conv_id, lead, i, pos, length(line) AS llen,
+         regexp_matches(line, '{boiler}') AS boiler,
+         length(line) - length(regexp_replace(line, '{anchor}', '', 'g'))
+             AS link_chars,
+         regexp_replace(line, '{tag_strip}', ' ', 'g') AS stripped
+  FROM lines WHERE length(line) > 0
+),
+kept AS (
+  SELECT * FROM judged
+  WHERE NOT boiler AND link_chars * 2 <= llen
+    AND trim(stripped, '{ws}') <> ''
+),
+agg AS (
+  SELECT conv_id,
+         string_agg(CAST(lead + pos AS VARCHAR), ',' ORDER BY i) AS sstarts,
+         string_agg(CAST(lead + pos + llen AS VARCHAR), ',' ORDER BY i) AS sends,
+         string_agg(stripped, ' ' ORDER BY i) AS joined
+  FROM kept GROUP BY conv_id
+),
+fin AS (
+  SELECT s.conv_id, s.st, a.sstarts, a.sends,
+         {clean_sql("COALESCE(a.joined, '')")} AS clean
+  FROM s LEFT JOIN agg a USING (conv_id)
+)
+SELECT conv_id,
+       CASE WHEN st = '' THEN 'empty'
+            WHEN regexp_matches(st, '{tag_detect}') THEN 'dom'
+            ELSE 'plain' END AS mode,
+       clean AS extracted_text,
+       CAST(length(clean) AS INTEGER) AS n_chars,
+       CASE WHEN clean = '' THEN 'empty_after_clean' END AS reject_reason,
+       CASE WHEN clean = '' THEN '' ELSE COALESCE(sstarts, '') END AS span_starts,
+       CASE WHEN clean = '' THEN '' ELSE COALESCE(sends, '') END AS span_ends
+FROM fin
+"""
+
+
+QUERIES["q81_extract_dom_spans"] = (q81_extract_dom_spans, _q81_sql())

@@ -91,6 +91,53 @@ def test_whole_stage_codegen_on_relational(spark):
     assert "codegen id" in plan  # aggregation stays inside whole-stage codegen
 
 
+def test_q55_topk_is_take_ordered(spark):
+    """q55's vocabulary top-20 must compile to TakeOrderedAndProject
+    (per-partition local top-k), never a global row_number window over
+    the whole vocabulary (10^8 terms through one task at web scale) —
+    the same assertion test_operators applies to the ANN rankers."""
+    from htrtf_spark.queries.relational3 import q55_term_df_topk
+
+    df = q55_term_df_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q52_quartiles_no_global_window(spark):
+    """q52's exact quartiles must not move the orders table through a
+    single-partition window: no ntile and no SinglePartition exchange
+    anywhere in the plan (the per-range rank windows are partitioned)."""
+    from htrtf_spark.queries.relational3 import q52_order_value_quartiles
+
+    plan = _plan(q52_order_value_quartiles(spark, SF_DIR), mode="simple")
+    assert "ntile" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_exact_ntile_matches_global_ntile(spark):
+    """exact_ntile == ntile() over a partition-less window, on an input
+    sized to exercise uneven buckets (total % n != 0) and duplicate
+    keys straddling range cuts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from htrtf_spark.plans.ordering import exact_ntile
+
+    df = spark.range(0, 10_007).select(
+        (F.col("id") % 251).alias("k"), F.col("id").alias("tb")
+    )
+    got = {
+        (r["k"], r["tb"]): r["bucket"]
+        for r in exact_ntile(df, n=7, key="k", tiebreak="tb").collect()
+    }
+    w = Window.orderBy(F.asc("k"), F.asc("tb"))
+    want = {
+        (r["k"], r["tb"]): r["bucket"]
+        for r in df.withColumn("bucket", F.ntile(7).over(w)).collect()
+    }
+    assert got == want
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     """Bucketed tables joined on the bucket key plan WITHOUT an
     Exchange on either side (the pay-the-shuffle-once pattern); a
