@@ -70,9 +70,15 @@ to the originals) and ``expire_snapshots`` drops expired snapshots and
 physically removes files referenced only by them — the standard
 Iceberg lifecycle pair.
 
-Limits (documented, not hidden): identity transform only (no
-bucket/truncate/days), null Avro codec, add-only schema evolution
-(no rename/drop). Those are additive follow-ups on the same layout.
+Partition transforms: identity, ``days(col)`` (int days from epoch)
+and ``bucket(N, col)`` (the spec's 32-bit Murmur3 single-value hash,
+verified against Appendix B's published vectors). Transform partition
+columns are metadata-only (the source column stays in the data files);
+reads prune by applying the file spec's transform to value filters, or
+accept transform-granularity filters like ``{"days(ts)": [...]}``.
+
+Limits (documented, not hidden): no truncate/hour transforms, null
+Avro codec. Those are additive follow-ups on the same layout.
 """
 
 from __future__ import annotations
@@ -83,6 +89,7 @@ import os
 import time
 import uuid
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -135,12 +142,153 @@ def _spark_schema(ice_schema: dict) -> T.StructType:
 _ICE_TO_AVRO_PART = {"string": "string", "int": "int", "long": "long"}
 
 
+# ------------------------------------------------- partition transforms
+# Iceberg spec "Partition Transforms" + Appendix B. ``partition_by``
+# terms: a bare column name (identity), ``days(col)``/``day(col)``
+# (timestamp/date → int days from 1970-01-01), or ``bucket(N, col)``
+# (32-bit Murmur3 of the value's single-value serialization, seed 0,
+# then (hash & Int.MAX) % N — the spec's exact hash, verified against
+# the spec's published test vectors in tests/test_iceberg.py).
+
+import re as _re
+
+
+def _parse_partition_term(term: str) -> tuple[str, str, int | None, str]:
+    """'(source_col, transform, param, field_name)' for a partition_by
+    term. Default field names follow Iceberg: col_day / col_bucket."""
+    m = _re.match(r"^\s*days?\s*\(\s*(\w+)\s*\)\s*$", term)
+    if m:
+        return m.group(1), "day", None, f"{m.group(1)}_day"
+    m = _re.match(r"^\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", term)
+    if m:
+        n = int(m.group(1))
+        if n <= 0:
+            raise ValueError(f"bucket count must be positive: {term!r}")
+        return m.group(2), f"bucket[{n}]", n, f"{m.group(2)}_bucket"
+    if not _re.match(r"^\w+$", term):
+        raise ValueError(f"unsupported partition term: {term!r}")
+    return term, "identity", None, term
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), the hash Iceberg's bucket transform
+    mandates (spec Appendix B), returned as unsigned 32-bit."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    for i, b in enumerate(data[n4:]):
+        k |= b << (8 * i)
+    if k:
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_value(value, n: int, ice_type: str) -> int | None:
+    """Spec bucket transform of one value: int/long hash their 8-byte
+    little-endian form (ints are widened to long first — Appendix B),
+    strings hash their UTF-8 bytes; null → null partition."""
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        data = int(value).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        data = str(value).encode("utf-8")
+    else:
+        raise ValueError(f"bucket transform unsupported for {ice_type}")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+_EPOCH_DATE = None  # lazy (datetime import kept local)
+
+
+def _day_value(value) -> int | None:
+    """Spec day transform of one python value: int passes through (already
+    days-from-epoch); date/datetime/pandas.Timestamp → days since
+    1970-01-01."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        raise ValueError("day transform of a bool")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, dt.datetime):
+        return (value.date() - dt.date(1970, 1, 1)).days
+    if isinstance(value, dt.date):
+        return (value - dt.date(1970, 1, 1)).days
+    raise ValueError(f"day transform of unsupported value {value!r}")
+
+
+def _transform_py(transform: str, value, src_type: str):
+    """Apply a spec transform to one PYTHON value (driver-side pruning)."""
+    if transform == "identity":
+        return value
+    if transform == "day":
+        return _day_value(value)
+    if transform.startswith("bucket["):
+        return _bucket_value(value, int(transform[7:-1]), src_type)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def _transform_column(transform: str, source: str, src_type: str):
+    """Apply a spec transform as a Spark Column (write path + residual
+    read filters). day stays JVM-side; bucket is an Arrow-batched pandas
+    UDF of the spec's Murmur3 (memoized per batch over distinct values —
+    partition sources are low-cardinality by design)."""
+    from pyspark.sql import functions as F
+
+    if transform == "identity":
+        return F.col(source)
+    if transform == "day":
+        return F.datediff(
+            F.col(source).cast("date"), F.lit("1970-01-01").cast("date")
+        )
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+
+        @F.pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            mapping = {
+                v: _bucket_value(v, n, src_type) for v in s.dropna().unique()
+            }
+            return s.map(mapping).astype("Int32")
+
+        return _bucket(F.col(source))
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def _partition_value_type(pf: dict, ice_schema: dict) -> str:
+    """Iceberg type of a partition FIELD's value: identity keeps the
+    source type; day and bucket produce int (spec result types)."""
+    if pf["transform"] == "identity":
+        by_id = {f["id"]: f for f in ice_schema["fields"]}
+        return by_id[pf["source-id"]]["type"]
+    return "int"
+
+
 def _partition_record_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
-    by_id = {f["id"]: f for f in ice_schema["fields"]}
     fields = []
     for pf in spec_fields:
-        src = by_id[pf["source-id"]]
-        avro_t = _ICE_TO_AVRO_PART[src["type"]]
+        avro_t = _ICE_TO_AVRO_PART[_partition_value_type(pf, ice_schema)]
         fields.append(
             {
                 "name": pf["name"],
@@ -226,29 +374,95 @@ def _version_hint(location: str) -> str:
     return os.path.join(_meta_dir(location), "version-hint.text")
 
 
+class CommitConflict(Exception):
+    """Another writer published this metadata version first. The caller
+    must refresh metadata and rebuild its commit (the HadoopCatalog
+    CommitFailedException analog). Data files already written are fine —
+    only the metadata commit is retried."""
+
+
+def _latest_version(location: str) -> int:
+    """Newest committed metadata version by LISTING v*.metadata.json —
+    not by trusting version-hint.text, which is written after the atomic
+    commit and may lag under concurrent writers (HadoopTableOperations
+    does the same directory probe past the hint)."""
+    best = -1
+    for p in glob.glob(os.path.join(_meta_dir(location), "v*.metadata.json")):
+        stem = os.path.basename(p)[1:].split(".", 1)[0]
+        if stem.isdigit():
+            best = max(best, int(stem))
+    if best < 0:
+        raise FileNotFoundError(f"no Iceberg metadata at {location}")
+    return best
+
+
 def current_metadata(location: str) -> dict:
-    with open(_version_hint(location)) as fh:
-        n = int(fh.read().strip())
+    n = _latest_version(location)
     with open(os.path.join(_meta_dir(location), f"v{n}.metadata.json")) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # the version this dict was read from, so a commit built on it
+    # targets exactly version+1 — staleness then surfaces as a
+    # CommitConflict instead of silently clobbering a racing writer.
+    # Internal bookkeeping; stripped before the metadata is written.
+    meta["_version"] = n
+    return meta
+
+
+def _publish_metadata(location: str, meta: dict, version: int) -> None:
+    """Atomic fail-if-exists commit point: ``os.link`` onto the version
+    path (POSIX link(2) fails with EEXIST if the loser raced — unlike
+    rename(2), which silently clobbers). Exactly one of two racing
+    writers wins a version; the loser gets CommitConflict and must
+    rebuild from refreshed metadata. version-hint.text is advisory
+    (readers list the directory) and written after the commit point."""
+    meta = {k: v for k, v in meta.items() if k != "_version"}
+    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"metadata version {version} already committed at {location}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    with open(_version_hint(location), "w") as fh:
+        fh.write(str(version))
 
 
 # ----------------------------------------------------------------- write
 def _make_spec(ice_schema: dict, partition_by: list[str], spec_id: int) -> dict:
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     fields = []
-    for i, col in enumerate(partition_by):
+    for i, term in enumerate(partition_by):
+        col, transform, _n, field_name = _parse_partition_term(term)
         if col not in by_name:
             raise ValueError(f"partition column {col!r} not in table schema")
-        if by_name[col]["type"] not in _ICE_TO_AVRO_PART:
+        src_t = by_name[col]["type"]
+        if transform == "identity" and src_t not in _ICE_TO_AVRO_PART:
             raise ValueError(
                 f"identity partition on {col!r} needs string/int/long, "
-                f"got {by_name[col]['type']}"
+                f"got {src_t}"
+            )
+        if transform == "day" and src_t not in (
+            "timestamp", "timestamptz", "date"
+        ):
+            raise ValueError(
+                f"day transform on {col!r} needs timestamp/date, got {src_t}"
+            )
+        if transform.startswith("bucket[") and src_t not in (
+            "int", "long", "string"
+        ):
+            raise ValueError(
+                f"bucket transform on {col!r} needs int/long/string, "
+                f"got {src_t}"
             )
         fields.append(
             {
-                "name": col,
-                "transform": "identity",
+                "name": field_name,
+                "transform": transform,
                 "source-id": by_name[col]["id"],
                 "field-id": 1000 + i,
             }
@@ -284,15 +498,33 @@ def _write_data_files(
     commit_dir = os.path.join(
         location, "data", f"commit-{seq:05d}-{uuid.uuid4().hex[:8]}"
     )
-    part_cols = [pf["name"] for pf in spec_fields or []]
+    spec_fields = spec_fields or []
+    by_id = (
+        {f["id"]: f for f in ice_schema["fields"]} if ice_schema else {}
+    )
+    part_cols = [pf["name"] for pf in spec_fields]
+    out_df = df
+    for pf in spec_fields:
+        if pf["transform"] != "identity":
+            # derive the transform partition column; Spark's partitionBy
+            # then drops it from the files (it is manifest metadata),
+            # while the SOURCE column stays in the data — exactly the
+            # spec's layout for non-identity transforms
+            s = by_id[pf["source-id"]]
+            out_df = out_df.withColumn(
+                pf["name"],
+                _transform_column(pf["transform"], s["name"], s["type"]),
+            )
     if part_cols:
-        df.write.mode("error").partitionBy(*part_cols).parquet(commit_dir)
+        out_df.write.mode("error").partitionBy(*part_cols).parquet(commit_dir)
         pattern = os.path.join(commit_dir, *["*"] * len(part_cols), "*.parquet")
     else:
-        df.write.mode("error").parquet(commit_dir)
+        out_df.write.mode("error").parquet(commit_dir)
         pattern = os.path.join(commit_dir, "*.parquet")
     types = (
-        {f["name"]: f["type"] for f in ice_schema["fields"]} if ice_schema else {}
+        {pf["name"]: _partition_value_type(pf, ice_schema) for pf in spec_fields}
+        if ice_schema
+        else {}
     )
     entries = []
     for p in sorted(glob.glob(pattern)):
@@ -329,13 +561,19 @@ def _commit(
     spec: dict | None = None,
     manifest_content: int = 0,
     carry_prior_manifests: bool = True,
+    properties: dict[str, str] | None = None,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
-    version file is the atomic commit point (written last), and
-    version-hint.text then points readers at it. ``spec`` is this
-    commit's partition spec (manifests keep their own spec forever —
-    that is what makes evolution safe)."""
+    version file is the atomic fail-if-exists commit point (written
+    last); a racing writer that built on the same ``prev_meta`` raises
+    CommitConflict instead of clobbering. ``spec`` is this commit's
+    partition spec (manifests keep their own spec forever — that is
+    what makes evolution safe). ``properties`` are merged into the SAME
+    metadata this commit publishes (on create, into the initial
+    metadata) so a property like the streaming sink's batch-id is never
+    a separate second commit — no crash window between data and
+    property."""
     meta_dir = _meta_dir(location)
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
@@ -436,7 +674,10 @@ def _commit(
             ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"write.format.default": "parquet"},
+            "properties": {
+                "write.format.default": "parquet",
+                **(properties or {}),
+            },
             "current-snapshot-id": snapshot_id,
             "snapshots": [snapshot],
             "snapshot-log": [
@@ -446,9 +687,13 @@ def _commit(
         }
         version = 1
     else:
-        with open(_version_hint(location)) as fh:
-            version = int(fh.read().strip()) + 1
+        version = prev_meta["_version"] + 1
         meta = dict(prev_meta)
+        if properties:
+            meta["properties"] = {
+                **prev_meta.get("properties", {}),
+                **properties,
+            }
         known_specs = {s["spec-id"]: s for s in prev_meta["partition-specs"]}
         if spec["spec-id"] not in known_specs:
             # partition evolution: register the new spec; prior
@@ -479,14 +724,30 @@ def _commit(
             }
         ]
 
-    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=2)
-    os.rename(tmp, meta_path)  # atomic commit point
-    with open(_version_hint(location), "w") as fh:
-        fh.write(str(version))
+    _publish_metadata(location, meta, version)  # atomic commit point
     return snapshot_id
+
+
+def _empty_spec(meta: dict) -> dict:
+    """The unpartitioned spec for global delete commits: reuse an
+    existing empty spec; synthesize one only the first time."""
+    known = {s["spec-id"]: s for s in meta["partition-specs"]}
+    empty = [s for s in known.values() if not s["fields"]]
+    return empty[0] if empty else {"spec-id": max(known) + 1, "fields": []}
+
+
+def _commit_retrying(location, ice_schema, entries, meta, spec_fn, **kw) -> int:
+    """_commit with refresh-and-retry on a racing writer: the already
+    written (distributed) data/delete files are reused; only the
+    driver-side metadata build is redone against refreshed metadata."""
+    while True:
+        try:
+            return _commit(
+                location, ice_schema, entries, prev_meta=meta,
+                spec=spec_fn(meta), **kw,
+            )
+        except CommitConflict:
+            meta = current_metadata(location)
 
 
 def write_iceberg_table(
@@ -504,28 +765,30 @@ def write_iceberg_table(
     files = _write_data_files(
         df, location, seq=1, spec_fields=spec["fields"], ice_schema=ice_schema
     )
-    sid = _commit(location, ice_schema, files, prev_meta=None, spec=spec)
-    if properties:
-        set_table_properties(location, properties)
-    return sid
+    # properties ride the initial commit itself — a second metadata
+    # commit here would open a crash window in which the data snapshot
+    # is visible without the properties (e.g. the streaming sink's
+    # batch-id marker → replayed batch appended twice)
+    return _commit(
+        location, ice_schema, files, prev_meta=None, spec=spec,
+        properties=properties,
+    )
 
 
 def set_table_properties(location: str, properties: dict[str, str]) -> None:
-    """Metadata-only property merge, committed as a new metadata
-    version (atomic rename, same commit point as every other write)."""
-    meta = current_metadata(location)
-    with open(_version_hint(location)) as fh:
-        version = int(fh.read().strip()) + 1
-    new_meta = dict(meta)
-    new_meta["properties"] = {**meta.get("properties", {}), **properties}
-    new_meta["last-updated-ms"] = int(time.time() * 1000)
-    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh, indent=2)
-    os.rename(tmp, meta_path)
-    with open(_version_hint(location), "w") as fh:
-        fh.write(str(version))
+    """Metadata-only property merge, committed as a new metadata version
+    (fail-if-exists commit point; refresh-and-retry on a racing
+    writer)."""
+    while True:
+        meta = current_metadata(location)
+        new_meta = dict(meta)
+        new_meta["properties"] = {**meta.get("properties", {}), **properties}
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return
+        except CommitConflict:
+            continue
 
 
 def append_iceberg_table(
@@ -553,27 +816,38 @@ def append_iceberg_table(
             f"append schema mismatch: table={want_n.simpleString()} "
             f"df={got.simpleString()}"
         )
-    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
-    if partition_by is None:
-        spec = specs[meta["default-spec-id"]]
-    else:
+    def _resolve_spec(m: dict) -> dict:
+        specs = {s["spec-id"]: s for s in m["partition-specs"]}
+        if partition_by is None:
+            return specs[m["default-spec-id"]]
         match = [
             s for s in specs.values()
-            if [f["name"] for f in s["fields"]] == list(partition_by)
+            if [(f["name"], f["transform"]) for f in s["fields"]]
+            == [
+                (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
+                for c in partition_by
+            ]
         ]
-        spec = match[0] if match else _make_spec(
+        return match[0] if match else _make_spec(
             ice_schema, list(partition_by), spec_id=max(specs) + 1
         )
+
+    spec = _resolve_spec(meta)
     files = _write_data_files(
         df, location, seq=meta["last-sequence-number"] + 1,
         spec_fields=spec["fields"], ice_schema=ice_schema,
     )
-    if properties:
-        # merged into the metadata the SAME atomic commit publishes —
-        # readers never see the data without the property update
-        meta = dict(meta)
-        meta["properties"] = {**meta.get("properties", {}), **properties}
-    return _commit(location, ice_schema, files, prev_meta=meta, spec=spec)
+    # the distributed data write happens ONCE; only the driver-side
+    # metadata commit retries on a racing writer (refresh + rebuild —
+    # properties still ride the same atomic commit as the data)
+    while True:
+        try:
+            return _commit(
+                location, ice_schema, files, prev_meta=meta,
+                spec=_resolve_spec(meta), properties=properties,
+            )
+        except CommitConflict:
+            meta = current_metadata(location)
 
 
 def evolve_iceberg_schema(location: str, new_schema: T.StructType) -> int:
@@ -617,24 +891,29 @@ def evolve_iceberg_schema(location: str, new_schema: T.StructType) -> int:
             fields.append(
                 {"id": next_id, "name": f.name, "required": False, "type": ice_t}
             )
-    schema_id = max(s["schema-id"] for s in meta["schemas"]) + 1
-    new_ice = {"type": "struct", "schema-id": schema_id, "fields": fields}
+    return _commit_schema(location, meta, fields, next_id)
 
-    with open(_version_hint(location)) as fh:
-        version = int(fh.read().strip()) + 1
-    new_meta = dict(meta)
-    new_meta["schemas"] = meta["schemas"] + [new_ice]
-    new_meta["current-schema-id"] = schema_id
-    new_meta["last-column-id"] = next_id
-    new_meta["last-updated-ms"] = int(time.time() * 1000)
-    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh, indent=2)
-    os.rename(tmp, meta_path)  # atomic commit point
-    with open(_version_hint(location), "w") as fh:
-        fh.write(str(version))
-    return schema_id
+
+def _commit_schema(
+    location: str, meta: dict, fields: list[dict], last_column_id: int
+) -> int:
+    """Register ``fields`` as the next schema and make it current —
+    fail-if-exists commit point with refresh-and-retry."""
+    while True:
+        schema_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+        new_ice = {"type": "struct", "schema-id": schema_id, "fields": fields}
+        new_meta = dict(meta)
+        new_meta["schemas"] = meta["schemas"] + [new_ice]
+        new_meta["current-schema-id"] = schema_id
+        new_meta["last-column-id"] = max(
+            meta["last-column-id"], last_column_id
+        )
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return schema_id
+        except CommitConflict:
+            meta = current_metadata(location)
 
 
 def delete_iceberg_rows(
@@ -676,15 +955,8 @@ def delete_iceberg_rows(
                 "equality_ids": eq_ids,
             }
         )
-    # delete manifests use the unpartitioned spec (global deletes)
-    known = {s["spec-id"]: s for s in meta["partition-specs"]}
-    empty = [s for s in known.values() if not s["fields"]]
-    # global deletes ride an empty partition tuple: reuse any existing
-    # unpartitioned spec; synthesize one only the first time
-    spec = empty[0] if empty else {"spec-id": max(known) + 1, "fields": []}
-    return _commit(
-        location, ice_schema, entries, prev_meta=meta, spec=spec,
-        manifest_content=1,
+    return _commit_retrying(
+        location, ice_schema, entries, meta, _empty_spec, manifest_content=1
     )
 
 
@@ -726,14 +998,8 @@ def delete_iceberg_positions(pos_df: DataFrame, location: str) -> int:
                 "equality_ids": None,
             }
         )
-    known = {s["spec-id"]: s for s in meta["partition-specs"]}
-    empty = [s for s in known.values() if not s["fields"]]
-    # global deletes ride an empty partition tuple: reuse any existing
-    # unpartitioned spec; synthesize one only the first time
-    spec = empty[0] if empty else {"spec-id": max(known) + 1, "fields": []}
-    return _commit(
-        location, ice_schema, entries, prev_meta=meta, spec=spec,
-        manifest_content=1,
+    return _commit_retrying(
+        location, ice_schema, entries, meta, _empty_spec, manifest_content=1
     )
 
 
@@ -820,7 +1086,11 @@ def compact_iceberg_table(
     else:
         match = [
             s for s in specs.values()
-            if [f["name"] for f in s["fields"]] == list(partition_by)
+            if [(f["name"], f["transform"]) for f in s["fields"]]
+            == [
+                (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
+                for c in partition_by
+            ]
         ]
         spec = match[0] if match else _make_spec(
             ice_schema, list(partition_by), spec_id=max(specs) + 1
@@ -829,8 +1099,8 @@ def compact_iceberg_table(
         current, location, seq=meta["last-sequence-number"] + 1,
         spec_fields=spec["fields"], ice_schema=ice_schema,
     )
-    return _commit(
-        location, ice_schema, files, prev_meta=meta, spec=spec,
+    return _commit_retrying(
+        location, ice_schema, files, meta, lambda _m: spec,
         carry_prior_manifests=False,
     )
 
@@ -868,23 +1138,22 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
         if os.path.exists(s["manifest-list"]):
             os.remove(s["manifest-list"])
 
-    with open(_version_hint(location)) as fh:
-        version = int(fh.read().strip()) + 1
-    new_meta = dict(meta)
-    new_meta["snapshots"] = keep
-    kept_ids = {s["snapshot-id"] for s in keep}
-    new_meta["snapshot-log"] = [
-        e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
-    ]
-    new_meta["last-updated-ms"] = int(time.time() * 1000)
-    meta_path = os.path.join(_meta_dir(location), f"v{version}.metadata.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh, indent=2)
-    os.rename(tmp, meta_path)
-    with open(_version_hint(location), "w") as fh:
-        fh.write(str(version))
-    return [s["snapshot-id"] for s in drop]
+    dropped_ids = {s["snapshot-id"] for s in drop}
+    while True:
+        new_meta = dict(meta)
+        new_meta["snapshots"] = [
+            s for s in meta["snapshots"] if s["snapshot-id"] not in dropped_ids
+        ]
+        new_meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if e["snapshot-id"] not in dropped_ids
+        ]
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return [s["snapshot-id"] for s in drop]
+        except CommitConflict:
+            meta = current_metadata(location)
 
 
 # ------------------------------------------------------------------ read
@@ -912,11 +1181,19 @@ def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]
         if m.get("content", 0) != 0:
             continue  # delete manifests are listed by live_delete_files
         _, mmeta, entries = avro_read(m["manifest_path"])
-        spec_cols = [f["name"] for f in json.loads(mmeta.get("partition-spec", "[]"))]
+        spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
+        # identity partition columns are real table columns (dropped from
+        # the Hive-layout files, re-materialized on read); transform
+        # fields (day/bucket) are metadata-only — their SOURCE column
+        # stays in the data files
+        spec_cols = [
+            f["name"] for f in spec_fields if f["transform"] == "identity"
+        ]
         for e in entries:
             if e["status"] != _DELETED:
                 rec = dict(e["data_file"])
                 rec["_spec_cols"] = spec_cols
+                rec["_spec_fields"] = spec_fields
                 rec["_seq"] = e["sequence_number"]
                 files.append(rec)
     return files
@@ -959,38 +1236,81 @@ def read_iceberg_table(
     the table schema pinned from metadata (no parquet inference drift).
     ``snapshot_id`` time-travels to any committed snapshot.
 
-    ``partition_filter`` maps column → value or collection of values:
-    data files are pruned FROM THE MANIFESTS (no parquet footer is even
-    opened for a pruned file — the 400k-files-at-100TB path). Files
-    written under a spec that does not partition by a filtered column
-    are kept (cannot prune what was not partitioned) and the residual
-    predicate is applied to them as a plain filter, so the result is
-    exact across partition evolution. Identity partition columns are
-    materialized from manifest metadata (one lit per file group),
-    mirroring native Iceberg readers."""
+    ``partition_filter`` keys are either a COLUMN NAME (value
+    semantics: keep rows whose column equals one of the given values —
+    files are pruned by applying the file spec's transform to the
+    filter values, so a value filter prunes day- and bucket-partitioned
+    files too) or a TRANSFORM TERM like ``"days(ts)"`` / ``"bucket(16,
+    conv_id)"`` (partition-granularity semantics: values are partition
+    values — day ints or dates, bucket ints — and rows are kept when
+    the transform of the column matches). Data files are pruned FROM
+    THE MANIFESTS (no parquet footer is even opened for a pruned file —
+    the 400k-files-at-100TB path). Files written under a spec that does
+    not partition by a filtered column are kept (cannot prune what was
+    not partitioned) and the residual predicate is applied as a plain
+    filter, so the result is exact across partition evolution. Identity
+    partition columns are materialized from manifest metadata (one lit
+    per file group), mirroring native Iceberg readers."""
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
     ice_schema = meta["schemas"][meta["current-schema-id"]]
     schema = _spark_schema(ice_schema)
-    pf = {
-        k: set(v) if isinstance(v, (list, tuple, set, frozenset)) else {v}
-        for k, v in (partition_filter or {}).items()
-    }
-    unknown = set(pf) - {f["name"] for f in ice_schema["fields"]}
-    if unknown:
-        raise ValueError(f"partition_filter on unknown columns: {sorted(unknown)}")
+    ice_by_name = {f["name"]: f for f in ice_schema["fields"]}
+    ice_by_id = {f["id"]: f for f in ice_schema["fields"]}
+    filters = []
+    for k, v in (partition_filter or {}).items():
+        vals = set(v) if isinstance(v, (list, tuple, set, frozenset)) else {v}
+        source, transform, _n, _fname = _parse_partition_term(k)
+        if source not in ice_by_name:
+            raise ValueError(f"partition_filter on unknown columns: [{k!r}]")
+        if transform == "identity":
+            filters.append({"kind": "value", "source": source, "values": vals})
+        else:
+            # transform-key values are PARTITION values; normalize
+            # dates/datetimes for day
+            if transform == "day":
+                vals = {_day_value(x) for x in vals}
+            filters.append(
+                {
+                    "kind": "transform",
+                    "source": source,
+                    "transform": transform,
+                    "values": vals,
+                }
+            )
 
-    # group live files by (spec partition tuple, sequence number) —
+    def _pruned(rec: dict) -> bool:
+        """True if the manifests prove this file cannot match."""
+        for pfield in rec["_spec_fields"]:
+            s = ice_by_id.get(pfield["source-id"])
+            if s is None:
+                continue
+            pval = rec["partition"].get(pfield["name"])
+            for flt in filters:
+                if flt["source"] != s["name"]:
+                    continue
+                if flt["kind"] == "value":
+                    want = {
+                        _transform_py(pfield["transform"], x, s["type"])
+                        for x in flt["values"]
+                    }
+                elif flt["transform"] == pfield["transform"]:
+                    want = flt["values"]
+                else:
+                    continue  # different transform granularity — no prune
+                if pval not in want:
+                    return True
+        return False
+
+    # group live files by (identity partition tuple, sequence number) —
     # the seq matters because equality deletes apply only to data files
     # with a strictly smaller sequence number; prune by the filter
     groups: dict[tuple, list[str]] = {}
     for rec in live_data_files(location, snapshot_id):
         cols = rec["_spec_cols"]
         vals = tuple((c, rec["partition"].get(c)) for c in cols)
-        if any(
-            c in pf and rec["partition"].get(c) not in pf[c] for c in cols
-        ):
+        if _pruned(rec):
             continue  # manifest-level prune
         groups.setdefault((vals, rec["_seq"]), []).append(rec["file_path"])
 
@@ -1085,14 +1405,21 @@ def read_iceberg_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     # residual predicate for files from non-partitioned (or differently
-    # partitioned) specs that survived the manifest prune. NULL needs an
+    # partitioned) specs that survived the manifest prune — this is what
+    # keeps the result EXACT regardless of pruning. NULL needs an
     # explicit isNull branch — isin() never matches NULL under SQL
     # three-valued logic, which would silently drop the null-partition
     # rows the manifest prune correctly kept.
-    for c, wanted in pf.items():
+    for flt in filters:
+        wanted = flt["values"]
+        if flt["kind"] == "value":
+            expr = F.col(flt["source"])
+        else:
+            src_t = ice_by_name[flt["source"]]["type"]
+            expr = _transform_column(flt["transform"], flt["source"], src_t)
         non_null = [v for v in wanted if v is not None]
-        cond = F.col(c).isin(*non_null) if non_null else F.lit(False)
+        cond = expr.isin(*non_null) if non_null else F.lit(False)
         if None in wanted:
-            cond = cond | F.col(c).isNull()
+            cond = cond | expr.isNull()
         out = out.filter(cond)
     return out

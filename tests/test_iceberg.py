@@ -622,3 +622,159 @@ def test_set_table_properties_merge(spark, transcripts_df, tmp_path):
     assert props["a"] == "3" and props["b"] == "2"
     # data untouched by metadata-only commits
     assert I.read_iceberg_table(spark, loc).count() == transcripts_df.count()
+
+
+# ------------------------------------------------- partition transforms
+
+
+def test_murmur3_matches_spec_vectors():
+    """The bucket hash must be the spec's exact 32-bit Murmur3 over the
+    single-value serialization (Appendix B published test vectors)."""
+    def s32(u):
+        return u - (1 << 32) if u >= (1 << 31) else u
+
+    assert s32(I._murmur3_32((34).to_bytes(8, "little", signed=True))) == 2017239379
+    assert s32(I._murmur3_32("iceberg".encode())) == 1210000089
+    # int is widened to long before hashing → same bucket as long
+    assert I._bucket_value(34, 16, "int") == I._bucket_value(34, 16, "long")
+
+
+@pytest.fixture()
+def multiday_df(spark):
+    rows = [
+        ("conv-a", 0, "user", "day one a", None, "2024-01-01 08:00:00"),
+        ("conv-a", 1, "assistant", "day one b", None, "2024-01-01 09:00:00"),
+        ("conv-b", 0, "user", "day two", None, "2024-01-02 10:00:00"),
+        ("conv-c", 0, "user", "day three", "tool_x", "2024-01-03 11:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_day_partition_write_and_prune(spark, multiday_df, tmp_path):
+    import datetime as dt
+
+    loc = str(tmp_path / "daytbl")
+    I.write_iceberg_table(multiday_df, loc, partition_by=["days(ts)"])
+
+    files = I.live_data_files(loc)
+    # transform fields are metadata-only: not in _spec_cols (no column
+    # to materialize), day ints recorded in the manifest tuples
+    assert all(f["_spec_cols"] == [] for f in files)
+    days = {f["partition"]["ts_day"] for f in files}
+    epoch = dt.date(1970, 1, 1)
+    want_days = {
+        (dt.date(2024, 1, d) - epoch).days for d in (1, 2, 3)
+    }
+    assert days == want_days
+
+    # full read: ts survives in the data files (nothing materialized)
+    back = I.read_iceberg_table(spark, loc)
+    assert _collect(back) == _collect(multiday_df)
+
+    # transform-granularity filter: one day, date-typed value
+    one = I.read_iceberg_table(
+        spark, loc, partition_filter={"days(ts)": dt.date(2024, 1, 2)}
+    )
+    assert _collect(one) == _collect(multiday_df.filter("conv_id = 'conv-b'"))
+    assert len(one.inputFiles()) < len(files)
+
+    # value filter on the source column prunes via the transform too
+    t = dt.datetime(2024, 1, 3, 11, 0, 0)
+    v = I.read_iceberg_table(spark, loc, partition_filter={"ts": t})
+    assert _collect(v) == _collect(multiday_df.filter("conv_id = 'conv-c'"))
+    assert len(v.inputFiles()) < len(files)
+
+
+def test_bucket_partition_write_and_prune(spark, multiday_df, tmp_path):
+    loc = str(tmp_path / "buckettbl")
+    I.write_iceberg_table(multiday_df, loc, partition_by=["bucket(4, conv_id)"])
+
+    files = I.live_data_files(loc)
+    buckets = {f["partition"]["conv_id_bucket"] for f in files}
+    assert buckets == {
+        I._bucket_value(c, 4, "string") for c in ("conv-a", "conv-b", "conv-c")
+    }
+
+    back = I.read_iceberg_table(spark, loc)
+    assert _collect(back) == _collect(multiday_df)
+
+    # value filter prunes to the key's bucket, residual keeps it exact
+    # (other keys sharing the bucket are filtered out row-wise)
+    one = I.read_iceberg_table(
+        spark, loc, partition_filter={"conv_id": "conv-a"}
+    )
+    assert _collect(one) == _collect(multiday_df.filter("conv_id = 'conv-a'"))
+    want_files = {
+        f["file_path"]
+        for f in files
+        if f["partition"]["conv_id_bucket"]
+        == I._bucket_value("conv-a", 4, "string")
+    }
+    assert {p.removeprefix("file://") for p in one.inputFiles()} <= want_files
+
+
+def test_day_partition_append_same_spec(spark, multiday_df, tmp_path):
+    """Appending with the same transform terms reuses the spec (no
+    spurious partition evolution)."""
+    loc = str(tmp_path / "daytbl2")
+    I.write_iceberg_table(multiday_df, loc, partition_by=["days(ts)"])
+    I.append_iceberg_table(multiday_df, loc, partition_by=["days(ts)"])
+    meta = I.current_metadata(loc)
+    assert len(meta["partition-specs"]) == 1
+    assert I.read_iceberg_table(spark, loc).count() == 2 * multiday_df.count()
+
+
+# ---------------------------------------------- concurrent commit safety
+
+
+def test_stale_commit_raises_conflict(spark, transcripts_df, tmp_path):
+    """A writer that built on stale metadata must get CommitConflict —
+    never silently clobber the racing winner's version file."""
+    loc = str(tmp_path / "racetbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    stale = I.current_metadata(loc)
+    # racing writer wins a commit in between
+    I.set_table_properties(loc, {"winner": "w1"})
+    schema = stale["schemas"][stale["current-schema-id"]]
+    with pytest.raises(I.CommitConflict):
+        I._commit(loc, schema, [], prev_meta=stale,
+                  spec={"spec-id": 0, "fields": []})
+    # the winner's commit is intact
+    assert I.current_metadata(loc)["properties"]["winner"] == "w1"
+
+
+def test_interleaved_writers_both_survive(spark, transcripts_df, tmp_path):
+    """Two writers racing through the retrying commit path: both commits
+    land (one retries), nothing lost."""
+    loc = str(tmp_path / "racetbl2")
+    I.write_iceberg_table(transcripts_df, loc)
+    meta0 = I.current_metadata(loc)
+    schema = meta0["schemas"][meta0["current-schema-id"]]
+    # both writers capture the SAME stale metadata
+    s1 = I._commit_retrying(loc, schema, [], dict(meta0), I._empty_spec)
+    s2 = I._commit_retrying(loc, schema, [], dict(meta0), I._empty_spec)
+    meta = I.current_metadata(loc)
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert {s1, s2} <= ids and s1 != s2
+    assert meta["last-sequence-number"] == 3
+
+
+def test_create_properties_single_commit(spark, transcripts_df, tmp_path):
+    """Table-create with properties publishes ONE metadata version: the
+    properties ride the initial commit (no crash window in which the
+    data snapshot is visible without them — the exactly-once marker of
+    the streaming sink depends on this)."""
+    import glob as _glob
+
+    loc = str(tmp_path / "proptbl")
+    I.write_iceberg_table(
+        transcripts_df, loc, properties={"stream.batch-id": "0"}
+    )
+    versions = _glob.glob(os.path.join(loc, "metadata", "v*.metadata.json"))
+    assert len(versions) == 1
+    meta = I.current_metadata(loc)
+    assert meta["properties"]["stream.batch-id"] == "0"
