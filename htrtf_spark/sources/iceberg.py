@@ -49,12 +49,15 @@ untouched, and time travel to a pre-delete snapshot still sees the
 rows, exactly the spec's applicability rule. No data file is ever
 rewritten.
 
-Schema evolution: ``evolve_iceberg_schema`` supports the add-column
-subset — new nullable columns get fresh field-ids, the new schema is
-registered under the next schema-id and becomes current, and reads
-pin the CURRENT schema over every file (old parquet files simply
-surface NULL for columns they predate). Rename/drop need id-based
-column resolution in the parquet reader and are rejected explicitly.
+Schema evolution: ``evolve_iceberg_schema`` (add columns),
+``rename_iceberg_column`` and ``drop_iceberg_column``. Field ids are
+the identity: reads resolve every parquet column BY FIELD ID against
+the write-time schema each manifest records, so renamed columns keep
+their data with no rewrite, dropped columns vanish from the
+projection, a re-added name gets a fresh id (old values are NOT
+resurrected), and time travel resolves the schema via the SNAPSHOT's
+schema-id — an old snapshot surfaces exactly the columns and names it
+was committed under.
 
 Position deletes: ``delete_iceberg_positions`` writes a v2
 POSITION_DELETES file of (file_path, pos) rows (content=1);
@@ -803,7 +806,7 @@ def append_iceberg_table(
     registered and becomes the default, while existing manifests keep
     their original spec (no data rewrite, the Iceberg model)."""
     meta = current_metadata(location)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     want = _spark_schema(ice_schema)
     got = T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
@@ -860,7 +863,7 @@ def evolve_iceberg_schema(location: str, new_schema: T.StructType) -> int:
     under the next schema-id and makes it current; no data is touched.
     Returns the new schema-id."""
     meta = current_metadata(location)
-    cur = meta["schemas"][meta["current-schema-id"]]
+    cur = _schema_by_id(meta, meta["current-schema-id"])
     by_name = {f["name"]: f for f in cur["fields"]}
     new_names = [f.name for f in new_schema.fields]
     missing = [n for n in by_name if n not in new_names]
@@ -916,6 +919,53 @@ def _commit_schema(
             meta = current_metadata(location)
 
 
+def rename_iceberg_column(location: str, old: str, new: str) -> int:
+    """Rename a column (spec "Schema Evolution"): the field KEEPS its id,
+    only the name changes in the new schema. Reads resolve parquet
+    columns BY FIELD ID, so files written before the rename surface
+    their data under the new name with no rewrite; time travel to an
+    older snapshot surfaces the old name (snapshot schema-id). Returns
+    the new schema-id."""
+    meta = current_metadata(location)
+    cur = _schema_by_id(meta, meta["current-schema-id"])
+    names = {f["name"] for f in cur["fields"]}
+    if old not in names:
+        raise ValueError(f"no such column: {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    fields = [
+        dict(f, name=new) if f["name"] == old else dict(f)
+        for f in cur["fields"]
+    ]
+    return _commit_schema(location, meta, fields, meta["last-column-id"])
+
+
+def drop_iceberg_column(location: str, name: str) -> int:
+    """Drop a column (spec "Schema Evolution"): removed from the new
+    schema only — no data file is rewritten; reads simply stop
+    projecting it, and time travel to a pre-drop snapshot still sees
+    it. A column that is the SOURCE of any partition spec field is
+    refused (the spec forbids dropping partition sources). Re-adding
+    the same name later creates a FRESH field id, so old values are
+    not resurrected (id-based resolution). Returns the new schema-id."""
+    meta = current_metadata(location)
+    cur = _schema_by_id(meta, meta["current-schema-id"])
+    by_name = {f["name"]: f for f in cur["fields"]}
+    if name not in by_name:
+        raise ValueError(f"no such column: {name!r}")
+    fid = by_name[name]["id"]
+    for spec in meta["partition-specs"]:
+        if any(pf["source-id"] == fid for pf in spec["fields"]):
+            raise ValueError(
+                f"column {name!r} is a partition source (spec-id "
+                f"{spec['spec-id']}) and cannot be dropped"
+            )
+    fields = [dict(f) for f in cur["fields"] if f["name"] != name]
+    if not fields:
+        raise ValueError("cannot drop the last column")
+    return _commit_schema(location, meta, fields, meta["last-column-id"])
+
+
 def delete_iceberg_rows(
     keys_df: DataFrame, location: str, equality_cols: list[str]
 ) -> int:
@@ -928,7 +978,7 @@ def delete_iceberg_rows(
     number — rows appended after the delete are untouched, exactly
     the spec's applicability rule. No data file is rewritten."""
     meta = current_metadata(location)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     missing = [c for c in equality_cols if c not in by_name]
     if missing:
@@ -969,7 +1019,7 @@ def delete_iceberg_positions(pos_df: DataFrame, location: str) -> int:
     commit). Use ``find_positions`` to build ``pos_df`` from a
     predicate."""
     meta = current_metadata(location)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
 
     import pyarrow.parquet as pq
 
@@ -1019,23 +1069,43 @@ def find_positions(
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
-    schema = _spark_schema(meta["schemas"][meta["current-schema-id"]])
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+    schema = _spark_schema(ice_schema)
     by_name = {f.name: f for f in schema.fields}
+    ice_by_id = {f["id"]: f for f in ice_schema["fields"]}
+    target_ids = [f["id"] for f in ice_schema["fields"]]
 
     groups: dict[tuple, list[str]] = {}
     for rec in live_data_files(location):
-        vals = tuple((c, rec["partition"].get(c)) for c in rec["_spec_cols"])
-        groups.setdefault(vals, []).append(rec["file_path"])
+        vals = []
+        for pfield in rec["_spec_fields"]:
+            if pfield["transform"] != "identity":
+                continue
+            s = ice_by_id.get(pfield["source-id"])
+            if s is not None:
+                vals.append((s["name"], rec["partition"].get(pfield["name"])))
+        by_fid = {f["id"]: f["name"] for f in rec["_write_fields"]}
+        wkey = tuple((fid, by_fid.get(fid)) for fid in target_ids)
+        groups.setdefault((tuple(vals), wkey), []).append(rec["file_path"])
     if not groups:
         return spark.createDataFrame([], "file_path string, pos long")
     parts = []
-    for vals, paths in groups.items():
+    for (vals, wkey), paths in groups.items():
         part_cols = [c for c, _v in vals]
-        file_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols]
-        )
-        df = spark.read.schema(file_schema).parquet(*paths).select(
-            "*",
+        wmap = dict(wkey)
+        # field-id column resolution, as in read_iceberg_table
+        read_fields, rename = [], []
+        for ice_f, sp_f in zip(ice_schema["fields"], schema.fields):
+            if sp_f.name in part_cols:
+                continue
+            wname = wmap.get(ice_f["id"])
+            if wname is None:
+                rename.append(F.lit(None).cast(sp_f.dataType).alias(sp_f.name))
+            else:
+                read_fields.append(T.StructField(wname, sp_f.dataType, True))
+                rename.append(F.col(wname).alias(sp_f.name))
+        df = spark.read.schema(T.StructType(read_fields)).parquet(*paths).select(
+            *rename,
             F.regexp_replace(
                 F.col("_metadata.file_path"), _STRIP_SCHEME, ""
             ).alias("file_path"),
@@ -1077,7 +1147,7 @@ def compact_iceberg_table(
     how accumulated delete files get merged away without breaking
     snapshot isolation."""
     meta = current_metadata(location)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     current = read_iceberg_table(spark, location)
 
     specs = {s["spec-id"]: s for s in meta["partition-specs"]}
@@ -1157,6 +1227,13 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
 
 
 # ------------------------------------------------------------------ read
+def _schema_by_id(meta: dict, schema_id: int) -> dict:
+    for s in meta["schemas"]:
+        if s["schema-id"] == schema_id:
+            return s
+    raise KeyError(f"schema-id {schema_id} not in table metadata")
+
+
 def _find_snapshot(meta: dict, snapshot_id: int) -> dict:
     for s in meta["snapshots"]:
         if s["snapshot-id"] == snapshot_id:
@@ -1182,6 +1259,7 @@ def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]
             continue  # delete manifests are listed by live_delete_files
         _, mmeta, entries = avro_read(m["manifest_path"])
         spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
+        write_fields = json.loads(mmeta.get("schema", "{}")).get("fields", [])
         # identity partition columns are real table columns (dropped from
         # the Hive-layout files, re-materialized on read); transform
         # fields (day/bucket) are metadata-only — their SOURCE column
@@ -1194,6 +1272,7 @@ def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]
                 rec = dict(e["data_file"])
                 rec["_spec_cols"] = spec_cols
                 rec["_spec_fields"] = spec_fields
+                rec["_write_fields"] = write_fields
                 rec["_seq"] = e["sequence_number"]
                 files.append(rec)
     return files
@@ -1207,19 +1286,21 @@ def live_delete_files(location: str, snapshot_id: int | None = None) -> list[dic
     meta = current_metadata(location)
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _find_snapshot(meta, sid)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
     _, _, manifests = avro_read(snap["manifest-list"])
     out: list[dict] = []
     for m in manifests:
         if m.get("content", 0) != 1:
             continue
-        _, _, entries = avro_read(m["manifest_path"])
+        _, mmeta, entries = avro_read(m["manifest_path"])
+        write_fields = json.loads(mmeta.get("schema", "{}")).get("fields", [])
         for e in entries:
             if e["status"] == _DELETED:
                 continue
             rec = dict(e["data_file"])
             rec["_seq"] = e["sequence_number"]
+            rec["_write_fields"] = write_fields
             if rec["content"] == 2:
                 rec["_eq_cols"] = [by_id[i] for i in rec["equality_ids"] or []]
             out.append(rec)
@@ -1254,7 +1335,17 @@ def read_iceberg_table(
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    if snapshot_id is not None:
+        # time travel reads the SNAPSHOT's schema (spec: each snapshot
+        # records its schema-id) — after add/rename/drop evolution, an
+        # old snapshot surfaces exactly the columns it was written
+        # under, not the current ones
+        snap = _find_snapshot(meta, snapshot_id)
+        ice_schema = _schema_by_id(
+            meta, snap.get("schema-id", meta["current-schema-id"])
+        )
+    else:
+        ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     schema = _spark_schema(ice_schema)
     ice_by_name = {f["name"]: f for f in ice_schema["fields"]}
     ice_by_id = {f["id"]: f for f in ice_schema["fields"]}
@@ -1303,34 +1394,70 @@ def read_iceberg_table(
                     return True
         return False
 
-    # group live files by (identity partition tuple, sequence number) —
-    # the seq matters because equality deletes apply only to data files
-    # with a strictly smaller sequence number; prune by the filter
+    # group live files by (identity partition tuple, sequence number,
+    # write-schema column mapping) — the seq matters because equality
+    # deletes apply only to data files with a strictly smaller sequence
+    # number; the write mapping matters because files written before a
+    # rename store the OLD column name and must be resolved by FIELD ID
+    # (the Iceberg column-resolution rule), so they get their own
+    # schema-pinned reader; prune by the filter
+    target_ids = [f["id"] for f in ice_schema["fields"]]
+
+    def _write_map(rec: dict) -> tuple:
+        by_fid = {f["id"]: f["name"] for f in rec["_write_fields"]}
+        return tuple((fid, by_fid.get(fid)) for fid in target_ids)
+
     groups: dict[tuple, list[str]] = {}
     for rec in live_data_files(location, snapshot_id):
-        cols = rec["_spec_cols"]
-        vals = tuple((c, rec["partition"].get(c)) for c in cols)
+        # identity partition values materialize under the TARGET name of
+        # their source field (rename-proof); a dropped source is simply
+        # not materialized
+        vals = []
+        for pfield in rec["_spec_fields"]:
+            if pfield["transform"] != "identity":
+                continue
+            s = ice_by_id.get(pfield["source-id"])
+            if s is not None:
+                vals.append((s["name"], rec["partition"].get(pfield["name"])))
         if _pruned(rec):
             continue  # manifest-level prune
-        groups.setdefault((vals, rec["_seq"]), []).append(rec["file_path"])
+        key = (tuple(vals), rec["_seq"], _write_map(rec))
+        groups.setdefault(key, []).append(rec["file_path"])
 
     if not groups:
         return spark.createDataFrame([], schema)
 
     deletes = live_delete_files(location, snapshot_id)
-    del_dfs = [
-        (
-            d["_seq"],
-            d["_eq_cols"],
-            spark.read.schema(
-                T.StructType(
-                    [f for f in schema.fields if f.name in d["_eq_cols"]]
+    del_dfs = []
+    for d in deletes:
+        if d["content"] != 2:
+            continue
+        # equality delete files are resolved by field id too: the
+        # parquet columns carry the names current AT DELETE TIME
+        wmap = {f["id"]: f["name"] for f in d["_write_fields"]}
+        eq_cols, read_fields, sel = [], [], []
+        for fid in d["equality_ids"] or []:
+            tgt = ice_by_id.get(fid)
+            if tgt is None:
+                raise ValueError(
+                    f"equality delete on field id {fid} which is not in "
+                    "the read schema (column dropped?)"
                 )
-            ).parquet(d["file_path"]),
+            wname = wmap.get(fid, tgt["name"])
+            read_fields.append(
+                T.StructField(wname, _ICE_TO_SPARK[tgt["type"]], True)
+            )
+            sel.append(F.col(wname).alias(tgt["name"]))
+            eq_cols.append(tgt["name"])
+        del_dfs.append(
+            (
+                d["_seq"],
+                eq_cols,
+                spark.read.schema(T.StructType(read_fields))
+                .parquet(d["file_path"])
+                .select(*sel),
+            )
         )
-        for d in deletes
-        if d["content"] == 2
-    ]
     pos_dfs = [
         (
             d["_seq"],
@@ -1347,18 +1474,32 @@ def read_iceberg_table(
     # None partition values (__HIVE_DEFAULT_PARTITION__) sort first —
     # plain tuple sort would TypeError comparing None with str/int
     def _group_key(item):
-        (vals, seq), _paths = item
+        (vals, seq, wkey), _paths = item
         return (
             tuple((c, v is not None, "" if v is None else str(v)) for c, v in vals),
             seq,
+            tuple((fid, w or "") for fid, w in wkey),
         )
 
-    for (vals, seq), paths in sorted(groups.items(), key=_group_key):
+    for (vals, seq, wkey), paths in sorted(groups.items(), key=_group_key):
         part_cols = [c for c, _v in vals]
-        file_schema = T.StructType(
-            [f for f in schema.fields if f.name not in part_cols]
-        )
-        reader = spark.read.schema(file_schema).parquet(*paths)
+        wmap = dict(wkey)
+        # field-id column resolution: read each column under its
+        # WRITE-time name, surface it under the target name; columns the
+        # file predates (or whose id the file never had) become NULL
+        read_fields, rename = [], []
+        for ice_f, sp_f in zip(ice_schema["fields"], schema.fields):
+            if sp_f.name in part_cols:
+                continue  # materialized from manifest metadata below
+            wname = wmap.get(ice_f["id"])
+            if wname is None:
+                rename.append(F.lit(None).cast(sp_f.dataType).alias(sp_f.name))
+            else:
+                read_fields.append(
+                    T.StructField(wname, sp_f.dataType, True)
+                )
+                rename.append(F.col(wname).alias(sp_f.name))
+        reader = spark.read.schema(T.StructType(read_fields)).parquet(*paths)
         pos_applicable = [p for ds, p in pos_dfs if ds >= seq]
         if pos_applicable:
             # attach the scan's (file path, row index) and anti-join
@@ -1385,6 +1526,7 @@ def read_iceberg_table(
             df = df.drop("_fp", "_pos")
         else:
             df = reader
+        df = df.select(*rename)
         for c, v in vals:
             df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
         for dseq, eq_cols, ddf in del_dfs:

@@ -778,3 +778,89 @@ def test_create_properties_single_commit(spark, transcripts_df, tmp_path):
     assert len(versions) == 1
     meta = I.current_metadata(loc)
     assert meta["properties"]["stream.batch-id"] == "0"
+
+
+# ------------------------------------- rename/drop evolution (field ids)
+
+
+def test_rename_column_old_files_resolve_by_id(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "rntbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    sid1 = I.current_metadata(loc)["current-snapshot-id"]
+
+    I.rename_iceberg_column(loc, "text", "body")
+
+    # old data files (written under 'text') surface under 'body' — the
+    # parquet column is resolved by FIELD ID, not name; values intact
+    back = I.read_iceberg_table(spark, loc)
+    assert "body" in back.columns and "text" not in back.columns
+    assert sorted(r["body"] for r in back.collect()) == sorted(
+        r["text"] for r in transcripts_df.collect()
+    )
+
+    # append under the NEW name; both generations read together
+    renamed = transcripts_df.withColumnRenamed("text", "body")
+    I.append_iceberg_table(renamed, loc)
+    assert I.read_iceberg_table(spark, loc).count() == 2 * transcripts_df.count()
+
+    # time travel to the pre-rename snapshot surfaces the OLD name
+    # (snapshot schema-id resolution)
+    old = I.read_iceberg_table(spark, loc, snapshot_id=sid1)
+    assert "text" in old.columns and "body" not in old.columns
+    assert _collect(old) == _collect(transcripts_df)
+
+
+def test_drop_column_hides_without_rewrite(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "droptbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    sid1 = I.current_metadata(loc)["current-snapshot-id"]
+    files_before = {f["file_path"] for f in I.live_data_files(loc)}
+
+    I.drop_iceberg_column(loc, "tool")
+    back = I.read_iceberg_table(spark, loc)
+    assert "tool" not in back.columns
+    # no data file was rewritten
+    assert {f["file_path"] for f in I.live_data_files(loc)} == files_before
+
+    # time travel to the pre-drop snapshot still sees the column
+    old = I.read_iceberg_table(spark, loc, snapshot_id=sid1)
+    assert "tool" in old.columns
+    assert _collect(old) == _collect(transcripts_df)
+
+
+def test_readd_after_drop_gets_fresh_id(spark, transcripts_df, tmp_path):
+    """Re-adding a dropped column name must NOT resurrect old values —
+    the new field has a fresh id, and id-based resolution maps the old
+    files' same-named parquet column to nothing."""
+    from pyspark.sql import types as T
+
+    loc = str(tmp_path / "readdtbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    I.drop_iceberg_column(loc, "tool")
+    new_schema = T.StructType(
+        [f for f in transcripts_df.schema.fields if f.name != "tool"]
+        + [T.StructField("tool", T.StringType(), True)]
+    )
+    I.evolve_iceberg_schema(loc, new_schema)
+    back = I.read_iceberg_table(spark, loc)
+    assert [r["tool"] for r in back.collect()] == [None] * transcripts_df.count()
+
+
+def test_drop_partition_source_refused(spark, transcripts_df, tmp_path):
+    loc = str(tmp_path / "dropparttbl")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    with pytest.raises(ValueError, match="partition source"):
+        I.drop_iceberg_column(loc, "role")
+
+
+def test_equality_delete_survives_rename(spark, transcripts_df, tmp_path):
+    """Equality-delete files written before a rename keep applying after
+    it: their key columns are recorded as field ids and the delete
+    parquet is resolved by id like any data file."""
+    loc = str(tmp_path / "delrntbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    keys = transcripts_df.filter("conv_id = 'conv-a'").select("conv_id").distinct()
+    I.delete_iceberg_rows(keys, loc, ["conv_id"])
+    I.rename_iceberg_column(loc, "conv_id", "conversation")
+    back = I.read_iceberg_table(spark, loc)
+    assert sorted(r["conversation"] for r in back.collect()) == ["conv-b"]
