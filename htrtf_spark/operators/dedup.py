@@ -33,6 +33,34 @@ DEFAULT_MAX_DOC_FREQ = 1000
 # the broadcast anti join takes over (same semantics, no plan blow-up)
 STOP_LIST_INLINE_MAX = 10_000
 
+# Caches these operators create outlive the returned (lazy) DataFrame —
+# the caller's terminal action is what reads them, so the operator
+# cannot unpersist eagerly. Every lingering cache is registered here;
+# callers doing repeated dedup runs in one session release them between
+# runs with release_caches(). (Unreleased caches are MEMORY_AND_DISK
+# and LRU-evicted under pressure — the registry makes cleanup exact.)
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cached frame the dedup operators have left
+    behind (call after the terminal action of a dedup job). Returns the
+    number of caches released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def tokens(text_col: str) -> F.Column:
     return F.filter(F.split(text_col, " "), lambda x: x != F.lit(""))
@@ -124,18 +152,19 @@ def _cap_cached(raw: DataFrame, max_doc_freq: int | None) -> DataFrame:
     cheap in-memory pass), and the raw cache — which still contains the
     quadratic-fanout stop postings the cap exists to drop — is released.
     Net: one ngram explode, and the only lingering cache is the CAPPED
-    table. Returns a cached DataFrame; callers must not re-cache."""
+    table — registered for release_caches(). Returns a cached
+    DataFrame; callers must not re-cache."""
     if max_doc_freq is None:
-        return raw
+        return _register_cache(raw)
     capped = _stop_filter(raw, max_doc_freq)
     if capped is raw:
         # no stop shingles at this scale: raw IS the capped table —
         # swapping would unpersist the one cache we need
-        return raw
+        return _register_cache(raw)
     capped = capped.cache()
     capped.count()  # populate from the (still-cached) raw table
     raw.unpersist()
-    return capped
+    return _register_cache(capped)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -203,13 +232,15 @@ def jaccard_pairs_postings(
     if max_doc_freq is None:
         # grams feeds BOTH the posting groupBy and the sizes groupBy —
         # cache or the word-ngram transform runs twice (measured 6×)
-        grams = grams.cache()
+        grams = _register_cache(grams.cache())
     posting = grams.groupBy("ng").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
     if max_doc_freq is not None:
         # posting feeds both the pair expansion and the capped sizes
-        posting = posting.filter(F.size("ids") <= max_doc_freq).cache()
+        posting = _register_cache(
+            posting.filter(F.size("ids") <= max_doc_freq).cache()
+        )
         # sizes must count CAPPED shingles per doc (Jaccard over the
         # same capped space as the self-join form)
         sizes = (
@@ -254,8 +285,18 @@ def minhash_signatures(
     """Engine-portable MinHash: h_i(S) = lexicographic MIN of
     md5(i || ':' || shingle). Documents with no (kept) shingles are
     absent. The stop-shingle cap is active by default so signatures are
-    computed over discriminative shingles only."""
-    grams = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    computed over discriminative shingles only. Same cached-raw pattern
+    as jaccard_pairs: the stop-list action populates one cache of the
+    raw posting table and the capped swap reads it — ONE ngram explode
+    total (an uncached _stop_filter would run the explode+shuffle twice:
+    once for the eager stop-list head(), again on the downstream
+    action)."""
+    if max_doc_freq is None:
+        # single consumer, no stop-list action — nothing to cache
+        grams = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
+    else:
+        raw = shingle_table(df, id_col, text_col, n, max_doc_freq=None).cache()
+        grams = _cap_cached(raw, max_doc_freq)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
         for i in range(k)
@@ -374,7 +415,7 @@ def simhash_near_pairs(
     LSH (a pair within hamming ≤ 3 of 64 bits shares at least one exact
     16-bit block — pigeonhole, so recall is exactly 1) then exact
     hamming verify."""
-    sh = simhash64(df, id_col, text_col, hash_fn=hash_fn).cache()
+    sh = _register_cache(simhash64(df, id_col, text_col, hash_fn=hash_fn).cache())
     blocks = None
     for blk in range(4):
         part = sh.select(

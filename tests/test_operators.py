@@ -422,3 +422,44 @@ def test_connected_components(spark):
     assert set(gotc.values()) == {0} and len(gotc) == 31
     with pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(chain, max_iter=1)
+
+
+def test_dedup_cache_registry_release(spark, docs):
+    """Operators register their lingering caches; release_caches() frees
+    them (repeated dedup runs in one session must not accumulate cached
+    blocks for the session lifetime)."""
+    dedup.release_caches()  # start clean
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", max_doc_freq=2)
+    assert sig.count() > 0
+    assert len(dedup._LIVE_CACHES) >= 1
+    released = dedup.release_caches()
+    assert released >= 1
+    assert dedup._LIVE_CACHES == []
+    # idempotent
+    assert dedup.release_caches() == 0
+
+
+def test_minhash_signatures_capped_matches_shingle_space(spark, docs):
+    """The capped signature must be computed over exactly the capped
+    shingle space (same as jaccard's): recompute from shingle_table with
+    the same cap and compare."""
+    from pyspark.sql import functions as F
+
+    cap = 2
+    got = {
+        r["id"]: tuple(r[f"mh{i}"] for i in range(dedup.DEFAULT_MINHASHES))
+        for r in dedup.minhash_signatures(
+            docs, "doc_id", "text", max_doc_freq=cap
+        ).collect()
+    }
+    grams = dedup.shingle_table(docs, "doc_id", "text", max_doc_freq=cap)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
+        for i in range(dedup.DEFAULT_MINHASHES)
+    ]
+    want = {
+        r["id"]: tuple(r[f"mh{i}"] for i in range(dedup.DEFAULT_MINHASHES))
+        for r in grams.groupBy("id").agg(*aggs).collect()
+    }
+    dedup.release_caches()
+    assert got == want and len(got) > 0
