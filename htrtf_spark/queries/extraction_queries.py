@@ -560,3 +560,62 @@ FROM fin
 
 
 QUERIES["q81_extract_dom_spans"] = (q81_extract_dom_spans, _q81_sql())
+
+
+# --------------------------------------------------------------------- q82
+# The input contract's realistic layout: a days(ts)-PARTITIONED Iceberg
+# transcripts table (BASELINE input_hint has ts:timestamp). The gate
+# writes the events-derived transcripts into a day-partitioned Iceberg
+# table, reads back through a manifest-pruned day-range partition
+# filter (files outside the range are never opened — asserted by
+# tests/test_iceberg.py's inputFiles checks), and runs extraction. The
+# oracle restates the reshape + extraction + day predicate in SQL.
+# turn_idx is assigned over ALL events (before the day filter), exactly
+# as the table was written.
+
+_Q82_DAYS = 10  # first N days of the events window
+
+
+def q82_iceberg_day_partitioned(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from htrtf_spark.sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    loc = os.path.join(
+        tempfile.mkdtemp(prefix="htrtf_iceberg_days_"), "transcripts"
+    )
+    write_iceberg_table(
+        events_as_transcripts(spark, sf_dir), loc, partition_by=["days(ts)"]
+    )
+    wanted = [dt.date(2024, 1, d) for d in range(1, _Q82_DAYS + 1)]
+    sub = read_iceberg_table(spark, loc, partition_filter={"days(ts)": wanted})
+    return extract_turns(sub, num_partitions=None, check_schema=True)
+
+
+_Q82_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
+             AS role,
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, 'plain' AS mode,
+       {{clean}} AS extracted_text,
+       CAST(length({{clean}}) AS INTEGER) AS n_chars,
+       CASE WHEN {{clean}} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM tr
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+      AND DATE '2024-01-01' + INTERVAL {_Q82_DAYS - 1} DAY
+""".format(clean=clean_sql("text"))
+
+
+QUERIES["q82_iceberg_day_partitioned"] = (
+    q82_iceberg_day_partitioned,
+    _Q82_SQL,
+)

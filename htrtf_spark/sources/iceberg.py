@@ -399,6 +399,18 @@ def _latest_version(location: str) -> int:
     return best
 
 
+def table_exists(location: str) -> bool:
+    """True if any committed metadata version exists. Checks the
+    directory listing, not version-hint.text — the hint is advisory and
+    may be missing after a crash between the commit link and the hint
+    write."""
+    try:
+        _latest_version(location)
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def current_metadata(location: str) -> dict:
     n = _latest_version(location)
     with open(os.path.join(_meta_dir(location), f"v{n}.metadata.json")) as fh:
@@ -761,7 +773,7 @@ def write_iceberg_table(
 ) -> int:
     """Create an Iceberg v2 table at ``location`` from ``df`` (snapshot 1),
     optionally identity-partitioned. Fails if the table already exists."""
-    if os.path.exists(_version_hint(location)):
+    if table_exists(location):
         raise FileExistsError(f"Iceberg table already exists at {location}")
     ice_schema = _iceberg_schema(df.schema)
     spec = _make_spec(ice_schema, partition_by or [], spec_id=0)

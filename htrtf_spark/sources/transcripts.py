@@ -70,9 +70,9 @@ def read_transcripts_iceberg(
     manifest list → manifests → snapshot-isolated schema-pinned parquet
     scan. ``snapshot_id`` time-travels (path variant only; use
     ``VERSION AS OF`` SQL with the native catalog)."""
-    from htrtf_spark.sources.iceberg import _version_hint, read_iceberg_table
+    from htrtf_spark.sources.iceberg import read_iceberg_table, table_exists
 
-    if os.path.exists(_version_hint(table)):
+    if table_exists(table):
         return read_iceberg_table(spark, table, snapshot_id=snapshot_id)
     try:
         return spark.read.table(table)

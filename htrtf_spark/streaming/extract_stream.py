@@ -98,17 +98,15 @@ def stream_to_iceberg(
     the property guard detects an id that already committed and skips
     it — append-idempotence across failures, the standard
     streaming-lakehouse pattern. Returns the started StreamingQuery."""
-    import os
-
     from htrtf_spark.sources.iceberg import (
-        _version_hint,
         append_iceberg_table,
         current_metadata,
+        table_exists,
         write_iceberg_table,
     )
 
     def commit_batch(batch_df, batch_id: int) -> None:
-        if not os.path.exists(_version_hint(location)):
+        if not table_exists(location):
             # table born from this stream: the create IS batch_id's
             # commit, property stamped in the same breath
             write_iceberg_table(
