@@ -155,3 +155,63 @@ def test_featurize_conv_rgb_payload(spark, tmp_path):
     cc = np.full(w, 3); cc[[0, -1]] = 2
     inv = 255 - grey
     assert rows[0]["box_sum"] == int((inv * np.outer(cr, cc)).sum())
+
+
+# ------------------------------------------------- S7 AACHEN layout map
+
+
+def test_aachen_mapping_roundtrip(spark, tmp_path):
+    """load_aachen_params == the reference's load_AACHEN_PARAMS layout
+    rules (utils.py:392-559) applied to a parquet named-tensor table:
+    conv kernels transposed (n_out,n_in,fh,fw)→(fh,fw,n_in,n_out), each
+    MDLSTM direction's W/U/V stacked on axis 0, dense head unchanged.
+    Asymmetric shapes make any axis mix-up a hard failure."""
+    import numpy as np
+
+    from htrtf_spark.operators import aachen
+    from htrtf_spark.operators.convnet import write_params
+
+    ext = aachen.synth_aachen_params(seed=7)
+    path = str(tmp_path / "aachen_params")
+    write_params(spark, ext, path)
+    got = aachen.load_aachen_params(spark, path)
+
+    # conv: value-exact transpose
+    w0 = ext["conv0/W_conv0"]
+    assert got["conv1/kernel"].shape == (3, 5, 1, 4)
+    assert np.array_equal(got["conv1/kernel"], w0.transpose([2, 3, 1, 0]))
+    assert np.array_equal(got["conv1/bias"], ext["conv0/b_conv0"])
+
+    # mdlstm: stacked [x; h; v] kernel, external dir 3 == down-backward
+    k = got["mdlstm1/db_kernel"]
+    assert k.shape == (3 + 2 * 2, 5 * 2)
+    assert np.array_equal(k[:3], ext["mdlstm0/W3_mdlstm0"])
+    assert np.array_equal(k[3:5], ext["mdlstm0/U3_mdlstm0"])
+    assert np.array_equal(k[5:7], ext["mdlstm0/V3_mdlstm0"])
+    assert np.array_equal(got["mdlstm1/db_bias"], ext["mdlstm0/b3_mdlstm0"])
+
+    # dense head passes through
+    assert np.array_equal(got["dense/kernel"], ext["output/W_in_mdlstm4_output"])
+    assert np.array_equal(got["dense/bias"], ext["output/b_output"])
+
+    # the mapped dict drives the real operators end to end
+    from htrtf_spark.operators.mdlstm import mdlstm_4dir
+
+    img = np.random.RandomState(0).normal(0, 1, size=(4, 6, 3)).astype(
+        np.float32
+    )
+    out = mdlstm_4dir(img, got, layer=1)
+    assert out.shape == (4, 6, 2) and np.isfinite(out).all()
+
+
+def test_aachen_mapping_rejects_mismatched_gates():
+    import numpy as np
+
+    from htrtf_spark.operators import aachen
+
+    ext = aachen.synth_aachen_params(seed=1, mdlstm_layers=1, conv_layers=0)
+    ext["mdlstm0/U2_mdlstm0"] = np.zeros((2, 11), dtype=np.float32)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gate widths"):
+        aachen.map_aachen_params(ext)
