@@ -73,14 +73,16 @@ to the originals) and ``expire_snapshots`` drops expired snapshots and
 physically removes files referenced only by them — the standard
 Iceberg lifecycle pair.
 
-Partition transforms: identity, ``days(col)`` (int days from epoch)
-and ``bucket(N, col)`` (the spec's 32-bit Murmur3 single-value hash,
-verified against Appendix B's published vectors). Transform partition
+Partition transforms: identity, ``days(col)`` (int days from epoch),
+``bucket(N, col)`` (the spec's 32-bit Murmur3 single-value hash,
+verified against Appendix B's published vectors) and
+``truncate(W, col)`` (floored int truncation / string codepoint
+prefix). Transform partition
 columns are metadata-only (the source column stays in the data files);
 reads prune by applying the file spec's transform to value filters, or
 accept transform-granularity filters like ``{"days(ts)": [...]}``.
 
-Limits (documented, not hidden): no truncate/hour transforms, null
+Limits (documented, not hidden): no hour/month/year transforms, null
 Avro codec. Those are additive follow-ups on the same layout.
 """
 
@@ -168,6 +170,12 @@ def _parse_partition_term(term: str) -> tuple[str, str, int | None, str]:
         if n <= 0:
             raise ValueError(f"bucket count must be positive: {term!r}")
         return m.group(2), f"bucket[{n}]", n, f"{m.group(2)}_bucket"
+    m = _re.match(r"^\s*truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", term)
+    if m:
+        w = int(m.group(1))
+        if w <= 0:
+            raise ValueError(f"truncate width must be positive: {term!r}")
+        return m.group(2), f"truncate[{w}]", w, f"{m.group(2)}_trunc"
     if not _re.match(r"^\w+$", term):
         raise ValueError(f"unsupported partition term: {term!r}")
     return term, "identity", None, term
@@ -241,6 +249,19 @@ def _day_value(value) -> int | None:
     raise ValueError(f"day transform of unsupported value {value!r}")
 
 
+def _truncate_value(value, w: int, src_type: str):
+    """Spec truncate transform: ints truncate toward negative infinity
+    (v - (v mod W), python % already floors); strings keep the first W
+    CODEPOINTS (the spec's unicode rule)."""
+    if value is None:
+        return None
+    if src_type in ("int", "long"):
+        return int(value) - (int(value) % w)
+    if src_type == "string":
+        return str(value)[:w]
+    raise ValueError(f"truncate transform unsupported for {src_type}")
+
+
 def _transform_py(transform: str, value, src_type: str):
     """Apply a spec transform to one PYTHON value (driver-side pruning)."""
     if transform == "identity":
@@ -249,6 +270,8 @@ def _transform_py(transform: str, value, src_type: str):
         return _day_value(value)
     if transform.startswith("bucket["):
         return _bucket_value(value, int(transform[7:-1]), src_type)
+    if transform.startswith("truncate["):
+        return _truncate_value(value, int(transform[9:-1]), src_type)
     raise ValueError(f"unsupported transform {transform!r}")
 
 
@@ -276,13 +299,22 @@ def _transform_column(transform: str, source: str, src_type: str):
             return s.map(mapping).astype("Int32")
 
         return _bucket(F.col(source))
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if src_type in ("int", "long"):
+            # pmod floors like python %, so negatives truncate toward -inf
+            return (F.col(source) - F.pmod(F.col(source), F.lit(w))).cast(
+                "long" if src_type == "long" else "int"
+            )
+        return F.substring(F.col(source), 1, w)
     raise ValueError(f"unsupported transform {transform!r}")
 
 
 def _partition_value_type(pf: dict, ice_schema: dict) -> str:
-    """Iceberg type of a partition FIELD's value: identity keeps the
-    source type; day and bucket produce int (spec result types)."""
-    if pf["transform"] == "identity":
+    """Iceberg type of a partition FIELD's value: identity and truncate
+    keep the source type; day and bucket produce int (spec result
+    types)."""
+    if pf["transform"] == "identity" or pf["transform"].startswith("truncate["):
         by_id = {f["id"]: f for f in ice_schema["fields"]}
         return by_id[pf["source-id"]]["type"]
     return "int"
@@ -472,6 +504,13 @@ def _make_spec(ice_schema: dict, partition_by: list[str], spec_id: int) -> dict:
         ):
             raise ValueError(
                 f"bucket transform on {col!r} needs int/long/string, "
+                f"got {src_t}"
+            )
+        if transform.startswith("truncate[") and src_t not in (
+            "int", "long", "string"
+        ):
+            raise ValueError(
+                f"truncate transform on {col!r} needs int/long/string, "
                 f"got {src_t}"
             )
         fields.append(

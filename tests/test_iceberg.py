@@ -864,3 +864,41 @@ def test_equality_delete_survives_rename(spark, transcripts_df, tmp_path):
     I.rename_iceberg_column(loc, "conv_id", "conversation")
     back = I.read_iceberg_table(spark, loc)
     assert sorted(r["conversation"] for r in back.collect()) == ["conv-b"]
+
+
+def test_truncate_partition_write_and_prune(spark, tmp_path):
+    """truncate(W, col): ints floor toward -inf (spec: truncate(10, -1)
+    = -10), strings keep the first W codepoints; value filters prune
+    through the transform."""
+    assert I._truncate_value(1, 10, "int") == 0
+    assert I._truncate_value(-1, 10, "int") == -10
+    assert I._truncate_value("iceberg", 3, "string") == "ice"
+
+    rows = [(i, f"user-{i % 7:03d}", float(i)) for i in range(-20, 80)]
+    df = spark.createDataFrame(rows, "k int, name string, v double")
+    loc = str(tmp_path / "trunctbl")
+    I.write_iceberg_table(df, loc, partition_by=["truncate(25, k)"])
+
+    files = I.live_data_files(loc)
+    assert {f["partition"]["k_trunc"] for f in files} == {-25, 0, 25, 50, 75}
+
+    back = I.read_iceberg_table(spark, loc)
+    assert sorted(r["k"] for r in back.collect()) == list(range(-20, 80))
+
+    one = I.read_iceberg_table(spark, loc, partition_filter={"k": 30})
+    assert [r["k"] for r in one.collect()] == [30]
+    assert len(one.inputFiles()) < len(files)
+
+    # string truncate
+    loc2 = str(tmp_path / "trunctbl2")
+    I.write_iceberg_table(df, loc2, partition_by=["truncate(6, name)"])
+    vals = {
+        f["partition"]["name_trunc"] for f in I.live_data_files(loc2)
+    }
+    assert vals == {"user-0"}  # all names share the 6-codepoint prefix
+    got = I.read_iceberg_table(
+        spark, loc2, partition_filter={"name": "user-003"}
+    )
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(-20, 80) if i % 7 == 3
+    ]
