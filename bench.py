@@ -98,6 +98,27 @@ def main() -> None:
         ext_wall = min(ext_wall, time.monotonic() - t0)
     timings["extract_synth"] = round(ext_wall, 3)
 
+    # North-rule input path: the SAME extraction read from an Iceberg
+    # table (manifest-listed snapshot scan) instead of raw parquet —
+    # measures the metadata layer's read overhead. Cached table, keyed
+    # like the corpus; reported alongside (not in) the headline sum.
+    from htrtf_spark.sources.iceberg import table_exists, write_iceberg_table
+    from htrtf_spark.sources.transcripts import read_transcripts_iceberg
+
+    ice_loc = (
+        f"/tmp/htrtf_spark_bench/iceberg_c{BENCH_TURN_CONVS}_s42_{tag}"
+    )
+    if not table_exists(ice_loc):
+        write_iceberg_table(tdf, ice_loc)
+    idf = read_transcripts_iceberg(spark, ice_loc)
+    _materialize(extract_turns(idf, check_schema=False))  # warm
+    ice_wall = float("inf")
+    for _rep in range(2):
+        t0 = time.monotonic()
+        _materialize(extract_turns(idf, check_schema=False))
+        ice_wall = min(ice_wall, time.monotonic() - t0)
+    timings["extract_iceberg"] = round(ice_wall, 3)
+
     # N→4N scaling evidence (protocol + confound analysis: BENCH/BASELINE.md).
     # Two valid instruments: cores 2→8 within one pinned JVM (neither side
     # saturates the box) and 1→4 concurrent pinned executor JVMs. The 8→32

@@ -58,7 +58,10 @@ def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_transcripts_iceberg(
-    spark: SparkSession, table: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Iceberg transcripts read.
 
@@ -73,7 +76,10 @@ def read_transcripts_iceberg(
     from htrtf_spark.sources.iceberg import read_iceberg_table, table_exists
 
     if table_exists(table):
-        return read_iceberg_table(spark, table, snapshot_id=snapshot_id)
+        return read_iceberg_table(
+            spark, table, snapshot_id=snapshot_id,
+            partition_filter=partition_filter,
+        )
     try:
         return spark.read.table(table)
     except Exception as exc:  # pragma: no cover - env-dependent

@@ -30,6 +30,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="optional salted repartition width (only for "
                         "unsplittable/skewed sources; healthy parquet "
                         "inputs should leave this unset)")
+    p.add_argument("--day-range", default=None, metavar="FROM:TO",
+                   help="Iceberg input only: inclusive ISO date range, "
+                        "e.g. 2024-01-01:2024-01-07 — files outside the "
+                        "range are pruned from the manifests (never "
+                        "opened) on a days(ts)-partitioned table, and a "
+                        "residual day filter keeps the result exact on "
+                        "any layout")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -50,7 +57,26 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.iceberg_table:
-        df = read_transcripts_iceberg(spark, args.iceberg_table)
+        pf = None
+        if args.day_range:
+            import datetime as dt
+
+            lo_s, _, hi_s = args.day_range.partition(":")
+            lo = dt.date.fromisoformat(lo_s)
+            hi = dt.date.fromisoformat(hi_s or lo_s)
+            if hi < lo:
+                p.error("--day-range FROM must be <= TO")
+            pf = {
+                "days(ts)": [
+                    lo + dt.timedelta(days=i)
+                    for i in range((hi - lo).days + 1)
+                ]
+            }
+        df = read_transcripts_iceberg(
+            spark, args.iceberg_table, partition_filter=pf
+        )
+    elif args.day_range:
+        p.error("--day-range requires --iceberg-table")
     elif args.input_jsonl:
         df = read_transcripts_jsonl(spark, args.input_jsonl)
     elif args.input_orc:

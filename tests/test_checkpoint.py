@@ -92,3 +92,53 @@ def test_resume_refuses_bucket_count_change(spark, tmp_path):
     # original count still resumes fine
     ckpt.run_extraction_checkpointed(spark, df, out_dir, n_buckets=4)
     assert ckpt.completed_buckets(out_dir) == set(range(4))
+
+
+def test_job_cli_day_range_over_iceberg(spark, tmp_path):
+    """Drive the spark-submit entrypoint end to end: extraction from a
+    days(ts)-partitioned Iceberg table with --day-range prunes to the
+    requested days and the checkpointed output holds exactly those
+    turns."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.sources import iceberg as I
+
+    rows = []
+    for d in (1, 2, 3):
+        for t in range(4):
+            rows.append(
+                (f"conv-{d}", t, "user", f"day {d} turn {t}", None,
+                 f"2024-01-{d:02d} 0{t}:00:00")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    loc = str(tmp_path / "daytbl")
+    I.write_iceberg_table(df, loc, partition_by=["days(ts)"])
+
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    res = subprocess.run(
+        [
+            sys.executable, "/root/repo/jobs/run_extraction.py",
+            "--iceberg-table", loc,
+            "--day-range", "2024-01-01:2024-01-02",
+            "--output", out, "--buckets", "2",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    got = ckpt.read_output(spark, out)
+    assert got.count() == 8  # days 1-2 only, 4 turns each
+    assert sorted(r["conv_id"] for r in got.select("conv_id").distinct().collect()) == [
+        "conv-1", "conv-2"
+    ]
