@@ -304,10 +304,12 @@ def minhash_signatures(
     return grams.groupBy("id").agg(*aggs)
 
 
-def lsh_candidates(
+def band_signatures(
     sig: DataFrame, k: int = DEFAULT_MINHASHES, band_width: int = DEFAULT_BAND_WIDTH
 ) -> DataFrame:
-    """Band the signatures, self-join each band bucket, distinct pairs."""
+    """(id, band_id, band_val) LSH banding of a signature table — the
+    persistable index shape: write it once per corpus, bucket-join new
+    batches against it (incremental dedup)."""
     n_bands = k // band_width
     bands = None
     for band in range(n_bands):
@@ -316,6 +318,85 @@ def lsh_candidates(
             "id", F.lit(band).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_val")
         )
         bands = part if bands is None else bands.union(part)
+    return bands
+
+
+def band_index(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,
+    band_width: int = DEFAULT_BAND_WIDTH,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Corpus LSH band index (id, band_id, band_val): minhash + banding
+    in one call. At scale this is PERSISTED once (parquet/Iceberg,
+    bucketed by (band_id, band_val)) and every new ingest batch joins
+    against it — the index is O(docs × bands) rows, never rebuilt."""
+    return band_signatures(
+        minhash_signatures(df, id_col, text_col, n, k, max_doc_freq),
+        k, band_width,
+    )
+
+
+def incremental_dedup_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_NGRAM,
+    k: int = DEFAULT_MINHASHES,
+    band_width: int = DEFAULT_BAND_WIDTH,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Continuous-ingest dedup: flag each NEW document against an
+    EXISTING corpus — (id, exact_dup, lsh_hit, novel), all int 0/1.
+    exact_dup: md5(text) collides with a corpus fingerprint (one
+    shuffle of 128-bit fps). lsh_hit: any LSH band bucket shared with a
+    corpus document (bucket equi-join against the corpus band index —
+    O(new × bands) probe, never corpus × new). novel = neither. At
+    scale pass a pre-persisted ``band_index`` via ``corpus_index=``-style
+    wrapping instead of recomputing; this function accepts the raw
+    corpus for the self-contained form."""
+    ids = new_df.select(F.col(id_col).alias("id")).distinct()
+    fps = corpus_df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    exact = (
+        new_df.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
+        )
+        .join(fps, "fp", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("exact_dup", F.lit(1))
+    )
+    idx = band_index(corpus_df, id_col, text_col, n, k, band_width,
+                     max_doc_freq).select("band_id", "band_val").distinct()
+    probes = band_index(new_df, id_col, text_col, n, k, band_width,
+                        max_doc_freq)
+    lsh = (
+        probes.join(idx, ["band_id", "band_val"], "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("lsh_hit", F.lit(1))
+    )
+    out = (
+        ids.join(exact, "id", "left")
+        .join(lsh, "id", "left")
+        .select(
+            "id",
+            F.coalesce("exact_dup", F.lit(0)).alias("exact_dup"),
+            F.coalesce("lsh_hit", F.lit(0)).alias("lsh_hit"),
+        )
+    )
+    return out.withColumn(
+        "novel",
+        ((F.col("exact_dup") == 0) & (F.col("lsh_hit") == 0)).cast("int"),
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame, k: int = DEFAULT_MINHASHES, band_width: int = DEFAULT_BAND_WIDTH
+) -> DataFrame:
+    """Band the signatures, self-join each band bucket, distinct pairs."""
+    bands = band_signatures(sig, k, band_width)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

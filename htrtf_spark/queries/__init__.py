@@ -55,6 +55,7 @@ _MODULES = [
 # added queries are prioritized the same way each round.
 _RUN_FIRST = [
     # new or fixed this round (round 3)
+    "q83_incremental_dedup",
     "q82_iceberg_day_partitioned",
     "q81_extract_dom_spans",
     "q80_extract_spans",

@@ -410,3 +410,92 @@ SELECT id, MIN(label) AS cluster_rep FROM walk GROUP BY id
 """
 
 QUERIES["q78_neardup_clusters"] = (q78_neardup_clusters, _Q78_SQL)
+
+
+# --------------------------------------------------------------------- q83
+# Continuous-ingest incremental dedup: flag each NEW document (doc_id >=
+# split) against the EXISTING corpus (doc_id < split) — exact md5
+# collision + LSH band-bucket collision against the corpus band index,
+# the probe-an-index shape a streaming training-data pipeline runs per
+# batch (never corpus × batch). Uncapped shingles here: the per-subset
+# stop-list would otherwise depend on subset frequencies, which the SQL
+# restatement mirrors 1:1 anyway but the uncapped form keeps the oracle
+# readable.
+
+_Q83_SPLIT = 400
+
+
+def q83_incremental_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(f"doc_id < {_Q83_SPLIT}")
+    new = d.filter(f"doc_id >= {_Q83_SPLIT}")
+    return D.incremental_dedup_flags(
+        new, corpus, "doc_id", "text", max_doc_freq=None
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _q83_grams(cte: str, src: str) -> str:
+    return f"""{cte} AS (
+  SELECT doc_id AS id, unnest(ngs) AS ng FROM (
+    SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(w) >= {_N}
+                  THEN [array_to_string(w[i:i+{_N - 1}], ' ')
+                        for i in generate_series(1, len(w) - {_N - 1})]
+                  ELSE [] END) AS ngs
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM {src})
+  )
+)"""
+
+
+def _q83_bands(prefix: str, grams: str) -> str:
+    bands_union = " UNION ALL ".join(
+        f"SELECT id, {k} AS band_id, {_band_sql(k)} AS band_val "
+        f"FROM {prefix}sig"
+        for k in range(_N_BANDS)
+    )
+    return f"""{prefix}sig AS (
+  SELECT id,
+         {_sig_sql_cols()}
+  FROM {grams} GROUP BY id
+),
+{prefix}bands AS (
+  {bands_union}
+)"""
+
+
+_Q83_SQL = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id < {_Q83_SPLIT}),
+newb AS (SELECT * FROM documents WHERE doc_id >= {_Q83_SPLIT}),
+{_q83_grams("cgrams", "corpus")},
+{_q83_grams("ngrams_", "newb")},
+{_q83_bands("c", "cgrams")},
+{_q83_bands("n", "ngrams_")},
+exact_hit AS (
+  SELECT DISTINCT n.doc_id AS id
+  FROM newb n
+  JOIN (SELECT DISTINCT md5(text) AS fp FROM corpus) c
+    ON md5(n.text) = c.fp
+),
+lsh_hit AS (
+  SELECT DISTINCT nb.id
+  FROM nbands nb
+  JOIN (SELECT DISTINCT band_id, band_val FROM cbands) cb
+    USING (band_id, band_val)
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS exact_dup,
+       CAST(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS lsh_hit,
+       CAST(CASE WHEN e.id IS NULL AND l.id IS NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS novel
+FROM newb d
+LEFT JOIN exact_hit e ON e.id = d.doc_id
+LEFT JOIN lsh_hit l ON l.id = d.doc_id
+"""
+
+
+QUERIES["q83_incremental_dedup"] = (q83_incremental_dedup, _Q83_SQL)

@@ -463,3 +463,62 @@ def test_minhash_signatures_capped_matches_shingle_space(spark, docs):
     }
     dedup.release_caches()
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_flags(spark, docs):
+    """New-batch-vs-corpus dedup checked against an INDEPENDENT pure
+    python restatement of the md5 minhash/banding spec: exact copies
+    flag exact_dup (and collide on every band), expected LSH hits are
+    derived from the recomputed band sets, unrelated docs are novel,
+    and only NEW ids appear in the output."""
+    import hashlib
+
+    corpus_rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    base = corpus_rows[0]
+    near = " ".join(base.split()[:-1] + ["zzz"])
+    new_rows = {
+        1001: base,                        # exact dup of doc 0
+        1002: near,                        # shares most shingles
+        1003: "totally unrelated fresh content nothing shared here at all",
+    }
+
+    def bands(text):
+        ws = [w for w in text.split(" ") if w]
+        ngs = (
+            {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if len(ws) >= 3
+            else set()
+        )
+        if not ngs:
+            return set()
+        sig = [
+            min(
+                hashlib.md5(f"{i}:{g}".encode()).hexdigest() for g in ngs
+            )
+            for i in range(dedup.DEFAULT_MINHASHES)
+        ]
+        return {
+            (b, hashlib.md5("|".join(sig[2 * b : 2 * b + 2]).encode()).hexdigest())
+            for b in range(dedup.DEFAULT_MINHASHES // dedup.DEFAULT_BAND_WIDTH)
+        }
+
+    corpus_bands = set().union(*(bands(t) for t in corpus_rows.values()))
+    corpus_fps = {hashlib.md5(t.encode()).hexdigest() for t in corpus_rows.values()}
+    want = {}
+    for did, text in new_rows.items():
+        e = int(hashlib.md5(text.encode()).hexdigest() in corpus_fps)
+        l = int(bool(bands(text) & corpus_bands))
+        want[did] = (e, l, int(e == 0 and l == 0))
+
+    new = spark.createDataFrame(
+        sorted(new_rows.items()), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["exact_dup"], r["lsh_hit"], r["novel"])
+        for r in dedup.incremental_dedup_flags(
+            new, docs, "doc_id", "text", max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+    assert want[1001][0] == 1 and want[1001][1] == 1  # exact → all bands
+    assert want[1003] == (0, 0, 1)
