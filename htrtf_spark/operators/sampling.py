@@ -1,0 +1,58 @@
+"""Deterministic content-hash sampling for training-data composition.
+
+A training corpus is rarely "all the data": mixtures are specified as
+per-stratum rates ("keep 30% of lang=en, 100% of lang=fr …"). At 100 TB
+the sampler must be (a) a narrow filter (no shuffle, no RNG state),
+(b) reproducible under retries/repartitioning/engine changes, and
+(c) restatable in SQL for auditing. ``df.sample``/``sampleBy`` fail
+(b): their membership depends on partition iteration order.
+
+Same portable-hash convention as ``hash_split_assign`` (md5 prefix, the
+SimHash gate's trick): a row is kept iff
+``md5(seed ':' key) mod 10000 < rate_bp[stratum]`` — integer basis
+points, no float comparisons. Sampling composes with the hash SPLIT
+(different hash inputs → independent memberships).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from htrtf_spark.operators.dedup import portable_token_hash
+
+
+def sample_bucket_bp(key_col, seed: int = 42) -> F.Column:
+    """Deterministic uniform bucket in [0, 10000) from a row key —
+    0-padded so every key length hashes distinctly."""
+    return (
+        portable_token_hash(
+            F.concat_ws(":", F.lit(str(seed)), key_col.cast("string"))
+        )
+        % 10000
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    key_col: str,
+    seed: int = 42,
+    default_bp: int = 0,
+) -> DataFrame:
+    """Keep each row iff its deterministic bucket < its stratum's rate
+    (basis points, 10000 = keep all). Strata absent from ``rates_bp``
+    fall back to ``default_bp`` (0 = drop — mixture specs enumerate
+    what they want). One narrow filter; fully pushdown-friendly."""
+    for k, v in rates_bp.items():
+        if not (0 <= int(v) <= 10000):
+            raise ValueError(f"rate for {k!r} must be 0..10000 bp, got {v}")
+    bucket = sample_bucket_bp(F.col(key_col), seed)
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates_bp.items() for x in (kv[0], int(kv[1]))]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col)), F.lit(int(default_bp))
+    )
+    return df.filter(bucket < rate)

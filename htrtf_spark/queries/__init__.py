@@ -55,6 +55,8 @@ _MODULES = [
 # added queries are prioritized the same way each round.
 _RUN_FIRST = [
     # new or fixed this round (round 3)
+    "q85_stratified_sample",
+    "q84_iceberg_incremental",
     "q83_incremental_dedup",
     "q82_iceberg_day_partitioned",
     "q81_extract_dom_spans",

@@ -619,3 +619,59 @@ QUERIES["q82_iceberg_day_partitioned"] = (
     q82_iceberg_day_partitioned,
     _Q82_SQL,
 )
+
+
+# --------------------------------------------------------------------- q84
+# Incremental append scan: the continuous-ingest read path. Batch 1
+# (days 1-15) is committed, batch 2 (the rest) appended;
+# read_iceberg_increment from the first snapshot opens ONLY batch-2
+# data files (sequence-window pruning — inputFiles-asserted in
+# tests/test_iceberg.py) and the extraction output must equal the
+# batch-2 subset, which the oracle restates (turn_idx computed over ALL
+# events, exactly as the table was written).
+
+_Q84_CUT = "2024-01-15"
+
+
+def q84_iceberg_incremental(spark, sf_dir):
+    import tempfile
+
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        read_iceberg_increment,
+        write_iceberg_table,
+    )
+
+    tr = events_as_transcripts(spark, sf_dir)
+    cut = F.lit(_Q84_CUT).cast("date")
+    loc = os.path.join(
+        tempfile.mkdtemp(prefix="htrtf_iceberg_incr_"), "transcripts"
+    )
+    s1 = write_iceberg_table(tr.filter(F.to_date("ts") <= cut), loc)
+    append_iceberg_table(tr.filter(F.to_date("ts") > cut), loc)
+    inc = read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    return extract_turns(inc, num_partitions=None, check_schema=True)
+
+
+_Q84_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
+             AS role,
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, 'plain' AS mode,
+       {{clean}} AS extracted_text,
+       CAST(length({{clean}}) AS INTEGER) AS n_chars,
+       CASE WHEN {{clean}} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM tr
+WHERE CAST(ts AS DATE) > DATE '{_Q84_CUT}'
+""".format(clean=clean_sql("text"))
+
+
+QUERIES["q84_iceberg_incremental"] = (q84_iceberg_incremental, _Q84_SQL)

@@ -183,3 +183,37 @@ FROM b GROUP BY 1
 """
 
 QUERIES["q79_hash_split"] = (q79_hash_split, _Q79_SQL)
+
+
+# --------------------------------------------------------------------- q85
+# Deterministic stratified sampling — the training-mixture primitive
+# ("keep X% of each language"). Membership is content-hashed (portable
+# md5-prefix mod 10000 basis points), so the SQL oracle recomputes the
+# EXACT member set, not just counts — which df.sample could never pass.
+
+_Q85_RATES_BP = {"en": 10000, "de": 5000, "fr": 2500, "es": 1000}
+_Q85_SEED = 42
+
+
+def q85_stratified_sample(spark, sf_dir):
+    from htrtf_spark.operators.sampling import stratified_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "lang", _Q85_RATES_BP, key_col="doc_id", seed=_Q85_SEED
+    )
+
+
+_Q85_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _Q85_RATES_BP.items()
+)
+
+_Q85_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('{_Q85_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000
+      < CASE lang {_Q85_CASE} ELSE 0 END
+"""
+
+QUERIES["q85_stratified_sample"] = (q85_stratified_sample, _Q85_SQL)

@@ -902,3 +902,38 @@ def test_truncate_partition_write_and_prune(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [
         i for i in range(-20, 80) if i % 7 == 3
     ]
+
+
+# --------------------------------------------------- incremental reads
+
+
+def test_incremental_read_window_and_deletes(spark, transcripts_df, tmp_path):
+    """read_iceberg_increment opens ONLY the data files appended after
+    the from-snapshot (sequence-window pruning), and deletes visible at
+    the upper snapshot apply to the windowed rows; deletes of OLDER
+    rows don't resurface anything."""
+    loc = str(tmp_path / "incrtbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    batch2 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    I.append_iceberg_table(batch2, loc)
+    files_after = I.live_data_files(loc)
+    b2_files = {f["file_path"] for f in files_after if f["_seq"] == 2}
+
+    inc = I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    assert _collect(inc) == _collect(batch2)
+    assert {p.removeprefix("file://") for p in inc.inputFiles()} <= b2_files
+
+    # delete one batch-2 conv and one batch-1 conv: incremental loses
+    # only the batch-2 rows
+    keys = spark.createDataFrame(
+        [("b2-conv-a",), ("conv-b",)], "conv_id string"
+    )
+    I.delete_iceberg_rows(keys, loc, ["conv_id"])
+    inc2 = I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    assert _collect(inc2) == _collect(batch2.filter("conv_id <> 'b2-conv-a'"))
+
+    # empty window: from the latest snapshot there is nothing new
+    latest = I.current_metadata(loc)["current-snapshot-id"]
+    assert I.read_iceberg_increment(spark, loc, from_snapshot_id=latest).count() == 0

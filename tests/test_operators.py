@@ -522,3 +522,36 @@ def test_incremental_dedup_flags(spark, docs):
     assert got == want
     assert want[1001][0] == 1 and want[1001][1] == 1  # exact → all bands
     assert want[1003] == (0, 0, 1)
+
+
+def test_stratified_sample_deterministic_and_exact(spark, docs):
+    """Membership is a pure function of (seed, key, stratum rate):
+    identical across repartitionings, monotone in the rate (a kept row
+    stays kept when its stratum's rate rises), and strata without a
+    rate are dropped."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.sampling import stratified_sample
+
+    d = docs.withColumn(
+        "grp", (F.col("doc_id") % 2 == 0).cast("string")
+    )
+    rates = {"true": 10000, "false": 5000}
+    a = {r["doc_id"] for r in stratified_sample(d, "grp", rates, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            d.repartition(7), "grp", rates, "doc_id"
+        ).collect()
+    }
+    assert a == b
+    assert {r["doc_id"] for r in d.filter("grp = 'true'").collect()} <= a
+    lower = {
+        r["doc_id"]
+        for r in stratified_sample(
+            d, "grp", {"true": 10000, "false": 1000}, "doc_id"
+        ).collect()
+    }
+    assert lower <= a
+    none = stratified_sample(d, "grp", {"true": 10000}, "doc_id")
+    assert {r["grp"] for r in none.collect()} == {"true"}
