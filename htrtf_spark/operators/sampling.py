@@ -56,3 +56,54 @@ def stratified_sample(
         F.element_at(rate_map, F.col(strata_col)), F.lit(int(default_bp))
     )
     return df.filter(bucket < rate)
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic token-budget sequence packing (the "concatenate
+    documents into fixed-length training sequences" primitive):
+    documents are hash-bucketed, ordered by id within their bucket, and
+    assigned ``seq_id = floor(cumulative_tokens_before / max_tokens)``
+    — a pure window cumsum, so the same assignment falls out of any
+    engine and any partitioning. Returns (bucket, seq_id, id,
+    n_tokens).
+
+    Scale shape: the only shuffle is the per-bucket window (buckets ≈
+    4× executors keep it parallel; NO global window). Granularity is
+    whole documents: a document straddling a boundary stays in the
+    sequence its packing position starts in, so a sequence can overrun
+    ``max_tokens`` by at most one document — the downstream tokenizer
+    truncates, which is the standard tradeoff (exact bin packing is
+    inherently sequential and engine-hostile)."""
+    from pyspark.sql import Window
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    )
+    bucket = F.pmod(
+        portable_token_hash(F.col(id_col).cast("string")), n_buckets
+    ).cast("int")
+    d = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "bucket",
+        F.floor(cum_before / max_tokens).cast("int").alias("seq_id"),
+        "id",
+        "n_tokens",
+    )

@@ -55,6 +55,7 @@ _MODULES = [
 # added queries are prioritized the same way each round.
 _RUN_FIRST = [
     # new or fixed this round (round 3)
+    "q86_pack_documents",
     "q85_stratified_sample",
     "q84_iceberg_incremental",
     "q83_incremental_dedup",

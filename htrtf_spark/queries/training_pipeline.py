@@ -217,3 +217,63 @@ WHERE ('0x' || substr(md5('{_Q85_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::B
 """
 
 QUERIES["q85_stratified_sample"] = (q85_stratified_sample, _Q85_SQL)
+
+
+# --------------------------------------------------------------------- q86
+# Token-budget sequence packing: hash-bucketed window cumsum →
+# seq_id = floor(cum_before / max_tokens). The gate aggregates per
+# (bucket, seq): doc count + token sum — the full assignment is what
+# the oracle recomputes (same md5 bucket, same cumsum), so any drift in
+# ordering, bucketing, or token counting hash-mismatches.
+
+_Q86_MAX_TOKENS = 200
+_Q86_BUCKETS = 8
+
+
+def q86_pack_documents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.sampling import pack_documents
+
+    d = t(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d, "doc_id", "text", max_tokens=_Q86_MAX_TOKENS,
+        n_buckets=_Q86_BUCKETS,
+    )
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("id").alias("first_doc"),
+        )
+    )
+
+
+_Q86_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_Q86_BUCKETS} + {_Q86_BUCKETS}) % {_Q86_BUCKETS} AS INTEGER)
+             AS bucket
+  FROM documents
+),
+c AS (
+  SELECT bucket, id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM d
+)
+SELECT bucket,
+       CAST(FLOOR(cum_before / {_Q86_MAX_TOKENS}) AS INTEGER) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(id) AS first_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+QUERIES["q86_pack_documents"] = (q86_pack_documents, _Q86_SQL)

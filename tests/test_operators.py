@@ -555,3 +555,33 @@ def test_stratified_sample_deterministic_and_exact(spark, docs):
     assert lower <= a
     none = stratified_sample(d, "grp", {"true": 10000}, "doc_id")
     assert {r["grp"] for r in none.collect()} == {"true"}
+
+
+def test_pack_documents_invariants(spark, docs):
+    """Packing covers every doc exactly once, is stable under input
+    repartitioning, never starts a sequence past the budget boundary
+    (overrun bounded by one document), and orders ids within a
+    sequence."""
+    from htrtf_spark.operators.sampling import pack_documents
+
+    packed = pack_documents(docs, "doc_id", "text", max_tokens=15, n_buckets=2)
+    rows = packed.collect()
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4, 5]
+
+    again = pack_documents(
+        docs.repartition(5), "doc_id", "text", max_tokens=15, n_buckets=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # cum_before of the first doc in every seq is < seq boundary + doc
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["id"])
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // 15
+            cum += r["n_tokens"]
