@@ -1,0 +1,75 @@
+"""Exactly-once incremental extraction ticks: Iceberg transcripts in →
+extracted turns appended to an Iceberg output table.
+
+The continuous-ingestion shape at 10^12-turn scale: upstream keeps
+appending conversation batches; each tick processes ONLY the data files
+appended since the last processed source snapshot
+(``read_iceberg_increment`` — sequence-window file pruning, no
+full-table rescan) and appends the extracted rows downstream. The
+last-processed SOURCE snapshot id is stored as a PROPERTY OF THE
+OUTPUT TABLE, committed in the same atomic metadata commit as the
+appended data (the streaming sink's exactly-once trick): a crash
+between extract and commit replays the tick idempotently, and a crash
+after the commit is a recorded no-op.
+
+Contract: append-only ingest. Rows DELETED from already-processed
+source snapshots are not propagated (no CDC before/after images);
+deletes visible at the processed snapshot do apply to the new window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+SOURCE_SNAPSHOT_PROP = "htrtf.source.last-snapshot-id"
+
+
+def extract_increment_once(
+    spark: SparkSession, source_loc: str, dest_loc: str
+) -> dict:
+    """Run one tick. Returns {"processed_snapshot", "rows", "noop"}."""
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        current_metadata,
+        read_iceberg_increment,
+        read_iceberg_table,
+        table_exists,
+        write_iceberg_table,
+    )
+
+    src_meta = current_metadata(source_loc)
+    cur = src_meta["current-snapshot-id"]
+
+    if not table_exists(dest_loc):
+        # first tick: full load of the pinned current snapshot; the
+        # processed-snapshot marker rides the CREATE commit itself
+        out = extract_turns(
+            read_iceberg_table(spark, source_loc, snapshot_id=cur)
+        )
+        write_iceberg_table(
+            out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}
+        )
+        rows = read_iceberg_table(spark, dest_loc).count()
+        return {"processed_snapshot": cur, "rows": rows, "noop": False}
+
+    props = current_metadata(dest_loc).get("properties", {})
+    if SOURCE_SNAPSHOT_PROP not in props:
+        raise ValueError(
+            f"{dest_loc} exists but has no {SOURCE_SNAPSHOT_PROP} "
+            "property — it was not created by this pipeline"
+        )
+    last = int(props[SOURCE_SNAPSHOT_PROP])
+    if last == cur:
+        return {"processed_snapshot": cur, "rows": 0, "noop": True}
+
+    # read the window pinned to `cur`: a source append racing this tick
+    # is NOT silently marked processed — it is the next tick's window
+    inc = read_iceberg_increment(
+        spark, source_loc, from_snapshot_id=last, to_snapshot_id=cur
+    )
+    out = extract_turns(inc)
+    append_iceberg_table(
+        out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}
+    )
+    return {"processed_snapshot": cur, "rows": out.count(), "noop": False}
