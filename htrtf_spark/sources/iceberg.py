@@ -1317,6 +1317,73 @@ def read_iceberg_increment(
     )
 
 
+def snapshots_df(spark: SparkSession, location: str) -> DataFrame:
+    """Metadata table: one row per snapshot (the native reader's
+    ``table$snapshots``) — id, parent, sequence number, schema id,
+    commit time, operation, record/file adds. Driver-side metadata
+    only; no data file is touched."""
+    meta = current_metadata(location)
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s["parent-snapshot-id"]) if "parent-snapshot-id" in s else None,
+            int(s["sequence-number"]),
+            int(s.get("schema-id", 0)),
+            int(s["timestamp-ms"]),
+            s.get("summary", {}).get("operation"),
+            int(s.get("summary", {}).get("added-data-files", 0)),
+            int(s.get("summary", {}).get("added-records", 0)),
+        )
+        for s in meta["snapshots"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, sequence_number long, "
+        "schema_id int, committed_at_ms long, operation string, "
+        "added_data_files int, added_records long",
+    )
+
+
+def files_df(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Metadata table: one row per live data/delete file at a snapshot
+    (the native ``table$files``) — content, path, format, sequence
+    number, record count, size, partition tuple as a JSON string.
+    Reads manifests only."""
+    rows = []
+    for rec in live_data_files(location, snapshot_id):
+        rows.append(
+            (
+                int(rec["content"]),
+                rec["file_path"],
+                rec["file_format"],
+                int(rec["_seq"]),
+                int(rec["record_count"]),
+                int(rec["file_size_in_bytes"]),
+                json.dumps(rec["partition"], sort_keys=True),
+            )
+        )
+    for rec in live_delete_files(location, snapshot_id):
+        rows.append(
+            (
+                int(rec["content"]),
+                rec["file_path"],
+                rec["file_format"],
+                int(rec["_seq"]),
+                int(rec["record_count"]),
+                int(rec["file_size_in_bytes"]),
+                json.dumps(rec["partition"], sort_keys=True),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "content int, file_path string, file_format string, "
+        "sequence_number long, record_count long, "
+        "file_size_in_bytes long, partition_json string",
+    )
+
+
 def snapshot_ids(location: str) -> list[int]:
     return [s["snapshot-id"] for s in current_metadata(location)["snapshots"]]
 

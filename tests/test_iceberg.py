@@ -937,3 +937,28 @@ def test_incremental_read_window_and_deletes(spark, transcripts_df, tmp_path):
     # empty window: from the latest snapshot there is nothing new
     latest = I.current_metadata(loc)["current-snapshot-id"]
     assert I.read_iceberg_increment(spark, loc, from_snapshot_id=latest).count() == 0
+
+
+def test_metadata_tables(spark, transcripts_df, tmp_path):
+    """snapshots_df / files_df metadata tables (the table$snapshots /
+    table$files analogs): per-snapshot lineage and per-file manifests
+    without touching any data file."""
+    loc = str(tmp_path / "metatbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    s2 = I.append_iceberg_table(transcripts_df, loc)
+
+    snaps = {r["snapshot_id"]: r for r in I.snapshots_df(spark, loc).collect()}
+    assert set(snaps) == {s1, s2}
+    assert snaps[s2]["parent_id"] == s1
+    assert snaps[s1]["added_records"] == transcripts_df.count()
+    assert snaps[s1]["operation"] == "append"
+
+    files = I.files_df(spark, loc).collect()
+    assert sum(r["record_count"] for r in files if r["content"] == 0) == (
+        2 * transcripts_df.count()
+    )
+    assert any('"role": "user"' in r["partition_json"] for r in files)
+
+    # time travel: files at snapshot 1 only
+    f1 = I.files_df(spark, loc, snapshot_id=s1)
+    assert sum(r["record_count"] for r in f1.collect()) == transcripts_df.count()
