@@ -64,6 +64,9 @@ _RUN_FIRST = [
     "q80_extract_spans",
     "q52_order_value_quartiles",
     "q55_term_df_topk",
+    # r2-recorded but their machinery changed this round (iceberg layer)
+    "q67_iceberg_extract",
+    "q74_iceberg_dedup_apply",
     # stale driver rows: recorded in CORRECTNESS_r01 against round-1 code
     # and refactored since (dedup cache swap, capped shingles, simsearch
     # restaging) — re-record against current code first (VERDICT r2 #2)
