@@ -73,7 +73,8 @@ to the originals) and ``expire_snapshots`` drops expired snapshots and
 physically removes files referenced only by them — the standard
 Iceberg lifecycle pair.
 
-Partition transforms: identity, ``days(col)`` (int days from epoch),
+Partition transforms: identity, ``days/hours/months/years(col)``
+(ints from epoch),
 ``bucket(N, col)`` (the spec's 32-bit Murmur3 single-value hash,
 verified against Appendix B's published vectors) and
 ``truncate(W, col)`` (floored int truncation / string codepoint
@@ -82,8 +83,8 @@ columns are metadata-only (the source column stays in the data files);
 reads prune by applying the file spec's transform to value filters, or
 accept transform-granularity filters like ``{"days(ts)": [...]}``.
 
-Limits (documented, not hidden): no hour/month/year transforms, null
-Avro codec. Those are additive follow-ups on the same layout.
+Limits (documented, not hidden): null Avro codec only (deflate is an
+additive follow-up on the same layout).
 """
 
 from __future__ import annotations
@@ -161,9 +162,10 @@ import re as _re
 def _parse_partition_term(term: str) -> tuple[str, str, int | None, str]:
     """'(source_col, transform, param, field_name)' for a partition_by
     term. Default field names follow Iceberg: col_day / col_bucket."""
-    m = _re.match(r"^\s*days?\s*\(\s*(\w+)\s*\)\s*$", term)
-    if m:
-        return m.group(1), "day", None, f"{m.group(1)}_day"
+    for unit in ("day", "hour", "month", "year"):
+        m = _re.match(rf"^\s*{unit}s?\s*\(\s*(\w+)\s*\)\s*$", term)
+        if m:
+            return m.group(1), unit, None, f"{m.group(1)}_{unit}"
     m = _re.match(r"^\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", term)
     if m:
         n = int(m.group(1))
@@ -262,12 +264,36 @@ def _truncate_value(value, w: int, src_type: str):
     raise ValueError(f"truncate transform unsupported for {src_type}")
 
 
+def _time_value(transform: str, value) -> int | None:
+    """Spec hour/month/year transforms of one python value: hours /
+    months / years since 1970-01-01 (naive datetimes are treated as
+    UTC, matching the pinned-UTC session the Spark side computes in)."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    if isinstance(value, int) and not isinstance(value, bool):
+        return value  # already a partition value
+    if transform == "hour":
+        if not isinstance(value, dt.datetime):
+            raise ValueError(f"hour transform of unsupported {value!r}")
+        utc = value if value.tzinfo else value.replace(tzinfo=dt.timezone.utc)
+        return int(utc.timestamp() // 3600)
+    if not isinstance(value, dt.date):
+        raise ValueError(f"{transform} transform of unsupported {value!r}")
+    if transform == "month":
+        return (value.year - 1970) * 12 + value.month - 1
+    return value.year - 1970  # year
+
+
 def _transform_py(transform: str, value, src_type: str):
     """Apply a spec transform to one PYTHON value (driver-side pruning)."""
     if transform == "identity":
         return value
     if transform == "day":
         return _day_value(value)
+    if transform in ("hour", "month", "year"):
+        return _time_value(transform, value)
     if transform.startswith("bucket["):
         return _bucket_value(value, int(transform[7:-1]), src_type)
     if transform.startswith("truncate["):
@@ -288,6 +314,16 @@ def _transform_column(transform: str, source: str, src_type: str):
         return F.datediff(
             F.col(source).cast("date"), F.lit("1970-01-01").cast("date")
         )
+    if transform == "hour":
+        # session TZ is pinned UTC; floor division keeps pre-epoch exact
+        return F.floor(
+            F.unix_timestamp(F.col(source).cast("timestamp")) / 3600
+        ).cast("int")
+    if transform == "month":
+        d = F.col(source).cast("date")
+        return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+    if transform == "year":
+        return (F.year(F.col(source).cast("date")) - 1970).cast("int")
     if transform.startswith("bucket["):
         n = int(transform[7:-1])
 
@@ -493,11 +529,16 @@ def _make_spec(ice_schema: dict, partition_by: list[str], spec_id: int) -> dict:
                 f"identity partition on {col!r} needs string/int/long, "
                 f"got {src_t}"
             )
-        if transform == "day" and src_t not in (
+        if transform in ("day", "month", "year") and src_t not in (
             "timestamp", "timestamptz", "date"
         ):
             raise ValueError(
-                f"day transform on {col!r} needs timestamp/date, got {src_t}"
+                f"{transform} transform on {col!r} needs timestamp/date, "
+                f"got {src_t}"
+            )
+        if transform == "hour" and src_t not in ("timestamp", "timestamptz"):
+            raise ValueError(
+                f"hour transform on {col!r} needs a timestamp, got {src_t}"
             )
         if transform.startswith("bucket[") and src_t not in (
             "int", "long", "string"

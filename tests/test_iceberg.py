@@ -962,3 +962,37 @@ def test_metadata_tables(spark, transcripts_df, tmp_path):
     # time travel: files at snapshot 1 only
     f1 = I.files_df(spark, loc, snapshot_id=s1)
     assert sum(r["record_count"] for r in f1.collect()) == transcripts_df.count()
+
+
+def test_hour_month_year_partition_transforms(spark, multiday_df, tmp_path):
+    """The remaining spec time transforms: ints from epoch, pruned and
+    read back exactly like day."""
+    import datetime as dt
+
+    assert I._time_value("month", dt.date(2024, 1, 5)) == (2024 - 1970) * 12
+    assert I._time_value("year", dt.date(2024, 6, 1)) == 54
+    assert I._time_value(
+        "hour", dt.datetime(1970, 1, 2, 3, 0, 0)
+    ) == 27
+
+    for term, field, n_parts in [
+        ("hours(ts)", "ts_hour", 4),   # 4 distinct hours in the fixture
+        ("months(ts)", "ts_month", 1),
+        ("years(ts)", "ts_year", 1),
+    ]:
+        loc = str(tmp_path / field)
+        I.write_iceberg_table(multiday_df, loc, partition_by=[term])
+        files = I.live_data_files(loc)
+        assert len({f["partition"][field] for f in files}) == n_parts
+        back = I.read_iceberg_table(spark, loc)
+        assert _collect(back) == _collect(multiday_df)
+
+    # hour prune: exactly the 08:00 turn
+    loc = str(tmp_path / "hp")
+    I.write_iceberg_table(multiday_df, loc, partition_by=["hours(ts)"])
+    got = I.read_iceberg_table(
+        spark, loc,
+        partition_filter={"ts": dt.datetime(2024, 1, 1, 8, 0, 0)},
+    )
+    assert [r["text"] for r in got.collect()] == ["day one a"]
+    assert len(got.inputFiles()) < len(I.live_data_files(loc))
