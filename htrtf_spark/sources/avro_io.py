@@ -4,8 +4,9 @@ stdlib, for Iceberg manifest / manifest-list files.
 Implements the subset of the public Avro 1.11 spec
 (https://avro.apache.org/docs/1.11.1/specification/) that Iceberg
 metadata needs: null/boolean/int/long/string/bytes primitives, records,
-arrays, maps, and 2-branch null unions, with the uncompressed ("null")
-codec. Schemas are plain JSON dicts, exactly as they appear in the
+arrays, maps, and 2-branch null unions, with the "null" (uncompressed)
+and "deflate" (raw RFC-1951, what native Iceberg manifest writers emit)
+codecs. Schemas are plain JSON dicts, exactly as they appear in the
 file header, so Iceberg's field-id annotations pass through verbatim.
 
 This exists because the sandbox has no avro/fastavro package and no
@@ -220,14 +221,25 @@ def avro_write(
     records: list[dict],
     file_meta: dict[str, str] | None = None,
     sync: bytes = b"\x00" * 16,
+    codec: str = "null",
 ) -> None:
-    """Write an Avro object container file (null codec, one block)."""
+    """Write an Avro object container file, one block. ``codec`` is
+    "null" (uncompressed) or "deflate" (raw zlib stream, RFC 1951
+    without the zlib wrapper, per the Avro spec) — deflate is what
+    native Iceberg writers emit for manifests."""
     body = io.BytesIO()
     for rec in records:
         _encode(body, schema, rec)
     payload = body.getvalue()
+    if codec == "deflate":
+        import zlib
 
-    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
+        payload = co.compress(payload) + co.flush()
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec {codec!r}")
+
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
     for k, v in (file_meta or {}).items():
         meta[k] = v
 
@@ -267,16 +279,24 @@ def avro_read(path: str) -> tuple[dict, dict[str, str], list[dict]]:
             k = r.read_str()
             meta[k] = r.read_bytes()
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", ""):
+    if codec not in ("null", "", "deflate"):
         raise ValueError(f"{path}: unsupported avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = r.read(16)
     records: list[dict] = []
     while r.pos < len(r.data):
         count = r.read_long()
-        r.read_long()  # block byte size
-        for _ in range(count):
-            records.append(_decode(r, schema))
+        size = r.read_long()  # block byte size
+        if codec == "deflate":
+            import zlib
+
+            raw = zlib.decompress(r.read(size), -15)
+            br = _Reader(raw)
+            for _ in range(count):
+                records.append(_decode(br, schema))
+        else:
+            for _ in range(count):
+                records.append(_decode(r, schema))
         if r.read(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch")
     str_meta = {

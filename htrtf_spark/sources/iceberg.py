@@ -83,8 +83,10 @@ columns are metadata-only (the source column stays in the data files);
 reads prune by applying the file spec's transform to value filters, or
 accept transform-granularity filters like ``{"days(ts)": [...]}``.
 
-Limits (documented, not hidden): null Avro codec only (deflate is an
-additive follow-up on the same layout).
+Manifests are written with the "null" Avro codec (debuggable, and
+metadata is tiny next to data); the reader also accepts "deflate" —
+what native Iceberg writers emit — so externally-written manifests
+load.
 """
 
 from __future__ import annotations
