@@ -216,6 +216,38 @@ def _murmur3_32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def _murmur3_32_i64_vec(vals):
+    """Vectorized spec bucket hash for int64 values: Murmur3-32 of the
+    8-byte little-endian form = two 4-byte blocks, pure numpy uint32
+    arithmetic (wrapping multiply/shift — no per-value Python). Equal
+    to _murmur3_32(v.to_bytes(8,'little',signed=True)) for every input
+    (pytest-verified against the scalar spec implementation)."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(v.shape, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for k in (
+            (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (v >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = (k * c1).astype(np.uint32)
+            k = ((k << np.uint32(15)) | (k >> np.uint32(17))).astype(np.uint32)
+            k = (k * c2).astype(np.uint32)
+            h ^= k
+            h = ((h << np.uint32(13)) | (h >> np.uint32(19))).astype(np.uint32)
+            h = (h * np.uint32(5) + np.uint32(0xE6546B64)).astype(np.uint32)
+        h ^= np.uint32(8)  # message length
+        h ^= h >> np.uint32(16)
+        h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h ^= h >> np.uint32(13)
+        h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        h ^= h >> np.uint32(16)
+    return h
+
+
 def _bucket_value(value, n: int, ice_type: str) -> int | None:
     """Spec bucket transform of one value: int/long hash their 8-byte
     little-endian form (ints are widened to long first — Appendix B),
@@ -329,12 +361,31 @@ def _transform_column(transform: str, source: str, src_type: str):
     if transform.startswith("bucket["):
         n = int(transform[7:-1])
 
-        @F.pandas_udf("int")
-        def _bucket(s: pd.Series) -> pd.Series:
-            mapping = {
-                v: _bucket_value(v, n, src_type) for v in s.dropna().unique()
-            }
-            return s.map(mapping).astype("Int32")
+        if src_type in ("int", "long"):
+
+            @F.pandas_udf("int")
+            def _bucket(s: pd.Series) -> pd.Series:
+                import numpy as np
+
+                mask = s.notna()
+                out = pd.array([None] * len(s), dtype="Int32")
+                if mask.any():
+                    h = _murmur3_32_i64_vec(s[mask].to_numpy(dtype="int64"))
+                    out[np.asarray(mask)] = (
+                        (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+                    ).astype("int32")
+                return pd.Series(out)
+
+        else:
+
+            @F.pandas_udf("int")
+            def _bucket(s: pd.Series) -> pd.Series:
+                # strings: memoized over the batch's distinct values
+                mapping = {
+                    v: _bucket_value(v, n, src_type)
+                    for v in s.dropna().unique()
+                }
+                return s.map(mapping).astype("Int32")
 
         return _bucket(F.col(source))
     if transform.startswith("truncate["):
