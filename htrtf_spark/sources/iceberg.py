@@ -710,6 +710,7 @@ def _commit(
     manifest_content: int = 0,
     carry_prior_manifests: bool = True,
     properties: dict[str, str] | None = None,
+    extra_manifests: list[tuple[list[dict], int, dict]] | None = None,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
@@ -721,7 +722,10 @@ def _commit(
     metadata this commit publishes (on create, into the initial
     metadata) so a property like the streaming sink's batch-id is never
     a separate second commit — no crash window between data and
-    property."""
+    property. ``extra_manifests`` adds further (files, content, spec)
+    manifests to the SAME snapshot — e.g. an atomic MERGE-style upsert
+    commits its DELETES manifest and its DATA manifest together, so
+    readers can never observe the delete without the append."""
     meta_dir = _meta_dir(location)
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
@@ -731,47 +735,52 @@ def _commit(
     snapshot_id = seq  # deterministic, unique per table
     parent_id = prev_meta["current-snapshot-id"] if prev_meta else None
 
-    manifest_path = os.path.join(
-        meta_dir, f"manifest-{seq:05d}-{uuid.uuid4().hex[:8]}.avro"
-    )
-    entries = [
-        {
-            "status": _ADDED,
-            "snapshot_id": snapshot_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
-            "data_file": f,
-        }
-        for f in data_files
-    ]
-    avro_write(
-        manifest_path,
-        _manifest_entry_schema(spec["fields"], ice_schema),
-        entries,
-        file_meta={
-            "schema": json.dumps(ice_schema),
-            "partition-spec": json.dumps(spec["fields"]),
-            "partition-spec-id": str(spec["spec-id"]),
-            "format-version": "2",
-            "content": "data" if manifest_content == 0 else "deletes",
-        },
-    )
-
-    new_manifest = {
-        "manifest_path": os.path.abspath(manifest_path),
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": spec["spec-id"],
-        "content": manifest_content,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(data_files),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(f["record_count"] for f in data_files),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
+    groups = [(data_files, manifest_content, spec)]
+    groups += list(extra_manifests or [])
+    new_manifests: list[dict] = []
+    for g_files, g_content, g_spec in groups:
+        manifest_path = os.path.join(
+            meta_dir, f"manifest-{seq:05d}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        entries = [
+            {
+                "status": _ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": f,
+            }
+            for f in g_files
+        ]
+        avro_write(
+            manifest_path,
+            _manifest_entry_schema(g_spec["fields"], ice_schema),
+            entries,
+            file_meta={
+                "schema": json.dumps(ice_schema),
+                "partition-spec": json.dumps(g_spec["fields"]),
+                "partition-spec-id": str(g_spec["spec-id"]),
+                "format-version": "2",
+                "content": "data" if g_content == 0 else "deletes",
+            },
+        )
+        new_manifests.append(
+            {
+                "manifest_path": os.path.abspath(manifest_path),
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": g_spec["spec-id"],
+                "content": g_content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(g_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(f["record_count"] for f in g_files),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     prior_manifests: list[dict] = []
     if prev_meta is not None and carry_prior_manifests:
         prev_snap = _find_snapshot(prev_meta, prev_meta["current-snapshot-id"])
@@ -782,7 +791,7 @@ def _commit(
     avro_write(
         manifest_list_path,
         _MANIFEST_FILE_SCHEMA,
-        prior_manifests + [new_manifest],
+        prior_manifests + new_manifests,
         file_meta={
             "snapshot-id": str(snapshot_id),
             "format-version": "2",
@@ -797,9 +806,17 @@ def _commit(
         "manifest-list": os.path.abspath(manifest_list_path),
         "schema-id": ice_schema.get("schema-id", 0),
         "summary": {
-            "operation": "append" if manifest_content == 0 else "delete",
-            "added-data-files": str(len(data_files)),
-            "added-records": str(new_manifest["added_rows_count"]),
+            "operation": (
+                "overwrite"
+                if len({c for _f, c, _s in groups}) > 1
+                else ("append" if manifest_content == 0 else "delete")
+            ),
+            "added-data-files": str(
+                sum(m["added_files_count"] for m in new_manifests)
+            ),
+            "added-records": str(
+                sum(m["added_rows_count"] for m in new_manifests)
+            ),
         },
     }
     if parent_id is not None:
@@ -843,14 +860,18 @@ def _commit(
                 **properties,
             }
         known_specs = {s["spec-id"]: s for s in prev_meta["partition-specs"]}
-        if spec["spec-id"] not in known_specs:
-            # partition evolution: register the new spec; prior
-            # manifests keep referencing theirs
-            meta["partition-specs"] = prev_meta["partition-specs"] + [spec]
-            meta["last-partition-id"] = max(
-                [prev_meta["last-partition-id"]]
-                + [f["field-id"] for f in spec["fields"]]
-            )
+        for _f, _c, g_spec in groups:
+            if g_spec["spec-id"] not in known_specs:
+                # partition evolution: register the new spec; prior
+                # manifests keep referencing theirs
+                known_specs[g_spec["spec-id"]] = g_spec
+                meta["partition-specs"] = list(
+                    meta.get("partition-specs", prev_meta["partition-specs"])
+                ) + [g_spec]
+                meta["last-partition-id"] = max(
+                    [prev_meta["last-partition-id"]]
+                    + [f["field-id"] for f in g_spec["fields"]]
+                )
         if manifest_content == 0:
             # only DATA commits move the default write spec; a delete
             # commit's (possibly empty) spec must not change how later
@@ -1124,6 +1145,23 @@ def delete_iceberg_rows(
     the spec's applicability rule. No data file is rewritten."""
     meta = current_metadata(location)
     ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+    entries = _write_equality_delete_files(
+        keys_df, location, meta, ice_schema, equality_cols
+    )
+    return _commit_retrying(
+        location, ice_schema, entries, meta, _empty_spec, manifest_content=1
+    )
+
+
+def _write_equality_delete_files(
+    keys_df: DataFrame,
+    location: str,
+    meta: dict,
+    ice_schema: dict,
+    equality_cols: list[str],
+) -> list[dict]:
+    """Distributed write of an EQUALITY_DELETES parquet set; returns the
+    data_file records (content=2, equality_ids=field-ids)."""
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     missing = [c for c in equality_cols if c not in by_name]
     if missing:
@@ -1150,9 +1188,7 @@ def delete_iceberg_rows(
                 "equality_ids": eq_ids,
             }
         )
-    return _commit_retrying(
-        location, ice_schema, entries, meta, _empty_spec, manifest_content=1
-    )
+    return entries
 
 
 def delete_iceberg_positions(pos_df: DataFrame, location: str) -> int:
@@ -1268,15 +1304,47 @@ def find_positions(
 def upsert_iceberg_table(
     df: DataFrame, location: str, key_cols: list[str]
 ) -> int:
-    """MERGE-style upsert: rows in ``df`` REPLACE existing rows sharing
-    their key — composed from the row-level primitives (equality-delete
-    the incoming keys, then append the new rows), no data file
-    rewritten. Two snapshots rather than native MERGE's one (documented
-    divergence: our metadata commit is per-operation); readers between
-    the two see the table without the matched keys, never a duplicate.
-    Returns the append's snapshot id."""
-    delete_iceberg_rows(df.select(*key_cols), location, key_cols)
-    return append_iceberg_table(df, location)
+    """MERGE-style upsert in ONE ATOMIC SNAPSHOT, like native MERGE:
+    the commit carries BOTH a DELETES manifest (equality-delete the
+    incoming keys — applies to data files with strictly smaller
+    sequence numbers only, so the appended rows themselves are
+    untouched) and a DATA manifest with the new rows. Readers see
+    either the old table or the fully-merged one — never the
+    in-between (keys deleted, rows not yet appended) the previous
+    two-commit composition exposed. No data file is rewritten.
+    Returns the snapshot id."""
+    meta = current_metadata(location)
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+    want = _spark_schema(ice_schema)
+    got = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
+    want_n = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in want.fields]
+    )
+    if got != want_n:
+        raise ValueError(
+            f"upsert schema mismatch: table={want_n.simpleString()} "
+            f"df={got.simpleString()}"
+        )
+    del_entries = _write_equality_delete_files(
+        df.select(*key_cols), location, meta, ice_schema, key_cols
+    )
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    data_spec = specs[meta["default-spec-id"]]
+    files = _write_data_files(
+        df, location, seq=meta["last-sequence-number"] + 1,
+        spec_fields=data_spec["fields"], ice_schema=ice_schema,
+    )
+    while True:
+        try:
+            return _commit(
+                location, ice_schema, files, prev_meta=meta,
+                spec=data_spec,
+                extra_manifests=[(del_entries, 1, _empty_spec(meta))],
+            )
+        except CommitConflict:
+            meta = current_metadata(location)
 
 
 # ----------------------------------------------------------- maintenance

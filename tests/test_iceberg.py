@@ -1068,3 +1068,34 @@ def test_bucket_partition_on_long_column(spark, tmp_path):
     assert vals == want | {None}
     one = I.read_iceberg_table(spark, loc, partition_filter={"k": 23})
     assert [r["k"] for r in one.collect()] == [23]
+
+
+def test_upsert_is_single_atomic_snapshot(spark, transcripts_df, tmp_path):
+    """Upsert commits ONE snapshot (operation 'overwrite') whose
+    manifest list carries both the DELETES and the DATA manifest —
+    no intermediate state where keys are deleted but rows not yet
+    appended."""
+    from htrtf_spark.sources.avro_io import avro_read
+
+    loc = str(tmp_path / "atomictbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    n_before = len(I.current_metadata(loc)["snapshots"])
+
+    up = transcripts_df.filter("conv_id = 'conv-a'").withColumn(
+        "text", F.lit("updated text")
+    )
+    I.upsert_iceberg_table(up, loc, ["conv_id", "turn_idx"])
+
+    meta = I.current_metadata(loc)
+    assert len(meta["snapshots"]) == n_before + 1
+    snap = I._find_snapshot(meta, meta["current-snapshot-id"])
+    assert snap["summary"]["operation"] == "overwrite"
+    _, _, manifests = avro_read(snap["manifest-list"])
+    own = [m for m in manifests if m["added_snapshot_id"] == snap["snapshot-id"]]
+    assert sorted(m["content"] for m in own) == [0, 1]
+
+    back = I.read_iceberg_table(spark, loc)
+    assert back.count() == transcripts_df.count()
+    assert back.filter("conv_id = 'conv-a'").select("text").distinct().collect()[0][
+        "text"
+    ] == "updated text"
