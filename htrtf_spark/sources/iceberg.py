@@ -642,6 +642,7 @@ def _write_data_files(
     fully distributed) and parse each file's partition values from its
     path into the manifest entry."""
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
     commit_dir = os.path.join(
         location, "data", f"commit-{seq:05d}-{uuid.uuid4().hex[:8]}"
@@ -664,6 +665,12 @@ def _write_data_files(
                 _transform_column(pf["transform"], s["name"], s["type"]),
             )
     if part_cols:
+        # hash distribution (Iceberg's write.distribution-mode=hash):
+        # cluster rows by partition value BEFORE partitionBy, else every
+        # task writes a file into every partition — tasks × partitions
+        # small files, the classic scale pitfall. AQE coalesces the
+        # shuffle; one file per partition per final task.
+        out_df = out_df.repartition(*[F.col(c) for c in part_cols])
         out_df.write.mode("error").partitionBy(*part_cols).parquet(commit_dir)
         pattern = os.path.join(commit_dir, *["*"] * len(part_cols), "*.parquet")
     else:

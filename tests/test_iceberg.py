@@ -1099,3 +1099,20 @@ def test_upsert_is_single_atomic_snapshot(spark, transcripts_df, tmp_path):
     assert back.filter("conv_id = 'conv-a'").select("text").distinct().collect()[0][
         "text"
     ] == "updated text"
+
+
+def test_partitioned_write_hash_distribution_file_counts(spark, tmp_path):
+    """Partitioned writes cluster rows by partition value first: file
+    count stays O(partitions), not O(tasks x partitions) — the
+    small-files guard a 400k-file table depends on."""
+    df = spark.range(0, 4000, 1, 16).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS grp", "repeat('x', 10) AS txt"
+    )
+    loc = str(tmp_path / "disttbl")
+    I.write_iceberg_table(df, loc, partition_by=["grp"])
+    files = I.live_data_files(loc)
+    # without hash distribution this would be up to 16 x 3 = 48 files
+    assert len(files) <= 6
+    assert {f["partition"]["grp"] for f in files} == {"0", "1", "2"}
+    back = I.read_iceberg_table(spark, loc)
+    assert back.count() == 4000
