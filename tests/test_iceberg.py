@@ -1116,3 +1116,70 @@ def test_partitioned_write_hash_distribution_file_counts(spark, tmp_path):
     assert {f["partition"]["grp"] for f in files} == {"0", "1", "2"}
     back = I.read_iceberg_table(spark, loc)
     assert back.count() == 4000
+
+
+# ------------------------------------------- model-based op sequences
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_random_op_sequences_match_model(spark, tmp_path, seed):
+    """Model-based check: a seeded random sequence of
+    append / equality-delete / upsert / compact / expire ops against a
+    tiny in-memory model table; after EVERY op the snapshot read must
+    equal the model exactly. Catches cross-op interactions (sequence
+    numbers, delete applicability, manifest carry-forward, compaction
+    rewrites) no single-op test exercises."""
+    import random
+
+    rng = random.Random(seed)
+    loc = str(tmp_path / f"modeltbl{seed}")
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        rows = [(next_id + i, f"v{seed}-{next_id + i}") for i in range(n)]
+        next_id += n
+        return rows
+
+    model: dict[int, str] = dict(fresh_rows(5))
+    I.write_iceberg_table(
+        spark.createDataFrame(sorted(model.items()), "k long, v string"), loc
+    )
+
+    def check():
+        got = sorted(
+            (r["k"], r["v"])
+            for r in I.read_iceberg_table(spark, loc).collect()
+        )
+        assert got == sorted(model.items())
+
+    check()
+    for _step in range(10):
+        op = rng.choice(["append", "delete", "upsert", "compact", "expire"])
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 4))
+            I.append_iceberg_table(
+                spark.createDataFrame(rows, "k long, v string"), loc
+            )
+            model.update(rows)
+        elif op == "delete" and model:
+            keys = rng.sample(sorted(model), k=min(2, len(model)))
+            I.delete_iceberg_rows(
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                loc,
+                ["k"],
+            )
+            for k in keys:
+                model.pop(k, None)
+        elif op == "upsert" and model:
+            keys = rng.sample(sorted(model), k=min(2, len(model)))
+            rows = [(k, f"upd{seed}-{k}-{_step}") for k in keys] + fresh_rows(1)
+            I.upsert_iceberg_table(
+                spark.createDataFrame(rows, "k long, v string"), loc, ["k"]
+            )
+            model.update(rows)
+        elif op == "compact":
+            I.compact_iceberg_table(spark, loc)
+        elif op == "expire":
+            I.expire_snapshots(loc, keep_last=1)
+        check()
