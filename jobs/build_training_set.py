@@ -25,6 +25,8 @@ def build_training_set(
     min_tokens: int = 25,
     max_stop_ratio_bp: int = 8000,
     partition_by: list[str] | None = None,
+    sample_rates_bp: dict[str, int] | None = None,
+    pack_tokens: int | None = None,
 ) -> dict:
     """Library form (the job body; importable for tests): returns the
     lineage summary dict."""
@@ -68,6 +70,36 @@ def build_training_set(
         .filter(key == F.col("_keep"))
         .drop("_keep", "n_stop")
     )
+    if sample_rates_bp:
+        # deterministic training-mixture downsampling per extraction
+        # mode (content-hash membership — reproducible, auditable)
+        from htrtf_spark.operators.sampling import stratified_sample
+
+        deduped = stratified_sample(
+            deduped.withColumn(
+                "_key", F.concat_ws("#", "conv_id", F.col("turn_idx"))
+            ),
+            "mode",
+            sample_rates_bp,
+            key_col="_key",
+            default_bp=10000,  # modes not named are kept (spec names
+            # only what it downsamples; explicit 0 drops)
+        ).drop("_key")
+    if pack_tokens:
+        # assign each kept turn to a fixed-token training sequence
+        from htrtf_spark.operators.sampling import pack_documents
+
+        keyed = deduped.withColumn(
+            "_pid", F.concat_ws("#", "conv_id", F.col("turn_idx"))
+        )
+        packed = pack_documents(
+            keyed, "_pid", "extracted_text", max_tokens=pack_tokens
+        ).select(
+            F.col("id").alias("_pid"),
+            F.col("bucket").alias("pack_bucket"),
+            F.col("seq_id").alias("pack_seq"),
+        )
+        deduped = keyed.join(packed, "_pid").drop("_pid")
     out = deduped.cache()
     n_out = out.count()
     write_iceberg_table(out, output, partition_by=partition_by)
@@ -79,6 +111,8 @@ def build_training_set(
         "min_tokens": min_tokens,
         "max_stop_ratio_bp": max_stop_ratio_bp,
         "partition_by": partition_by or [],
+        "sample_rates_bp": sample_rates_bp or {},
+        "pack_tokens": pack_tokens,
     }
     # lineage lives NEXT TO the data (north-rule style), not only stdout
     import os
@@ -101,7 +135,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-tokens", type=int, default=25)
     p.add_argument("--max-stop-ratio-bp", type=int, default=8000)
     p.add_argument("--partition-by", default=None,
-                   help="comma-separated identity partition columns")
+                   help="comma-separated partition terms (identity / "
+                        "days(col) / bucket(N,col) / truncate(W,col))")
+    p.add_argument("--sample-rates", default=None, metavar="MODE=BP,...",
+                   help="deterministic per-mode mixture rates in basis "
+                        "points, e.g. plain=10000,dom=5000 (modes "
+                        "omitted are kept — pass explicit 0 to drop)")
+    p.add_argument("--pack-tokens", type=int, default=None,
+                   help="assign turns to fixed-token training sequences "
+                        "(adds pack_bucket/pack_seq columns)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -128,6 +170,12 @@ def main(argv: list[str] | None = None) -> int:
     else:
         tr = read_transcripts_parquet(spark, args.input)
 
+    rates = None
+    if args.sample_rates:
+        rates = {}
+        for part in args.sample_rates.split(","):
+            mode, _, bp = part.partition("=")
+            rates[mode.strip()] = int(bp)
     summary = build_training_set(
         spark, tr, args.output,
         min_tokens=args.min_tokens,
@@ -135,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
         partition_by=(
             args.partition_by.split(",") if args.partition_by else None
         ),
+        sample_rates_bp=rates,
+        pack_tokens=args.pack_tokens,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -165,3 +165,58 @@ def test_build_training_set_job(spark, tmp_path):
 
     with open(_os.path.join(out, "_summary.json")) as fh:
         assert _json.load(fh)["turns_out"] == summary["turns_out"]
+
+
+def test_build_training_set_with_sampling_and_packing(spark, tmp_path):
+    """The mixture/packing knobs: per-mode rates subsample
+    deterministically (subset of the unsampled run), unnamed modes are
+    kept, and pack_tokens adds a consistent sequence assignment."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_training_set import build_training_set
+
+    from htrtf_spark import synth
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+    from htrtf_spark.sources.iceberg import read_iceberg_table
+
+    pdf = synth.synth_pandas(n_convs=40, seed=9)
+    tr = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+
+    full_out = str(tmp_path / "full")
+    build_training_set(spark, tr, full_out, min_tokens=3,
+                       max_stop_ratio_bp=10000)
+    full = read_iceberg_table(spark, full_out)
+    full_keys = {
+        (r["conv_id"], r["turn_idx"]) for r in full.collect()
+    }
+
+    out = str(tmp_path / "sampled")
+    summary = build_training_set(
+        spark, tr, out, min_tokens=3, max_stop_ratio_bp=10000,
+        sample_rates_bp={"plain": 4000}, pack_tokens=50,
+    )
+    back = read_iceberg_table(spark, out)
+    rows = back.collect()
+    keys = {(r["conv_id"], r["turn_idx"]) for r in rows}
+    assert keys <= full_keys and 0 < len(keys) < len(full_keys)
+    # unnamed modes kept entirely
+    full_nonplain = {
+        (r["conv_id"], r["turn_idx"])
+        for r in full.filter("mode <> 'plain'").collect()
+    }
+    assert full_nonplain <= keys
+    # packing columns present and consistent with the operator
+    assert {"pack_bucket", "pack_seq"} <= set(back.columns)
+    assert summary["pack_tokens"] == 50
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r["pack_bucket"]].append(r)
+    for rs in per_bucket.values():
+        rs.sort(key=lambda r: f"{r['conv_id']}#{r['turn_idx']}")
+        cum = 0
+        for r in rs:
+            assert r["pack_seq"] == cum // 50
+            cum += r["n_tokens"]
