@@ -27,7 +27,14 @@ SOURCE_SNAPSHOT_PROP = "htrtf.source.last-snapshot-id"
 def extract_increment_once(
     spark: SparkSession, source_loc: str, dest_loc: str
 ) -> dict:
-    """Run one tick. Returns {"processed_snapshot", "rows", "noop"}."""
+    """Run one tick. Returns {"processed_snapshot", "rows", "noop"}.
+
+    Raises ``sources.iceberg.ExpiredSnapshotError`` (a KeyError
+    subclass) when the persisted source marker has been expired by
+    ``expire_snapshots`` on the source table — the caller must
+    re-baseline (fresh destination from a full load) rather than retry
+    the tick; retrying can never succeed.
+    """
     from htrtf_spark.plans.pipeline import extract_turns
     from htrtf_spark.sources.iceberg import (
         append_iceberg_table,
@@ -50,8 +57,11 @@ def extract_increment_once(
         write_iceberg_table(
             out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}
         )
-        rows = read_iceberg_table(spark, dest_loc).count()
-        return {"processed_snapshot": cur, "rows": rows, "noop": False}
+        return {
+            "processed_snapshot": cur,
+            "rows": _committed_added_records(dest_loc),
+            "noop": False,
+        }
 
     props = current_metadata(dest_loc).get("properties", {})
     if SOURCE_SNAPSHOT_PROP not in props:
@@ -72,4 +82,24 @@ def extract_increment_once(
     append_iceberg_table(
         out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}
     )
-    return {"processed_snapshot": cur, "rows": out.count(), "noop": False}
+    # report rows from the committed snapshot's summary — out.count()
+    # here would re-run the whole incremental read + extraction a
+    # second time per tick (pure cost; the commit already counted)
+    return {
+        "processed_snapshot": cur,
+        "rows": _committed_added_records(dest_loc),
+        "noop": False,
+    }
+
+
+def _committed_added_records(dest_loc: str) -> int:
+    """added-records of the destination's current (just-committed)
+    snapshot — free metadata, no recompute of the lazy extraction."""
+    from htrtf_spark.sources.iceberg import current_metadata
+
+    meta = current_metadata(dest_loc)
+    cur = meta["current-snapshot-id"]
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == cur:
+            return int(s.get("summary", {}).get("added-records", 0))
+    return 0

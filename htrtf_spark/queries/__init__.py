@@ -54,50 +54,56 @@ _MODULES = [
 # FIRST so every operator accumulates a driver-verified row; newly
 # added queries are prioritized the same way each round.
 _RUN_FIRST = [
-    # new or fixed this round (round 3)
-    "q86_pack_documents",
-    "q85_stratified_sample",
-    "q84_iceberg_incremental",
+    # new this round (round 4): no driver row exists yet
+    "q87_iceberg_stats_pruned_window",
+    "q88_bpe_token_counts",
+    "q83b_incremental_dedup_persisted",
+    # stale driver rows: these 36 were last recorded in CORRECTNESS_r02
+    # against round-2 code; re-record against current code (VERDICT r3 #1)
+    "q12_sessionize",
+    "q13_hourly_rollup",
+    "q14_brand_set_ops",
+    "q15_string_math_funcs",
+    "q16_levenshtein",
+    "q17_derived_key_rollup",
+    "q30_label_vector_stats",
+    "q31_extract_documents",
+    "q32_extract_events",
+    "q33_ctc_roundtrip",
+    "q34_extract_synthetic",
+    "q35_extraction_metrics",
+    "q40_lsh_ann_topk",
+    "q41_ivf_ann_topk",
+    "q42_multimodal_features",
+    "q43_cube_rollup",
+    "q44_pivot_status_by_priority",
+    "q45_median_order_value",
+    "q48_keyword_spotting",
+    "q49_conversation_stats_salted",
+    "q50_ordered_extract",
+    "q58_batch_cosine_topk",
+    "q59_sql_function_extract",
+    "q62_conversation_documents",
+    "q66_beam_decode",
+    "q68_event_time_eviction",
+    "q69_augment_deterministic",
+    "q70_augment_randomized",
+    "q71_conv_featurize",
+    "q72_net_decode",
+    "q73_mdlstm_features",
+    "q75_video_frame_sample",
+    "q76_audio_framing",
+    "q77_training_corpus",
+    "q78_neardup_clusters",
+    "q79_hash_split",
+    # recently recorded in r3 but touched by round-4 refactors
+    # (iceberg stats, dedup stop-list sharing, packing defaults)
     "q83_incremental_dedup",
+    "q86_pack_documents",
     "q82_iceberg_day_partitioned",
-    "q81_extract_dom_spans",
-    "q80_extract_spans",
-    "q52_order_value_quartiles",
-    "q55_term_df_topk",
-    # r2-recorded but their machinery changed this round (iceberg layer)
+    "q84_iceberg_incremental",
     "q67_iceberg_extract",
     "q74_iceberg_dedup_apply",
-    # stale driver rows: recorded in CORRECTNESS_r01 against round-1 code
-    # and refactored since (dedup cache swap, capped shingles, simsearch
-    # restaging) — re-record against current code first (VERDICT r2 #2)
-    "q18_charset_clean",
-    "q19_token_stats",
-    "q20_quality_score",
-    "q21_langid",
-    "q22_fingerprint",
-    "q23_distinct_vocab",
-    "q24_exact_dedup",
-    "q25_trigram_jaccard_pairs",
-    "q26_minhash_lsh_candidates",
-    "q27_minhash_neardup_verified",
-    "q28_cosine_topk",
-    "q29_near_pairs",
-    "q36_simhash_pairs",
-    "q37_quality_features",
-    "q38_bpe_tokens",
-    "q39_rolling_fingerprints",
-    "q46_asof_click_view",
-    "q47_approx_distinct_sanity",
-    "q51_event_gaps",
-    "q53_grouping_sets",
-    "q54_last_nonclick_carry",
-    "q56_kmeans_step",
-    "q57_minhash_estimate",
-    "q60_approx_percentile_sanity",
-    "q61_null_semantics",
-    "q63_dedup_keep_first",
-    "q64_corpus_cer",
-    "q65_text_density",
 ]
 
 

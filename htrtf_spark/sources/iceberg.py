@@ -1133,6 +1133,22 @@ def drop_iceberg_column(location: str, name: str) -> int:
                 f"column {name!r} is a partition source (spec-id "
                 f"{spec['spec-id']}) and cannot be dropped"
             )
+    # mirror the partition-source guard for equality deletes: a live
+    # EQUALITY_DELETES file that keys on this field id must stay
+    # resolvable (read_iceberg_table applies deletes by field id on
+    # every read); dropping the column would make every read — current,
+    # time-travel, files_df — fail, and re-adding the name would mint a
+    # FRESH id, leaving the table unrecoverable. Refuse instead; the
+    # caller can compact (rewrites data, drops applied deletes) first.
+    if meta.get("current-snapshot-id") is not None:
+        for d in live_delete_files(location):
+            if d["content"] == 2 and fid in (d.get("equality_ids") or []):
+                raise ValueError(
+                    f"column {name!r} (field id {fid}) is referenced by a "
+                    f"live equality-delete file ({d['file_path']}) and "
+                    "cannot be dropped; compact the table first to apply "
+                    "and retire the deletes"
+                )
     fields = [dict(f) for f in cur["fields"] if f["name"] != name]
     if not fields:
         raise ValueError("cannot drop the last column")
@@ -1454,6 +1470,12 @@ def _schema_by_id(meta: dict, schema_id: int) -> dict:
     raise KeyError(f"schema-id {schema_id} not in table metadata")
 
 
+class ExpiredSnapshotError(KeyError):
+    """An incremental read's ``from_snapshot_id`` was expired from table
+    metadata. Subclasses KeyError so pre-existing ``except KeyError``
+    handlers keep working; carries a re-baseline instruction."""
+
+
 def _find_snapshot(meta: dict, snapshot_id: int) -> dict:
     for s in meta["snapshots"]:
         if s["snapshot-id"] == snapshot_id:
@@ -1478,7 +1500,19 @@ def read_iceberg_increment(
     not surfaced (this is incremental append, not full CDC — no
     before/after images)."""
     meta = current_metadata(location)
-    from_seq = _find_snapshot(meta, from_snapshot_id)["sequence-number"]
+    try:
+        from_seq = _find_snapshot(meta, from_snapshot_id)["sequence-number"]
+    except KeyError:
+        # routine expire_snapshots on the source can drop the marker an
+        # incremental consumer persisted; surface a descriptive,
+        # catchable signal instead of crash-looping on a bare KeyError —
+        # the caller should re-baseline (full reload) from current
+        raise ExpiredSnapshotError(
+            f"from_snapshot_id {from_snapshot_id} is no longer in "
+            f"{location!r} metadata (expired by expire_snapshots?); "
+            "the incremental window cannot be reconstructed — "
+            "re-baseline with a full read of the current snapshot"
+        ) from None
     return read_iceberg_table(
         spark, location, snapshot_id=to_snapshot_id,
         partition_filter=partition_filter,
@@ -1614,7 +1648,15 @@ def live_delete_files(location: str, snapshot_id: int | None = None) -> list[dic
             rec["_seq"] = e["sequence_number"]
             rec["_write_fields"] = write_fields
             if rec["content"] == 2:
-                rec["_eq_cols"] = [by_id[i] for i in rec["equality_ids"] or []]
+                # resolve names from the delete file's own WRITE-time
+                # schema first (always has its key fields), current
+                # schema second — never KeyError on a since-renamed or
+                # (historically) dropped field
+                wmap = {f["id"]: f["name"] for f in write_fields}
+                rec["_eq_cols"] = [
+                    by_id.get(i, wmap.get(i, f"_fid_{i}"))
+                    for i in rec["equality_ids"] or []
+                ]
             out.append(rec)
     return out
 

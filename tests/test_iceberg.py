@@ -1183,3 +1183,55 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         elif op == "expire":
             I.expire_snapshots(loc, keep_last=1)
         check()
+
+
+def test_drop_column_referenced_by_live_equality_delete_refused(
+    spark, transcripts_df, tmp_path
+):
+    """ADVICE r3 (high): dropping the key column of a live equality
+    delete used to brick the table (every read KeyError-ed resolving
+    equality_ids, and re-adding the name mints a fresh id). The drop
+    must be refused like a partition source; after compaction retires
+    the delete, the drop succeeds."""
+    loc = str(tmp_path / "dropeqtbl")
+    I.write_iceberg_table(transcripts_df, loc)
+    keys = spark.createDataFrame([("conv-a",)], "conv_id string")
+    I.delete_iceberg_rows(keys, loc, ["conv_id"])
+
+    with pytest.raises(ValueError, match="equality-delete"):
+        I.drop_iceberg_column(loc, "conv_id")
+    # table still fully readable (the old bug made this unrecoverable)
+    assert I.read_iceberg_table(spark, loc).count() == 1
+
+    # compaction applies + retires the delete; now the drop is legal
+    I.compact_iceberg_table(spark, loc)
+    assert I.live_delete_files(loc) == []
+    I.drop_iceberg_column(loc, "conv_id")
+    back = I.read_iceberg_table(spark, loc)
+    assert "conv_id" not in back.columns
+    assert back.count() == 1
+
+    # dropping a column NOT referenced by deletes is still fine with
+    # live deletes present elsewhere
+    loc2 = str(tmp_path / "dropeqtbl2")
+    I.write_iceberg_table(transcripts_df, loc2)
+    I.delete_iceberg_rows(keys, loc2, ["conv_id"])
+    I.drop_iceberg_column(loc2, "tool")
+    assert I.read_iceberg_table(spark, loc2).count() == 1
+
+
+def test_incremental_read_expired_from_snapshot_descriptive(
+    spark, transcripts_df, tmp_path
+):
+    """ADVICE r3 (low): an expired from_snapshot_id raises
+    ExpiredSnapshotError (still a KeyError) telling the caller to
+    re-baseline, not a bare KeyError."""
+    loc = str(tmp_path / "exptbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    I.append_iceberg_table(transcripts_df, loc)
+    I.expire_snapshots(loc, keep_last=1)
+    with pytest.raises(I.ExpiredSnapshotError, match="re-baseline"):
+        I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    # and it is catchable as plain KeyError for old handlers
+    with pytest.raises(KeyError):
+        I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
