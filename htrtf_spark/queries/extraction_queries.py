@@ -675,3 +675,62 @@ WHERE CAST(ts AS DATE) > DATE '{_Q84_CUT}'
 
 
 QUERIES["q84_iceberg_incremental"] = (q84_iceberg_incremental, _Q84_SQL)
+
+
+# --------------------------------------------------------------------- q87
+# Column-stats file pruning (round 4): the transcripts table is written
+# UNPARTITIONED but range-clustered on ts (repartitionByRange — the
+# natural layout of time-ordered ingest), so the manifests' per-column
+# lower/upper bounds (Iceberg spec fields 125/128) make a ts window
+# skip whole files WITHOUT any partition spec — manifest-only pruning,
+# no parquet footer opened (inputFiles-asserted in tests/test_iceberg).
+# The extraction over the stats-pruned read must equal the oracle's
+# plain ts BETWEEN — exactness despite pruning is the point of the gate.
+
+_Q87_LO = "2024-01-08 00:00:00"
+_Q87_HI = "2024-01-21 23:59:59"
+
+
+def q87_iceberg_stats_pruned_window(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from htrtf_spark.sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    loc = os.path.join(
+        tempfile.mkdtemp(prefix="htrtf_iceberg_stats_"), "transcripts"
+    )
+    write_iceberg_table(
+        events_as_transcripts(spark, sf_dir).repartitionByRange(8, "ts"), loc
+    )
+    lo = dt.datetime.fromisoformat(_Q87_LO)
+    hi = dt.datetime.fromisoformat(_Q87_HI)
+    sub = read_iceberg_table(spark, loc, range_filter={"ts": (lo, hi)})
+    return extract_turns(sub, num_partitions=None, check_schema=True)
+
+
+_Q87_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
+             AS role,
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, 'plain' AS mode,
+       {{clean}} AS extracted_text,
+       CAST(length({{clean}}) AS INTEGER) AS n_chars,
+       CASE WHEN {{clean}} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM tr
+WHERE ts BETWEEN TIMESTAMP '{_Q87_LO}' AND TIMESTAMP '{_Q87_HI}'
+""".format(clean=clean_sql("text"))
+
+
+QUERIES["q87_iceberg_stats_pruned_window"] = (
+    q87_iceberg_stats_pruned_window,
+    _Q87_SQL,
+)

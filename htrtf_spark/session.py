@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # int64 micros, not INT96: INT96 is deprecated and parquet
+        # writes NO footer statistics for it, which would blind the
+        # Iceberg manifest lower/upper bounds on timestamp columns
+        # (Iceberg itself mandates int64 micros)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

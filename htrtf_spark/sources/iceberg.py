@@ -91,9 +91,11 @@ load.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
+import struct
 import time
 import uuid
 
@@ -445,8 +447,41 @@ def _data_file_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
                 "type": ["null", {"type": "array", "items": "int"}],
                 "field-id": 135,
             },
+            # per-column min/max for manifest-level file pruning (spec
+            # fields 125/128; maps with int keys use the k/v-record
+            # array representation). default None: entries rebuilt from
+            # pre-stats manifests stay encodable.
+            {
+                "name": "lower_bounds",
+                "type": _bounds_avro("k126_v127", 126, 127),
+                "field-id": 125,
+                "default": None,
+            },
+            {
+                "name": "upper_bounds",
+                "type": _bounds_avro("k129_v130", 129, 130),
+                "field-id": 128,
+                "default": None,
+            },
         ],
     }
+
+
+def _bounds_avro(name: str, key_fid: int, val_fid: int) -> list:
+    return [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": key_fid},
+                    {"name": "value", "type": "bytes", "field-id": val_fid},
+                ],
+            },
+        },
+    ]
 
 
 def _manifest_entry_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
@@ -629,6 +664,125 @@ def _parse_part_value(raw: str, ice_type: str):
     return int(raw) if ice_type in ("int", "long") else unquote(raw)
 
 
+# ------------------------------------------------ column statistics
+# Single-value binary serialization (spec "Appendix D") for the
+# lower_bounds / upper_bounds maps of data_file manifest entries —
+# little-endian fixed-width for numerics, UTF-8 for strings, micros
+# since epoch for timestamps, days for dates.
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def _encode_bound(value, ice_type: str) -> bytes | None:
+    if value is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type == "long":
+        return struct.pack("<q", int(value))
+    if ice_type == "float":
+        return struct.pack("<f", float(value))
+    if ice_type == "double":
+        return struct.pack("<d", float(value))
+    if ice_type == "date":
+        days = (value - _EPOCH_DATE).days if isinstance(value, datetime.date) else int(value)
+        return struct.pack("<i", days)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            micros = int(
+                (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+        else:
+            micros = int(value)
+        return struct.pack("<q", micros)
+    if ice_type == "string":
+        return value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    if ice_type == "binary":
+        return bytes(value)
+    return None  # unsupported type: no bound recorded (legal per spec)
+
+
+def _decode_bound(b: bytes, ice_type: str):
+    if b is None:
+        return None
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "date":
+        return _EPOCH_DATE + datetime.timedelta(days=struct.unpack("<i", b)[0])
+    if ice_type in ("timestamp", "timestamptz"):
+        micros = struct.unpack("<q", b)[0]
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "binary":
+        return b
+    return None
+
+
+def _norm_bound(v):
+    """User-supplied range endpoint → decoded-bound comparison domain
+    (tz-aware datetimes become naive UTC, matching _decode_bound)."""
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _file_column_bounds(pf, ice_schema: dict) -> tuple[list[dict], list[dict]]:
+    """Per-column lower/upper bounds of one parquet file, from its footer
+    row-group statistics (no data page is read). Returned in the spec's
+    Avro map representation: k/v record arrays keyed by FIELD ID.
+    Parquet writers may truncate binary stats (Spark: 64 bytes, with
+    proper max-side increment), which still satisfies the bounds
+    contract — lower_bounds ≤ data ≤ upper_bounds."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    mins: dict[int, object] = {}
+    maxs: dict[int, object] = {}
+    typ: dict[int, str] = {}
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            f = by_name.get(name)
+            if f is None or "." in name:
+                continue  # nested or non-schema column: no bound
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # one stats-less row group blinds the whole file for
+                # this column (partial bounds would be WRONG bounds)
+                mins.pop(f["id"], None)
+                maxs.pop(f["id"], None)
+                by_name.pop(name)
+                continue
+            fid = f["id"]
+            typ[fid] = f["type"]
+            mins[fid] = st.min if fid not in mins else min(mins[fid], st.min)
+            maxs[fid] = st.max if fid not in maxs else max(maxs[fid], st.max)
+    lower = [
+        {"key": fid, "value": enc}
+        for fid, v in sorted(mins.items())
+        if (enc := _encode_bound(v, typ[fid])) is not None
+    ]
+    upper = [
+        {"key": fid, "value": enc}
+        for fid, v in sorted(maxs.items())
+        if (enc := _encode_bound(v, typ[fid])) is not None
+    ]
+    return lower, upper
+
+
 def _write_data_files(
     df: DataFrame,
     location: str,
@@ -694,15 +848,21 @@ def _write_data_files(
                         f"(expected column {col!r})"
                     )
                 partition[col] = _parse_part_value(raw, types[col])
+        pf = pq.ParquetFile(p)
+        lower, upper = (
+            _file_column_bounds(pf, ice_schema) if ice_schema else ([], [])
+        )
         entries.append(
             {
                 "content": 0,  # DATA
                 "file_path": os.path.abspath(p),
                 "file_format": "PARQUET",
                 "partition": partition,
-                "record_count": pq.ParquetFile(p).metadata.num_rows,
+                "record_count": pf.metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(p),
                 "equality_ids": None,
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
             }
         )
     return entries
@@ -1381,34 +1541,49 @@ def compact_iceberg_table(
     data and delete files stop being referenced (still present on disk
     for older snapshots' time travel until expire_snapshots). This is
     how accumulated delete files get merged away without breaking
-    snapshot isolation."""
-    meta = current_metadata(location)
-    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
-    current = read_iceberg_table(spark, location)
+    snapshot isolation.
 
-    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
-    if partition_by is None:
-        spec = specs[meta["default-spec-id"]]
-    else:
-        match = [
-            s for s in specs.values()
-            if [(f["name"], f["transform"]) for f in s["fields"]]
-            == [
-                (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
-                for c in partition_by
+    Conflict validation (the spec's replace-commit rule): a REWRITE
+    commit drops every prior manifest, so a commit that lands between
+    compaction's read and its commit (append, delete, upsert) would be
+    silently erased by a blind metadata-only retry — the rewritten
+    copies were materialized WITHOUT the new delete, and the new data
+    files aren't in the rewrite's manifest list at all. On
+    CommitConflict the ENTIRE read→rewrite→commit cycle therefore
+    restarts against refreshed metadata (equivalent to native Iceberg's
+    RewriteDataFiles validate-or-abort plus the caller's retry); the
+    interleaved commit's effect survives."""
+    while True:
+        meta = current_metadata(location)
+        ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+        current = read_iceberg_table(spark, location)
+
+        specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+        if partition_by is None:
+            spec = specs[meta["default-spec-id"]]
+        else:
+            match = [
+                s for s in specs.values()
+                if [(f["name"], f["transform"]) for f in s["fields"]]
+                == [
+                    (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
+                    for c in partition_by
+                ]
             ]
-        ]
-        spec = match[0] if match else _make_spec(
-            ice_schema, list(partition_by), spec_id=max(specs) + 1
+            spec = match[0] if match else _make_spec(
+                ice_schema, list(partition_by), spec_id=max(specs) + 1
+            )
+        files = _write_data_files(
+            current, location, seq=meta["last-sequence-number"] + 1,
+            spec_fields=spec["fields"], ice_schema=ice_schema,
         )
-    files = _write_data_files(
-        current, location, seq=meta["last-sequence-number"] + 1,
-        spec_fields=spec["fields"], ice_schema=ice_schema,
-    )
-    return _commit_retrying(
-        location, ice_schema, files, meta, lambda _m: spec,
-        carry_prior_manifests=False,
-    )
+        try:
+            return _commit(
+                location, ice_schema, files, prev_meta=meta, spec=spec,
+                carry_prior_manifests=False,
+            )
+        except CommitConflict:
+            continue  # racing commit landed: redo read + rewrite, not just metadata
 
 
 def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
@@ -1667,6 +1842,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     partition_filter: dict[str, object] | None = None,
     min_sequence_exclusive: int = 0,
+    range_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the manifest-listed live files, with
     the table schema pinned from metadata (no parquet inference drift).
@@ -1686,7 +1862,15 @@ def read_iceberg_table(
     not partitioned) and the residual predicate is applied as a plain
     filter, so the result is exact across partition evolution. Identity
     partition columns are materialized from manifest metadata (one lit
-    per file group), mirroring native Iceberg readers."""
+    per file group), mirroring native Iceberg readers.
+
+    ``range_filter`` is ``{column: (lo, hi)}`` (inclusive; None = open
+    end): files are pruned by the manifests' per-column lower/upper
+    bounds — column-stats pruning that works even when the column is
+    NOT a partition source (a ``ts BETWEEN`` on an unpartitioned
+    10^12-turn table skips whole files from the manifest alone, no
+    parquet footer opened). Files with no recorded bound for the column
+    are kept, and the residual row predicate keeps the result exact."""
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
@@ -1726,8 +1910,39 @@ def read_iceberg_table(
                 }
             )
 
+    ranges = []
+    for col, (lo, hi) in (range_filter or {}).items():
+        if col not in ice_by_name:
+            raise ValueError(f"range_filter on unknown column: {col!r}")
+        ranges.append((col, ice_by_name[col]["id"], lo, hi))
+
+    def _bounds_map(rec: dict, key: str) -> dict[int, bytes]:
+        return {e["key"]: e["value"] for e in rec.get(key) or []}
+
+    def _stats_pruned(rec: dict) -> bool:
+        """True if the file's recorded column bounds prove it disjoint
+        from every requested range. Files written before stats were
+        recorded (or with a stats-less column) are never pruned."""
+        if not ranges:
+            return False
+        lower = _bounds_map(rec, "lower_bounds")
+        upper = _bounds_map(rec, "upper_bounds")
+        for col, fid, lo, hi in ranges:
+            # resolve by FIELD ID (rename-proof); the bound was written
+            # under the same id regardless of the column's name then
+            ice_t = ice_by_id[fid]["type"]
+            fmin = _decode_bound(lower.get(fid), ice_t)
+            fmax = _decode_bound(upper.get(fid), ice_t)
+            if fmax is not None and lo is not None and fmax < _norm_bound(lo):
+                return True
+            if fmin is not None and hi is not None and fmin > _norm_bound(hi):
+                return True
+        return False
+
     def _pruned(rec: dict) -> bool:
         """True if the manifests prove this file cannot match."""
+        if _stats_pruned(rec):
+            return True
         for pfield in rec["_spec_fields"]:
             s = ice_by_id.get(pfield["source-id"])
             if s is None:
@@ -1921,4 +2136,11 @@ def read_iceberg_table(
         if None in wanted:
             cond = cond | expr.isNull()
         out = out.filter(cond)
+    # range residual: files kept for lack of bounds (or bounds that
+    # merely overlap the range) still get exact row filtering
+    for col, _fid, lo, hi in ranges:
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
     return out

@@ -1235,3 +1235,133 @@ def test_incremental_read_expired_from_snapshot_descriptive(
     # and it is catchable as plain KeyError for old handlers
     with pytest.raises(KeyError):
         I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+
+
+def test_compaction_interleaved_delete_survives(
+    spark, transcripts_df, tmp_path, monkeypatch
+):
+    """VERDICT r3 #8: a delete committed between compaction's read and
+    its commit must survive. The old blind metadata retry re-published
+    a manifest list containing ONLY the rewrite (rows materialized
+    pre-delete) — the delete vanished. Compaction must redo the whole
+    read->rewrite->commit cycle on conflict."""
+    loc = str(tmp_path / "ctbl")
+    I.write_iceberg_table(transcripts_df, loc)
+
+    real_commit = I._commit
+    fired = {"n": 0}
+
+    def racing_commit(*args, **kwargs):
+        # first compaction commit attempt: sneak a real delete in just
+        # before, so the attempt hits CommitConflict and must redo
+        if kwargs.get("carry_prior_manifests") is False and fired["n"] == 0:
+            fired["n"] += 1
+            monkeypatch.setattr(I, "_commit", real_commit)
+            keys = spark.createDataFrame([("conv-a",)], "conv_id string")
+            I.delete_iceberg_rows(keys, loc, ["conv_id"])
+            monkeypatch.setattr(I, "_commit", racing_commit)
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(I, "_commit", racing_commit)
+    I.compact_iceberg_table(spark, loc)
+    monkeypatch.setattr(I, "_commit", real_commit)
+
+    assert fired["n"] == 1
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(transcripts_df.filter("conv_id <> 'conv-a'"))
+    # the rewrite retired the delete file (it was applied during redo)
+    assert I.live_delete_files(loc) == []
+
+
+def test_compaction_interleaved_append_survives(
+    spark, transcripts_df, tmp_path, monkeypatch
+):
+    """Same race with an APPEND: the appended rows must not be erased
+    by the rewrite's manifest replacement."""
+    loc = str(tmp_path / "ctbl2")
+    I.write_iceberg_table(transcripts_df, loc)
+
+    real_commit = I._commit
+    fired = {"n": 0}
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-late"))
+    )
+
+    def racing_commit(*args, **kwargs):
+        if kwargs.get("carry_prior_manifests") is False and fired["n"] == 0:
+            fired["n"] += 1
+            monkeypatch.setattr(I, "_commit", real_commit)
+            I.append_iceberg_table(extra, loc)
+            monkeypatch.setattr(I, "_commit", racing_commit)
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(I, "_commit", racing_commit)
+    I.compact_iceberg_table(spark, loc)
+    monkeypatch.setattr(I, "_commit", real_commit)
+
+    assert fired["n"] == 1
+    got = I.read_iceberg_table(spark, loc)
+    assert _collect(got) == _collect(transcripts_df.unionByName(extra))
+
+
+def test_column_stats_file_pruning_unpartitioned(spark, tmp_path):
+    """VERDICT r3 #2: manifests record per-column lower/upper bounds
+    (spec fields 125/128, Appendix-D binary single-values) and
+    read_iceberg_table's range_filter skips files by bounds even on an
+    UNPARTITIONED table — no parquet footer opened for a pruned file."""
+    import datetime as dt
+
+    rows = [
+        (f"conv-{i:03d}", 0, "user", f"text {i}",
+         dt.datetime(2024, 1, 1 + i // 25, i % 24, 0, 0))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    loc = str(tmp_path / "statstbl")
+    # range-disjoint files on ts: 4 files, each covering ~1 day
+    I.write_iceberg_table(df.repartitionByRange(4, "ts"), loc)
+    files = I.live_data_files(loc)
+    assert len(files) == 4
+    # every data file carries ts (fid 5) and conv_id (fid 1) bounds
+    for f in files:
+        fids = {e["key"] for e in f["lower_bounds"]}
+        assert {1, 5} <= fids
+        assert fids == {e["key"] for e in f["upper_bounds"]}
+
+    # a one-day ts window opens a strict subset of the files…
+    lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 23, 59, 59)
+    got = I.read_iceberg_table(spark, loc, range_filter={"ts": (lo, hi)})
+    opened = {p.split("/")[-1] for p in got.inputFiles()}
+    all_files = {f["file_path"].split("/")[-1] for f in files}
+    assert opened < all_files and len(opened) >= 1
+    # …and the result is exact
+    want = df.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert _collect(got) == _collect(want)
+
+    # string-column range prunes too (conv_id is correlated with ts here)
+    got2 = I.read_iceberg_table(
+        spark, loc, range_filter={"conv_id": ("conv-000", "conv-020")}
+    )
+    assert {p.split("/")[-1] for p in got2.inputFiles()} < all_files
+    assert got2.count() == 21
+
+    # open-ended range; unknown column refused
+    got3 = I.read_iceberg_table(spark, loc, range_filter={"ts": (hi, None)})
+    assert got3.count() == df.filter(F.col("ts") > F.lit(hi)).count() + want.filter(
+        F.col("ts") == F.lit(hi)
+    ).count()
+    with pytest.raises(ValueError, match="unknown column"):
+        I.read_iceberg_table(spark, loc, range_filter={"nope": (1, 2)})
+
+
+def test_range_filter_exact_without_stats(spark, transcripts_df, tmp_path):
+    """Entries with no recorded bound for the filtered column are KEPT
+    and the residual row filter preserves exactness; bounds survive
+    rename (field-id keyed)."""
+    loc = str(tmp_path / "statstbl2")
+    I.write_iceberg_table(transcripts_df, loc)
+    I.rename_iceberg_column(loc, "turn_idx", "idx")
+    got = I.read_iceberg_table(spark, loc, range_filter={"idx": (1, None)})
+    assert got.count() == 1 and got.collect()[0]["idx"] == 1
