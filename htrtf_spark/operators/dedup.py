@@ -277,10 +277,37 @@ def jaccard_pairs_postings(
     )
 
 
+def corpus_stop_list(
+    df: DataFrame, id_col: str, text_col: str, n: int = DEFAULT_NGRAM,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """The corpus's stop-shingle list (ng) — every shingle whose corpus
+    document frequency exceeds ``max_doc_freq``. Small by construction
+    (only boilerplate clears a high-df bar). Persist it NEXT TO the band
+    index and apply the SAME list to every probe batch: a per-side cap
+    computed from each batch's own frequencies makes identical documents
+    band differently between index and probe (systematic recall loss)."""
+    g = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng")
+    )
+    return (
+        g.groupBy("ng").agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("ng")
+    )
+
+
+def _apply_stop_list(g: DataFrame, stop_list: DataFrame) -> DataFrame:
+    """Drop a GIVEN stop list from a posting table — broadcast anti join
+    (the list is bounded-small; see corpus_stop_list)."""
+    return g.join(F.broadcast(stop_list.select("ng")), "ng", "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str,
     n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    stop_list: DataFrame | None = None,
 ) -> DataFrame:
     """Engine-portable MinHash: h_i(S) = lexicographic MIN of
     md5(i || ':' || shingle). Documents with no (kept) shingles are
@@ -290,8 +317,17 @@ def minhash_signatures(
     raw posting table and the capped swap reads it — ONE ngram explode
     total (an uncached _stop_filter would run the explode+shuffle twice:
     once for the eager stop-list head(), again on the downstream
-    action)."""
-    if max_doc_freq is None:
+    action).
+
+    ``stop_list`` (a DataFrame of ``ng``) overrides the self-computed
+    cap: the given shingles are dropped instead — the shared-stop-list
+    form probe batches must use so their signatures band identically to
+    a corpus index built with that list."""
+    if stop_list is not None:
+        grams = _apply_stop_list(
+            shingle_table(df, id_col, text_col, n, max_doc_freq=None), stop_list
+        )
+    elif max_doc_freq is None:
         # single consumer, no stop-list action — nothing to cache
         grams = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
     else:
@@ -326,38 +362,98 @@ def band_index(
     n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,
     band_width: int = DEFAULT_BAND_WIDTH,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    stop_list: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus LSH band index (id, band_id, band_val): minhash + banding
     in one call. At scale this is PERSISTED once (parquet/Iceberg,
     bucketed by (band_id, band_val)) and every new ingest batch joins
-    against it — the index is O(docs × bands) rows, never rebuilt."""
+    against it — the index is O(docs × bands) rows, never rebuilt.
+    ``stop_list`` forces a SHARED cap (see minhash_signatures)."""
     return band_signatures(
-        minhash_signatures(df, id_col, text_col, n, k, max_doc_freq),
+        minhash_signatures(
+            df, id_col, text_col, n, k, max_doc_freq, stop_list=stop_list
+        ),
         k, band_width,
     )
 
 
+def build_corpus_index(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = DEFAULT_NGRAM, k: int = DEFAULT_MINHASHES,
+    band_width: int = DEFAULT_BAND_WIDTH,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """Everything a continuous-ingest pipeline persists per corpus, in
+    one call: ``(index, stop, fps)`` —
+
+    - ``index``: (id, band_id, band_val) LSH band index,
+    - ``stop``: the corpus stop-shingle list the index was capped with
+      (None when ``max_doc_freq`` is None) — probes MUST reuse it,
+    - ``fps``: (fp) distinct md5 text fingerprints for the exact probe.
+
+    Write all three (parquet/Iceberg); per-batch ticks then call
+    ``incremental_dedup_flags(new, corpus_index=index,
+    corpus_stop=stop, corpus_fps=fps)`` — no corpus rescan, no index
+    rebuild, probe cost O(batch × bands)."""
+    stop = (
+        None if max_doc_freq is None
+        else corpus_stop_list(df, id_col, text_col, n, max_doc_freq)
+    )
+    idx = band_index(
+        df, id_col, text_col, n, k, band_width,
+        max_doc_freq=None, stop_list=stop,
+    )
+    fps = df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    return idx, stop, fps
+
+
 def incremental_dedup_flags(
     new_df: DataFrame,
-    corpus_df: DataFrame,
-    id_col: str,
-    text_col: str,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
     n: int = DEFAULT_NGRAM,
     k: int = DEFAULT_MINHASHES,
     band_width: int = DEFAULT_BAND_WIDTH,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    corpus_index: DataFrame | None = None,
+    corpus_stop: DataFrame | None = None,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest dedup: flag each NEW document against an
     EXISTING corpus — (id, exact_dup, lsh_hit, novel), all int 0/1.
     exact_dup: md5(text) collides with a corpus fingerprint (one
     shuffle of 128-bit fps). lsh_hit: any LSH band bucket shared with a
     corpus document (bucket equi-join against the corpus band index —
-    O(new × bands) probe, never corpus × new). novel = neither. At
-    scale pass a pre-persisted ``band_index`` via ``corpus_index=``-style
-    wrapping instead of recomputing; this function accepts the raw
-    corpus for the self-contained form."""
+    O(new × bands) probe, never corpus × new). novel = neither.
+
+    Two forms:
+
+    - **Persisted-index** (the per-tick production shape): pass
+      ``corpus_index`` (+ ``corpus_stop`` if the index was built with a
+      cap, + ``corpus_fps``) from ``build_corpus_index`` — the corpus
+      is never rescanned and the index never rebuilt; ``corpus_df`` may
+      be omitted entirely (it is only consulted for whichever persisted
+      piece is missing).
+    - **Self-contained**: pass the raw ``corpus_df``; index, stop list
+      and fps are computed inline.
+
+    Either way the stop cap is SYMMETRIC: one stop list — persisted or
+    derived once from the CORPUS — is applied to both the index and the
+    probe shingles. (A per-side cap from each side's own document
+    frequencies makes identical documents band differently between
+    index and probe: systematic missed near-dups.)"""
+    if corpus_df is None and (corpus_index is None or corpus_fps is None):
+        raise ValueError(
+            "incremental_dedup_flags needs corpus_df, or BOTH "
+            "corpus_index and corpus_fps (the persisted form)"
+        )
     ids = new_df.select(F.col(id_col).alias("id")).distinct()
-    fps = corpus_df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    fps = (
+        corpus_fps.select("fp")
+        if corpus_fps is not None
+        else corpus_df.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    )
     exact = (
         new_df.select(
             F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("fp")
@@ -367,10 +463,21 @@ def incremental_dedup_flags(
         .distinct()
         .withColumn("exact_dup", F.lit(1))
     )
-    idx = band_index(corpus_df, id_col, text_col, n, k, band_width,
-                     max_doc_freq).select("band_id", "band_val").distinct()
-    probes = band_index(new_df, id_col, text_col, n, k, band_width,
-                        max_doc_freq)
+    # ONE stop list for both sides, from the corpus (or persisted)
+    stop = corpus_stop
+    if stop is None and max_doc_freq is not None and corpus_index is None:
+        stop = corpus_stop_list(corpus_df, id_col, text_col, n, max_doc_freq)
+    if corpus_index is not None:
+        idx = corpus_index.select("band_id", "band_val").distinct()
+    else:
+        idx = band_index(
+            corpus_df, id_col, text_col, n, k, band_width,
+            max_doc_freq=None, stop_list=stop,
+        ).select("band_id", "band_val").distinct()
+    probes = band_index(
+        new_df, id_col, text_col, n, k, band_width,
+        max_doc_freq=None, stop_list=stop,
+    )
     lsh = (
         probes.join(idx, ["band_id", "band_val"], "left_semi")
         .select("id")

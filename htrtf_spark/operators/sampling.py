@@ -58,12 +58,29 @@ def stratified_sample(
     return df.filter(bucket < rate)
 
 
+# Auto-sizing target: tokens one packing task should own. A bucket's
+# window runs on one task; at ~4-8 bytes/token a 512M-token bucket is a
+# low-GB task — parallel enough at any corpus size while keeping
+# per-task state trivial (the window carries one running sum).
+TARGET_TOKENS_PER_BUCKET = 512_000_000
+
+
+def packing_buckets(total_tokens: int, target: int = TARGET_TOKENS_PER_BUCKET) -> int:
+    """Sizing rule for ``pack_documents(n_buckets=...)``:
+    ``≈ total_tokens / target``, floor 64 (keep small corpora parallel).
+    Per-bucket volume is corpus/n_buckets, so n_buckets must scale
+    O(corpus) — a fixed 64 at 100 TB would put ~1.6 % of the corpus
+    through ONE task's window."""
+    return max(64, int(total_tokens // max(1, target)) + 1)
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_tokens: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    total_tokens_hint: int | None = None,
 ) -> DataFrame:
     """Deterministic token-budget sequence packing (the "concatenate
     documents into fixed-length training sequences" primitive):
@@ -79,11 +96,25 @@ def pack_documents(
     sequence its packing position starts in, so a sequence can overrun
     ``max_tokens`` by at most one document — the downstream tokenizer
     truncates, which is the standard tradeoff (exact bin packing is
-    inherently sequential and engine-hostile)."""
+    inherently sequential and engine-hostile).
+
+    SIZING ``n_buckets`` (VERDICT r3): per-bucket token volume is
+    corpus_tokens / n_buckets and one bucket = one window task, so
+    n_buckets must grow with the corpus. Omit it and pass
+    ``total_tokens_hint`` (a cheap prior estimate, e.g. last tick's
+    count) to auto-size via ``packing_buckets`` — ≈ hint /
+    TARGET_TOKENS_PER_BUCKET, floor 64; with neither given, the legacy
+    64 applies and is only safe for ≲ 32 G-token corpora."""
     from pyspark.sql import Window
 
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    if n_buckets is None:
+        n_buckets = (
+            packing_buckets(total_tokens_hint)
+            if total_tokens_hint is not None
+            else 64
+        )
     toks = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     )

@@ -87,10 +87,13 @@ def exact_ntile(
        arithmetic: first ``total % n`` buckets take ``total//n + 1``
        rows, the rest ``total//n`` (ntile's uneven-split contract).
 
-    Cost: the sketch pass + two passes over the 2-column projection —
-    all parallel, nothing larger than ``num_ranges`` longs on the
-    driver. ``key`` must be numeric and non-null; ``tiebreak`` must make
-    (key, tiebreak) unique for a total order."""
+    Cost: sketch pass + count pass over the 2-column projection, one
+    assignment pass over the full rows — all parallel, nothing larger
+    than ``num_ranges`` longs on the driver. ``key`` must be numeric
+    and non-null; ``tiebreak`` must make (key, tiebreak) unique for a
+    total order. Returns ``df`` with EVERY input column plus
+    ``out_col`` (ADVICE r3: earlier versions silently projected down to
+    (key, tiebreak, bucket))."""
     import functools
 
     proj = df.select(key, tiebreak)
@@ -109,11 +112,16 @@ def exact_ntile(
         cuts_f,
         F.lit(0),
     )
-    ranged = proj.withColumn("_rng", rng)
+    # counts from the narrow projection (cheap scan); the assignment
+    # pass below runs over the FULL rows so no input column is lost
     counts = {
         r["_rng"]: r["cnt"]
-        for r in ranged.groupBy("_rng").agg(F.count("*").alias("cnt")).collect()
+        for r in proj.withColumn("_rng", rng)
+        .groupBy("_rng")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
+    ranged = df.withColumn("_rng", rng)
     total = sum(counts.values())
     offsets: dict[int, int] = {}
     acc = 0

@@ -499,3 +499,88 @@ LEFT JOIN lsh_hit l ON l.id = d.doc_id
 
 
 QUERIES["q83_incremental_dedup"] = (q83_incremental_dedup, _Q83_SQL)
+
+
+# -------------------------------------------------------------------- q83b
+# The PERSISTED-index form of q83 (round 4): build_corpus_index once →
+# write (index, stop, fps) to parquet → probe the batch with
+# incremental_dedup_flags(corpus_index=..., corpus_stop=...,
+# corpus_fps=...) and NO corpus DataFrame — the shape a per-tick ingest
+# job runs (corpus rescan impossible by construction). The stop cap is
+# ACTIVE (df > _Q83B_CAP over CORPUS frequencies) and — the ADVICE r3
+# fix — the SAME corpus stop list caps both the index and the probe,
+# which the oracle restates: one cstop list, filtered out of BOTH gram
+# tables before signatures.
+
+_Q83B_CAP = 4
+
+
+def q83b_incremental_dedup_persisted(spark, sf_dir):
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(f"doc_id < {_Q83_SPLIT}")
+    new = d.filter(f"doc_id >= {_Q83_SPLIT}")
+
+    idx, stop, fps = D.build_corpus_index(
+        corpus, "doc_id", "text", max_doc_freq=_Q83B_CAP
+    )
+    base = tempfile.mkdtemp(prefix="htrtf_dedup_idx_")
+    idx.write.parquet(f"{base}/idx")
+    stop.write.parquet(f"{base}/stop")
+    fps.write.parquet(f"{base}/fps")
+
+    return D.incremental_dedup_flags(
+        new,
+        id_col="doc_id",
+        text_col="text",
+        corpus_index=spark.read.parquet(f"{base}/idx"),
+        corpus_stop=spark.read.parquet(f"{base}/stop"),
+        corpus_fps=spark.read.parquet(f"{base}/fps"),
+    ).withColumnRenamed("id", "doc_id")
+
+
+_Q83B_SQL = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id < {_Q83_SPLIT}),
+newb AS (SELECT * FROM documents WHERE doc_id >= {_Q83_SPLIT}),
+{_q83_grams("cgrams0", "corpus")},
+{_q83_grams("ngrams0_", "newb")},
+cstop AS (
+  SELECT ng FROM cgrams0 GROUP BY ng HAVING COUNT(*) > {_Q83B_CAP}
+),
+cgrams AS (
+  SELECT * FROM cgrams0 WHERE ng NOT IN (SELECT ng FROM cstop)
+),
+ngrams_ AS (
+  SELECT * FROM ngrams0_ WHERE ng NOT IN (SELECT ng FROM cstop)
+),
+{_q83_bands("c", "cgrams")},
+{_q83_bands("n", "ngrams_")},
+exact_hit AS (
+  SELECT DISTINCT n.doc_id AS id
+  FROM newb n
+  JOIN (SELECT DISTINCT md5(text) AS fp FROM corpus) c
+    ON md5(n.text) = c.fp
+),
+lsh_hit AS (
+  SELECT DISTINCT nb.id
+  FROM nbands nb
+  JOIN (SELECT DISTINCT band_id, band_val FROM cbands) cb
+    USING (band_id, band_val)
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS exact_dup,
+       CAST(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS lsh_hit,
+       CAST(CASE WHEN e.id IS NULL AND l.id IS NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS novel
+FROM newb d
+LEFT JOIN exact_hit e ON e.id = d.doc_id
+LEFT JOIN lsh_hit l ON l.id = d.doc_id
+"""
+
+QUERIES["q83b_incremental_dedup_persisted"] = (
+    q83b_incremental_dedup_persisted,
+    _Q83B_SQL,
+)

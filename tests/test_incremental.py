@@ -78,3 +78,93 @@ def test_incremental_refuses_foreign_dest(spark, tmp_path, src_table):
     )
     with pytest.raises(ValueError, match="not created by this pipeline"):
         extract_increment_once(spark, src, dst)
+
+
+def test_dedup_ingest_ticks_with_persisted_index(spark, tmp_path):
+    """Persisted-index dedup ingest: bootstrap builds corpus+index once;
+    ticks probe the index (no corpus rescan), append accepted docs +
+    their band rows; a replayed batch_id is a no-op; and a crash between
+    the index append and the corpus append replays cleanly (the batch
+    does not flag against its own crashed index rows)."""
+    from htrtf_spark.plans import dedup_ingest as DI
+    from htrtf_spark.sources import iceberg as I
+
+    corpus_loc = str(tmp_path / "corpus")
+    index_loc = str(tmp_path / "index")
+    boiler = "copyright two thousand"
+    base = {
+        i: f"{boiler} unique corpus document number {i} body text " + "w" * i
+        for i in range(8)
+    }
+    docs0 = spark.createDataFrame(
+        sorted(base.items()) + [(99, base[2])],  # 99 = exact dup within batch
+        "doc_id long, text string",
+    )
+    r0 = DI.dedup_ingest_bootstrap(
+        spark, docs0, corpus_loc, index_loc,
+        id_col="doc_id", text_col="text", max_doc_freq=4,
+    )
+    assert r0["accepted"] == 8  # within-batch exact dup dropped
+    idx = I.read_iceberg_table(spark, index_loc)
+    assert idx.filter("band_id = -1").count() > 0  # stop rows persisted
+
+    # tick 1: one exact dup, one near dup, one novel
+    near = base[3] + " zzz"
+    t1 = spark.createDataFrame(
+        [(100, base[5]), (101, near),
+         (102, "entirely fresh unrelated material nothing shared")],
+        "doc_id long, text string",
+    )
+    r1 = DI.dedup_ingest_tick(
+        spark, t1, corpus_loc, index_loc, batch_id="b1",
+        id_col="doc_id", text_col="text",
+    )
+    assert not r1["noop"]
+    assert r1["flagged_exact"] == 1 and r1["flagged_lsh"] >= 1
+    assert r1["accepted"] == 1
+    corpus = I.read_iceberg_table(spark, corpus_loc)
+    assert corpus.count() == 9 and corpus.filter("id = '102'").count() == 1
+
+    # replay of the same batch id: no-op, nothing appended
+    r1b = DI.dedup_ingest_tick(
+        spark, t1, corpus_loc, index_loc, batch_id="b1",
+        id_col="doc_id", text_col="text",
+    )
+    assert r1b["noop"] and I.read_iceberg_table(spark, corpus_loc).count() == 9
+
+    # tick 2 crashes BETWEEN index append and corpus append
+    t2 = spark.createDataFrame(
+        [(200, "completely new second wave content alpha beta gamma"),
+         (201, base[6])],
+        "doc_id long, text string",
+    )
+    real_append = I.append_iceberg_table
+    calls = {"n": 0}
+
+    def crashing_append(df, location, **kw):
+        out = real_append(df, location, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after index append")
+        return out
+
+    import pytest as _pytest
+    from unittest import mock
+    with mock.patch.object(I, "append_iceberg_table", crashing_append):
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            DI.dedup_ingest_tick(
+                spark, t2, corpus_loc, index_loc, batch_id="b2",
+                id_col="doc_id", text_col="text",
+            )
+    # index got doc 200's rows; corpus did not — replay must accept 200
+    # again (not flag it against its own crashed rows) and stay exact
+    assert I.read_iceberg_table(spark, index_loc).filter("id = '200'").count() > 0
+    assert I.read_iceberg_table(spark, corpus_loc).filter("id = '200'").count() == 0
+    r2 = DI.dedup_ingest_tick(
+        spark, t2, corpus_loc, index_loc, batch_id="b2",
+        id_col="doc_id", text_col="text",
+    )
+    assert not r2["noop"] and r2["accepted"] == 1  # 200 novel, 201 exact dup
+    corpus2 = I.read_iceberg_table(spark, corpus_loc)
+    assert corpus2.count() == 10
+    assert corpus2.filter("id = '200'").count() == 1

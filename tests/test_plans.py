@@ -172,3 +172,24 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("t_bleft", "t_bright", "t_bwrong"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exact_ntile_preserves_all_columns(spark):
+    """ADVICE r3 (low): exact_ntile must return every input column plus
+    the bucket, not a (key, tiebreak, bucket) projection."""
+    from htrtf_spark.plans.ordering import exact_ntile
+
+    df = spark.createDataFrame(
+        [(i, f"id{i:03d}", f"payload-{i}") for i in range(50)],
+        "k long, tb string, extra string",
+    )
+    out = exact_ntile(df, n=5, key="k", tiebreak="tb")
+    assert set(out.columns) == {"k", "tb", "extra", "bucket"}
+    rows = {r["tb"]: (r["extra"], r["bucket"]) for r in out.collect()}
+    assert len(rows) == 50
+    assert rows["id007"][0] == "payload-7"
+    # bucket assignment still exact ntile semantics (10 per bucket)
+    from collections import Counter
+
+    c = Counter(b for _e, b in rows.values())
+    assert c == {1: 10, 2: 10, 3: 10, 4: 10, 5: 10}
