@@ -81,6 +81,7 @@ def pack_documents(
     max_tokens: int,
     n_buckets: int | None = None,
     total_tokens_hint: int | None = None,
+    token_expr=None,
 ) -> DataFrame:
     """Deterministic token-budget sequence packing (the "concatenate
     documents into fixed-length training sequences" primitive):
@@ -115,8 +116,15 @@ def pack_documents(
             if total_tokens_hint is not None
             else 64
         )
-    toks = F.size(
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    # default: whitespace tokens; pass token_expr (a Column, e.g.
+    # operators.bpe.bpe_token_count(text_col)) to budget in REAL
+    # tokenizer units instead
+    toks = (
+        token_expr
+        if token_expr is not None
+        else F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        )
     )
     bucket = F.pmod(
         portable_token_hash(F.col(id_col).cast("string")), n_buckets

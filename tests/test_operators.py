@@ -740,3 +740,84 @@ def test_pack_documents_bucket_sizing_rule(spark, docs):
         docs, "doc_id", "text", max_tokens=15, n_buckets=2
     )
     assert explicit.agg({"bucket": "max"}).collect()[0][0] <= 1
+
+
+def test_bpe_token_count_matches_reference_scan(spark):
+    """VERDICT r3 #5: the expression-chain BPE must equal an
+    INDEPENDENT pure-python reference encode (apply merges in rank
+    order, each exhaustively, leftmost-first) — including merge chains,
+    repeats, words untouched by any rule, and multi-step merges."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators import bpe
+
+    def ref_encode(word):
+        toks = list(word)
+        for left, right in bpe.DEFAULT_MERGES:
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == left
+                    and toks[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    texts = [
+        "the theater is near the north entrance",
+        "aaaaaa bbb the the the",
+        "click value 123 and re-enter",
+        "xyzzy qqq",          # no rule applies
+        "",                   # empty doc
+        "   spaced    out   ",
+        "internationalization",  # long multi-step chains
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(df, "doc_id", "text").collect()
+    }
+    want = {
+        i: sum(len(ref_encode(w)) for w in t.split() if w)
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+    assert want[3] == len("xyzzy") + len("qqq")  # untouched words
+    assert want[4] == 0
+
+    # tokenize() round-trips: concatenation restores the words
+    toks = {
+        r["id"]: r["tk"]
+        for r in df.select(
+            F.col("doc_id").alias("id"), bpe.bpe_tokenize("text").alias("tk")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert "".join(toks[i]) == "".join(t.split())
+        assert toks[i] == [tok for w in t.split() for tok in ref_encode(w)]
+
+
+def test_pack_documents_with_bpe_token_expr(spark, docs):
+    """pack_documents budgets in real BPE units when token_expr is
+    given: n_tokens must equal bpe_token_count per doc."""
+    from htrtf_spark.operators import bpe
+    from htrtf_spark.operators.sampling import pack_documents
+
+    packed = pack_documents(
+        docs, "doc_id", "text", max_tokens=10, n_buckets=2,
+        token_expr=bpe.bpe_token_count("text"),
+    )
+    got = {r["id"]: r["n_tokens"] for r in packed.collect()}
+    want = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(docs, "doc_id", "text").collect()
+    }
+    assert got == want and len(got) == 6
