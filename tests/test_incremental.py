@@ -168,3 +168,39 @@ def test_dedup_ingest_ticks_with_persisted_index(spark, tmp_path):
     corpus2 = I.read_iceberg_table(spark, corpus_loc)
     assert corpus2.count() == 10
     assert corpus2.filter("id = '200'").count() == 1
+
+
+def test_run_dedup_ingest_job_cli(spark, tmp_path):
+    """The spark-submit wrapper: bootstrap then a tick via main()."""
+    import json as _json
+
+    from jobs.run_dedup_ingest import main
+
+    seed = spark.createDataFrame(
+        [(i, f"seed document number {i} unique body content") for i in range(5)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "seed document number 2 unique body content"),  # exact dup
+         (11, "a wholly new document with fresh content")],
+        "doc_id long, text string",
+    )
+    seed.write.parquet(str(tmp_path / "seed"))
+    batch.write.parquet(str(tmp_path / "batch"))
+    corpus, index = str(tmp_path / "corpus"), str(tmp_path / "index")
+
+    assert main([
+        "--bootstrap", "--input", str(tmp_path / "seed"),
+        "--corpus", corpus, "--index", index, "--max-doc-freq", "0",
+    ]) == 0
+    assert main([
+        "--input", str(tmp_path / "batch"), "--batch-id", "b1",
+        "--corpus", corpus, "--index", index,
+    ]) == 0
+
+    from htrtf_spark.sources import iceberg as I
+
+    got = I.read_iceberg_table(spark, corpus)
+    assert got.count() == 6
+    assert got.filter("id = '11'").count() == 1
+    assert got.filter("id = '10'").count() == 0
