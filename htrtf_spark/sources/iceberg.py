@@ -463,8 +463,39 @@ def _data_file_schema(spec_fields: list[dict], ice_schema: dict) -> dict:
                 "field-id": 128,
                 "default": None,
             },
+            # value_counts (incl. nulls) / null_value_counts — spec
+            # fields 109/110; power IS NULL / IS NOT NULL file pruning
+            {
+                "name": "value_counts",
+                "type": _counts_avro("k119_v120", 119, 120),
+                "field-id": 109,
+                "default": None,
+            },
+            {
+                "name": "null_value_counts",
+                "type": _counts_avro("k121_v122", 121, 122),
+                "field-id": 110,
+                "default": None,
+            },
         ],
     }
+
+
+def _counts_avro(name: str, key_fid: int, val_fid: int) -> list:
+    return [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": key_fid},
+                    {"name": "value", "type": "long", "field-id": val_fid},
+                ],
+            },
+        },
+    ]
 
 
 def _bounds_avro(name: str, key_fid: int, val_fid: int) -> list:
@@ -783,6 +814,37 @@ def _file_column_bounds(pf, ice_schema: dict) -> tuple[list[dict], list[dict]]:
     return lower, upper
 
 
+def _file_column_counts(pf, ice_schema: dict) -> tuple[list[dict], list[dict]]:
+    """Per-column value counts (incl. nulls — flat schema, so the row
+    count) and null counts of one parquet file, from footer row-group
+    statistics. A row group without a null_count blinds that column."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    nulls: dict[int, int] = {}
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            f = by_name.get(col.path_in_schema)
+            if f is None or "." in col.path_in_schema:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None:
+                nulls.pop(f["id"], None)
+                by_name.pop(col.path_in_schema)
+                continue
+            nulls[f["id"]] = nulls.get(f["id"], 0) + int(st.null_count)
+    values = [
+        {"key": f["id"], "value": int(md.num_rows)}
+        for f in ice_schema["fields"]
+        if "." not in f["name"]
+    ]
+    null_counts = [
+        {"key": fid, "value": n} for fid, n in sorted(nulls.items())
+    ]
+    return values, null_counts
+
+
 def _write_data_files(
     df: DataFrame,
     location: str,
@@ -852,6 +914,9 @@ def _write_data_files(
         lower, upper = (
             _file_column_bounds(pf, ice_schema) if ice_schema else ([], [])
         )
+        vals_c, nulls_c = (
+            _file_column_counts(pf, ice_schema) if ice_schema else ([], [])
+        )
         entries.append(
             {
                 "content": 0,  # DATA
@@ -863,6 +928,8 @@ def _write_data_files(
                 "equality_ids": None,
                 "lower_bounds": lower or None,
                 "upper_bounds": upper or None,
+                "value_counts": vals_c or None,
+                "null_value_counts": nulls_c or None,
             }
         )
     return entries
@@ -1664,6 +1731,8 @@ def read_iceberg_increment(
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
     partition_filter: dict[str, object] | None = None,
+    range_filter: dict[str, tuple] | None = None,
+    null_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Incremental append scan: the rows ADDED after ``from_snapshot_id``
     (exclusive) and visible at ``to_snapshot_id`` (inclusive; default
@@ -1692,6 +1761,8 @@ def read_iceberg_increment(
         spark, location, snapshot_id=to_snapshot_id,
         partition_filter=partition_filter,
         min_sequence_exclusive=from_seq,
+        range_filter=range_filter,
+        null_filter=null_filter,
     )
 
 
@@ -1727,22 +1798,37 @@ def files_df(
 ) -> DataFrame:
     """Metadata table: one row per live data/delete file at a snapshot
     (the native ``table$files``) — content, path, format, sequence
-    number, record count, size, partition tuple as a JSON string.
-    Reads manifests only."""
-    rows = []
-    for rec in live_data_files(location, snapshot_id):
-        rows.append(
-            (
-                int(rec["content"]),
-                rec["file_path"],
-                rec["file_format"],
-                int(rec["_seq"]),
-                int(rec["record_count"]),
-                int(rec["file_size_in_bytes"]),
-                json.dumps(rec["partition"], sort_keys=True),
+    number, record count, size, partition tuple as a JSON string, plus
+    the decoded column stats (lower/upper bounds and null counts by
+    COLUMN NAME) as JSON strings. Reads manifests only."""
+    meta = current_metadata(location)
+    sid = snapshot_id
+    if sid is None:
+        sid = meta["current-snapshot-id"]
+    schema_id = _find_snapshot(meta, sid).get(
+        "schema-id", meta["current-schema-id"]
+    )
+    ice_schema = _schema_by_id(meta, schema_id)
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+
+    def _stats_json(rec: dict, key: str) -> str:
+        out = {}
+        for e in rec.get(key) or []:
+            f = by_id.get(e["key"])
+            if f is None:
+                continue
+            v = (
+                e["value"]
+                if key == "null_value_counts"
+                else _decode_bound(e["value"], f["type"])
             )
-        )
-    for rec in live_delete_files(location, snapshot_id):
+            out[f["name"]] = v if not hasattr(v, "isoformat") else v.isoformat()
+        return json.dumps(out, sort_keys=True)
+
+    rows = []
+    for rec in live_data_files(location, snapshot_id) + live_delete_files(
+        location, snapshot_id
+    ):
         rows.append(
             (
                 int(rec["content"]),
@@ -1752,13 +1838,18 @@ def files_df(
                 int(rec["record_count"]),
                 int(rec["file_size_in_bytes"]),
                 json.dumps(rec["partition"], sort_keys=True),
+                _stats_json(rec, "lower_bounds"),
+                _stats_json(rec, "upper_bounds"),
+                _stats_json(rec, "null_value_counts"),
             )
         )
     return spark.createDataFrame(
         rows,
         "content int, file_path string, file_format string, "
         "sequence_number long, record_count long, "
-        "file_size_in_bytes long, partition_json string",
+        "file_size_in_bytes long, partition_json string, "
+        "lower_bounds_json string, upper_bounds_json string, "
+        "null_counts_json string",
     )
 
 
@@ -1843,6 +1934,7 @@ def read_iceberg_table(
     partition_filter: dict[str, object] | None = None,
     min_sequence_exclusive: int = 0,
     range_filter: dict[str, tuple] | None = None,
+    null_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the manifest-listed live files, with
     the table schema pinned from metadata (no parquet inference drift).
@@ -1870,7 +1962,13 @@ def read_iceberg_table(
     NOT a partition source (a ``ts BETWEEN`` on an unpartitioned
     10^12-turn table skips whole files from the manifest alone, no
     parquet footer opened). Files with no recorded bound for the column
-    are kept, and the residual row predicate keeps the result exact."""
+    are kept, and the residual row predicate keeps the result exact.
+
+    ``null_filter`` is ``{column: "is_null" | "not_null"}``: files are
+    pruned by the manifests' null_value_counts / value_counts (spec
+    fields 110/109) — ``is_null`` skips files with zero nulls in the
+    column, ``not_null`` skips files that are all-null. Same
+    exactness-by-residual contract."""
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
@@ -1915,6 +2013,15 @@ def read_iceberg_table(
         if col not in ice_by_name:
             raise ValueError(f"range_filter on unknown column: {col!r}")
         ranges.append((col, ice_by_name[col]["id"], lo, hi))
+    nullchecks = []
+    for col, kind in (null_filter or {}).items():
+        if col not in ice_by_name:
+            raise ValueError(f"null_filter on unknown column: {col!r}")
+        if kind not in ("is_null", "not_null"):
+            raise ValueError(
+                f"null_filter value must be 'is_null' or 'not_null', got {kind!r}"
+            )
+        nullchecks.append((col, ice_by_name[col]["id"], kind))
 
     def _bounds_map(rec: dict, key: str) -> dict[int, bytes]:
         return {e["key"]: e["value"] for e in rec.get(key) or []}
@@ -1923,6 +2030,20 @@ def read_iceberg_table(
         """True if the file's recorded column bounds prove it disjoint
         from every requested range. Files written before stats were
         recorded (or with a stats-less column) are never pruned."""
+        if nullchecks:
+            nulls = {e["key"]: e["value"] for e in rec.get("null_value_counts") or []}
+            vals = {e["key"]: e["value"] for e in rec.get("value_counts") or []}
+            for _col, fid, kind in nullchecks:
+                if fid not in nulls:
+                    continue  # no stats recorded: keep the file
+                if kind == "is_null" and nulls[fid] == 0:
+                    return True
+                if (
+                    kind == "not_null"
+                    and fid in vals
+                    and nulls[fid] == vals[fid]
+                ):
+                    return True  # every value in the column is null
         if not ranges:
             return False
         lower = _bounds_map(rec, "lower_bounds")
@@ -2143,4 +2264,8 @@ def read_iceberg_table(
             out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             out = out.filter(F.col(col) <= F.lit(hi))
+    for col, _fid, kind in nullchecks:
+        out = out.filter(
+            F.col(col).isNull() if kind == "is_null" else F.col(col).isNotNull()
+        )
     return out

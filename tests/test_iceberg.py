@@ -1365,3 +1365,67 @@ def test_range_filter_exact_without_stats(spark, transcripts_df, tmp_path):
     I.rename_iceberg_column(loc, "turn_idx", "idx")
     got = I.read_iceberg_table(spark, loc, range_filter={"idx": (1, None)})
     assert got.count() == 1 and got.collect()[0]["idx"] == 1
+
+
+def test_null_count_file_pruning(spark, tmp_path):
+    """value_counts/null_value_counts (spec fields 109/110) power
+    IS NULL / IS NOT NULL file pruning: a no-null file is skipped for
+    is_null, an all-null file is skipped for not_null, mixed files are
+    row-filtered exactly."""
+    full = spark.createDataFrame(
+        [(f"c{i}", 0, "user", f"t{i}", f"tool_{i}") for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    allnull = spark.createDataFrame(
+        [(f"n{i}", 0, "user", f"t{i}", None) for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    mixed = spark.createDataFrame(
+        [(f"m{i}", 0, "user", f"t{i}", f"tool_{i}" if i % 2 else None)
+         for i in range(20)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    loc = str(tmp_path / "nulltbl")
+    I.write_iceberg_table(full.coalesce(1), loc)
+    I.append_iceberg_table(allnull.coalesce(1), loc)
+    I.append_iceberg_table(mixed.coalesce(1), loc)
+    files = I.live_data_files(loc)
+    assert len(files) == 3
+    for f in files:
+        assert {e["key"] for e in f["value_counts"]} == {1, 2, 3, 4, 5}
+        assert all(e["value"] == 20 for e in f["value_counts"])
+
+    isnull = I.read_iceberg_table(spark, loc, null_filter={"tool": "is_null"})
+    assert len(isnull.inputFiles()) == 2  # the no-null file never opened
+    assert isnull.count() == 20 + 10
+
+    notnull = I.read_iceberg_table(spark, loc, null_filter={"tool": "not_null"})
+    assert len(notnull.inputFiles()) == 2  # the all-null file never opened
+    assert notnull.count() == 20 + 10
+
+    with pytest.raises(ValueError, match="is_null"):
+        I.read_iceberg_table(spark, loc, null_filter={"tool": "nope"})
+    # composes with range_filter
+    both = I.read_iceberg_table(
+        spark, loc,
+        range_filter={"conv_id": ("m0", "mz")},
+        null_filter={"tool": "not_null"},
+    )
+    assert both.count() == 10
+
+
+def test_files_df_surfaces_column_stats(spark, transcripts_df, tmp_path):
+    """table$files analog exposes the decoded bounds and null counts by
+    column name (observability for pruning decisions)."""
+    import json as _json
+
+    loc = str(tmp_path / "statsmeta")
+    I.write_iceberg_table(transcripts_df.coalesce(1), loc)
+    row = I.files_df(spark, loc).collect()[0]
+    lower = _json.loads(row["lower_bounds_json"])
+    upper = _json.loads(row["upper_bounds_json"])
+    nulls = _json.loads(row["null_counts_json"])
+    assert lower["conv_id"] == "conv-a" and upper["conv_id"] == "conv-b"
+    assert lower["turn_idx"] == 0 and upper["turn_idx"] == 1
+    assert nulls["tool"] == 2 and nulls["conv_id"] == 0
+    assert lower["ts"].startswith("2024-01-01T00:00:00")
