@@ -277,3 +277,74 @@ GROUP BY 1, 2
 """
 
 QUERIES["q86_pack_documents"] = (q86_pack_documents, _Q86_SQL)
+
+
+# --------------------------------------------------------------------- q89
+# Packing budgeted in REAL BPE tokens (round 4): pack_documents with
+# token_expr = operators/bpe.bpe_token_count — the sequence assignment
+# cumsum runs over merge-table BPE counts, i.e. what a real trainer
+# sees, not whitespace tokens. The oracle recomputes BOTH layers: the
+# inlined-merges BPE count per document AND the bucketed cumsum
+# assignment, so drift in either hash-mismatches.
+
+_Q89_MAX_TOKENS = 256
+_Q89_BUCKETS = 8
+
+
+def q89_pack_documents_bpe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.bpe import bpe_token_count
+    from htrtf_spark.operators.sampling import pack_documents
+
+    d = t(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d, "doc_id", "text", max_tokens=_Q89_MAX_TOKENS,
+        n_buckets=_Q89_BUCKETS, token_expr=bpe_token_count("text"),
+    )
+    return (
+        packed.groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("id").alias("first_doc"),
+        )
+    )
+
+
+def _q89_sql() -> str:
+    from htrtf_spark.operators import bpe
+
+    sep = bpe.SEP
+    enc = bpe.merges_sql("w")
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         COALESCE(list_sum(list_transform(
+             list_filter(regexp_split_to_array(replace(text, '{sep}', ''), '\\s+'),
+                         x -> x <> ''),
+             w -> len(string_split({enc}, '{sep}{sep}')))), 0) AS n_tokens,
+         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_Q89_BUCKETS} + {_Q89_BUCKETS}) % {_Q89_BUCKETS} AS INTEGER)
+             AS bucket
+  FROM documents
+),
+c AS (
+  SELECT bucket, id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+  FROM d
+)
+SELECT bucket,
+       CAST(FLOOR(cum_before / {_Q89_MAX_TOKENS}) AS INTEGER) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(id) AS first_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+
+QUERIES["q89_pack_documents_bpe"] = (q89_pack_documents_bpe, _q89_sql())

@@ -769,6 +769,31 @@ def _norm_bound(v):
     return v
 
 
+# spec: string/binary bounds SHOULD be truncated (native Iceberg:
+# write.metadata.metrics.* default truncate(16)) — a manifest must not
+# carry megabyte text values per file
+_BOUND_TRUNC = 16
+
+
+def _truncate_lower(v: str) -> str:
+    return v[:_BOUND_TRUNC]
+
+
+def _truncate_upper(v: str) -> str | None:
+    """Valid UPPER bound ≤ 16 chars: the prefix with its last codepoint
+    incremented (spec "Truncate" for upper_bounds). Falls back to
+    shorter prefixes when a codepoint is at the maximum; None when no
+    valid truncation exists (bound omitted — prune simply skips)."""
+    if len(v) <= _BOUND_TRUNC:
+        return v
+    prefix = v[:_BOUND_TRUNC]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
 def _file_column_bounds(pf, ice_schema: dict) -> tuple[list[dict], list[dict]]:
     """Per-column lower/upper bounds of one parquet file, from its footer
     row-group statistics (no data page is read). Returned in the spec's
@@ -801,6 +826,16 @@ def _file_column_bounds(pf, ice_schema: dict) -> tuple[list[dict], list[dict]]:
             typ[fid] = f["type"]
             mins[fid] = st.min if fid not in mins else min(mins[fid], st.min)
             maxs[fid] = st.max if fid not in maxs else max(maxs[fid], st.max)
+    for fid in list(mins):
+        if typ[fid] == "string" and isinstance(mins[fid], str):
+            mins[fid] = _truncate_lower(mins[fid])
+    for fid in list(maxs):
+        if typ[fid] == "string" and isinstance(maxs[fid], str):
+            t = _truncate_upper(maxs[fid])
+            if t is None:
+                maxs.pop(fid)
+            else:
+                maxs[fid] = t
     lower = [
         {"key": fid, "value": enc}
         for fid, v in sorted(mins.items())

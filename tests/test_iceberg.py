@@ -1429,3 +1429,35 @@ def test_files_df_surfaces_column_stats(spark, transcripts_df, tmp_path):
     assert lower["turn_idx"] == 0 and upper["turn_idx"] == 1
     assert nulls["tool"] == 2 and nulls["conv_id"] == 0
     assert lower["ts"].startswith("2024-01-01T00:00:00")
+
+
+def test_string_bounds_truncated_but_valid(spark, tmp_path):
+    """String bounds are truncated to 16 chars in the manifests (a
+    manifest must not carry full text values) while remaining VALID
+    bounds: lower = prefix, upper = prefix with last codepoint
+    incremented — pruning on long strings stays exact."""
+    rows = [
+        ("conv-a", 0, "user", "aaaaaaaaaaaaaaaaaaaaaaaa-long-low"),
+        ("conv-b", 0, "user", "zzzzzzzzzzzzzzzzzzzzzzzz-long-high"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    loc = str(tmp_path / "trunctbl")
+    I.write_iceberg_table(df.coalesce(1), loc)
+    f = I.live_data_files(loc)[0]
+    lower = {e["key"]: e["value"] for e in f["lower_bounds"]}
+    upper = {e["key"]: e["value"] for e in f["upper_bounds"]}
+    lo = I._decode_bound(lower[4], "string")
+    hi = I._decode_bound(upper[4], "string")
+    assert len(lo) <= 16 and len(hi) <= 16
+    assert lo == "a" * 16
+    assert hi == "z" * 15 + "{"  # 'z'+1 — a true upper bound
+    for _cid, _ti, _r, text in rows:
+        assert lo <= text <= hi
+
+    # pruning with long-string range filters is still exact
+    got = I.read_iceberg_table(
+        spark, loc, range_filter={"text": ("a", "b")}
+    )
+    assert got.count() == 1 and got.collect()[0]["conv_id"] == "conv-a"
