@@ -549,8 +549,61 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # per-partition-field summaries (spec field 507): ordered like
+        # the manifest's spec fields; lets a reader skip a WHOLE
+        # manifest (never opened) when no partition can match — the
+        # second pruning tier above file-level pruning. default None:
+        # manifest lists rebuilt from pre-summary rows stay encodable.
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+                        ],
+                    },
+                },
+            ],
+            "field-id": 507,
+            "default": None,
+        },
     ],
 }
+
+
+def _partition_summaries(
+    files: list[dict], spec_fields: list[dict], ice_schema: dict
+) -> list[dict] | None:
+    """field_summary rows (contains_null, bounds) for one manifest's
+    data files, ordered like its spec fields."""
+    if not spec_fields:
+        return None
+    out = []
+    for pf in spec_fields:
+        ptype = _partition_value_type(pf, ice_schema)
+        vals = [f["partition"].get(pf["name"]) for f in files]
+        non_null = [v for v in vals if v is not None]
+        lo = hi = None
+        if non_null:
+            lo = _encode_bound(min(non_null), ptype)
+            hi = _encode_bound(max(non_null), ptype)
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": lo,
+                "upper_bound": hi,
+            }
+        )
+    return out
 
 _ADDED, _EXISTING, _DELETED = 1, 0, 2
 
@@ -1048,6 +1101,9 @@ def _commit(
                 "added_rows_count": sum(f["record_count"] for f in g_files),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": _partition_summaries(
+                    g_files, g_spec["fields"], ice_schema
+                ),
             }
         )
     prior_manifests: list[dict] = []
@@ -1892,10 +1948,20 @@ def snapshot_ids(location: str) -> list[int]:
     return [s["snapshot-id"] for s in current_metadata(location)["snapshots"]]
 
 
-def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]:
+def live_data_files(
+    location: str,
+    snapshot_id: int | None = None,
+    skip_manifest=None,
+) -> list[dict]:
     """Data-file records visible at a snapshot (default: current), each
     annotated with ``_spec_cols`` — the partition column names of the
-    manifest's spec (evolution-aware: per manifest, not per table)."""
+    manifest's spec (evolution-aware: per manifest, not per table).
+
+    ``skip_manifest(manifest_list_row) -> bool`` lets the caller skip a
+    whole manifest from its partition summaries (spec field 507) before
+    the manifest file is even opened — at 100 TB this is the difference
+    between listing thousands of manifests and opening the 3 whose
+    partition range can match."""
     meta = current_metadata(location)
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _find_snapshot(meta, sid)
@@ -1904,6 +1970,8 @@ def live_data_files(location: str, snapshot_id: int | None = None) -> list[dict]
     for m in manifests:
         if m.get("content", 0) != 0:
             continue  # delete manifests are listed by live_delete_files
+        if skip_manifest is not None and skip_manifest(m):
+            continue  # summary-proven: nothing in it can match
         _, mmeta, entries = avro_read(m["manifest_path"])
         spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
         write_fields = json.loads(mmeta.get("schema", "{}")).get("fields", [])
@@ -2133,8 +2201,49 @@ def read_iceberg_table(
         by_fid = {f["id"]: f["name"] for f in rec["_write_fields"]}
         return tuple((fid, by_fid.get(fid)) for fid in target_ids)
 
+    specs_by_id = {s["spec-id"]: s for s in meta["partition-specs"]}
+
+    def _skip_manifest(m: dict) -> bool:
+        """True if the manifest-list row's partition summaries (spec
+        field 507) prove no file inside can match the partition
+        filters — the manifest file is then never opened."""
+        if not filters:
+            return False
+        summaries = m.get("partitions")
+        spec = specs_by_id.get(m.get("partition_spec_id"))
+        if not summaries or spec is None:
+            return False  # pre-summary manifest (or unknown spec): open it
+        for pfield, summ in zip(spec["fields"], summaries):
+            s = ice_by_id.get(pfield["source-id"])
+            if s is None:
+                continue
+            ptype = _partition_value_type(pfield, ice_schema)
+            lo = _decode_bound(summ.get("lower_bound"), ptype)
+            hi = _decode_bound(summ.get("upper_bound"), ptype)
+            for flt in filters:
+                if flt["source"] != s["name"]:
+                    continue
+                if flt["kind"] == "value":
+                    want = {
+                        _transform_py(pfield["transform"], x, s["type"])
+                        for x in flt["values"]
+                    }
+                elif flt["transform"] == pfield["transform"]:
+                    want = flt["values"]
+                else:
+                    continue
+                possible = summ.get("contains_null", True) and None in want
+                non_null = [w for w in want if w is not None]
+                if non_null and lo is not None and hi is not None:
+                    possible = possible or any(lo <= w <= hi for w in non_null)
+                elif non_null and (lo is None or hi is None):
+                    possible = True  # no bounds recorded: cannot prove
+                if not possible:
+                    return True
+        return False
+
     groups: dict[tuple, list[str]] = {}
-    for rec in live_data_files(location, snapshot_id):
+    for rec in live_data_files(location, snapshot_id, _skip_manifest):
         if rec["_seq"] <= min_sequence_exclusive:
             continue  # incremental read: only files appended after
         # identity partition values materialize under the TARGET name of

@@ -1461,3 +1461,57 @@ def test_string_bounds_truncated_but_valid(spark, tmp_path):
         spark, loc, range_filter={"text": ("a", "b")}
     )
     assert got.count() == 1 and got.collect()[0]["conv_id"] == "conv-a"
+
+
+def test_manifest_partition_summaries_skip_whole_manifests(
+    spark, multiday_df, tmp_path, monkeypatch
+):
+    """Manifest-list field_summary rows (spec 507) let the reader skip a
+    whole manifest — proven by counting avro opens: filtering to days
+    covered only by commit 2 must never OPEN commit 1's manifest file."""
+    loc = str(tmp_path / "sumtbl")
+    half1 = multiday_df.filter("ts < timestamp'2024-01-03 00:00:00'")
+    half2 = multiday_df.filter("ts >= timestamp'2024-01-03 00:00:00'")
+    I.write_iceberg_table(half1, loc, partition_by=["days(ts)"])
+    I.append_iceberg_table(half2, loc, partition_by=["days(ts)"])
+
+    meta = I.current_metadata(loc)
+    snap = I._find_snapshot(meta, meta["current-snapshot-id"])
+    _, _, manifests = I.avro_read(snap["manifest-list"])
+    assert len(manifests) == 2
+    assert all(m["partitions"] for m in manifests)
+
+    opened = []
+    real_avro_read = I.avro_read
+
+    def counting_read(path):
+        opened.append(path)
+        return real_avro_read(path)
+
+    import datetime as dt
+    monkeypatch.setattr(I, "avro_read", counting_read)
+    got = I.read_iceberg_table(
+        spark, loc, partition_filter={"days(ts)": [dt.date(2024, 1, 3)]}
+    )
+    n = got.count()
+    monkeypatch.setattr(I, "avro_read", real_avro_read)
+
+    manifest_paths = {m["manifest_path"] for m in manifests}
+    opened_manifests = set(opened) & manifest_paths
+    assert len(opened_manifests) == 1  # commit-1 manifest never opened
+    want = multiday_df.filter("CAST(ts AS DATE) = DATE'2024-01-03'").count()
+    assert n == want and n > 0
+
+    # a value filter on the SOURCE column prunes through the transform
+    opened.clear()
+    monkeypatch.setattr(I, "avro_read", counting_read)
+    got2 = I.read_iceberg_table(
+        spark, loc,
+        partition_filter={"ts": [dt.datetime(2024, 1, 1, 8, 0, 0)]},
+    )
+    n2 = got2.count()
+    monkeypatch.setattr(I, "avro_read", real_avro_read)
+    assert len(set(opened) & manifest_paths) == 1  # only commit 1 opened
+    assert n2 == multiday_df.filter(
+        "ts = timestamp'2024-01-01 08:00:00'"
+    ).count() and n2 == 1
