@@ -124,3 +124,84 @@ def merges_sql(word_expr: str, merges: list[tuple[str, str]] | None = None) -> s
             f"'{SEP}{left}{right}{SEP}')"
         )
     return enc
+
+
+def bpe_token_counts_udf(
+    df: DataFrame, id_col: str, text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(id, n_bpe_tokens) via an Arrow-batched pandas stage — the
+    LARGE-VOCAB path: expression chains stop being practical around a
+    few hundred merges, while this form takes a full production merge
+    table (tens of thousands of rules) broadcast once per executor.
+
+    Output is identical to ``bpe_token_counts`` for any merge table
+    (parity-tested). Not per-row Python in the harmful sense: batches
+    cross via Arrow, the merge loop runs per DISTINCT word with a
+    per-batch memo (natural-language word frequency makes the memo hit
+    rate high), and a substring quick-reject skips rules whose symbols
+    cannot occur in the word."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    merges = DEFAULT_MERGES if merges is None else merges
+    # split EXACTLY like the expression path's Java \s+ (ASCII class,
+    # incl. \x0b) — python str.split() is unicode-whitespace and would
+    # diverge on e.g. non-breaking space
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")
+    spark = df.sparkSession
+    b_merges = spark.sparkContext.broadcast(list(merges))
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bpe_tokens", T.IntegerType(), False),
+        ]
+    )
+
+    def _encode_len(word: str, rules: list[tuple[str, str]]) -> int:
+        toks = list(word)
+        for left, right in rules:
+            if left not in word or right not in word:
+                # a merged pair's symbols are substrings of the word;
+                # cheap reject skips most of a big table
+                continue
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                if i + 1 < n and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    def _batches(it):
+        rules = b_merges.value
+        memo: dict[str, int] = {}
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            counts = []
+            for t in texts:
+                total = 0
+                for w in ws.split(t.replace(SEP, "")):
+                    if not w:
+                        continue
+                    c = memo.get(w)
+                    if c is None:
+                        c = _encode_len(w, rules)
+                        memo[w] = c
+                    total += c
+                counts.append(total)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_bpe_tokens": counts}
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(_batches, schema=out_schema)
+        .withColumnRenamed(id_col, "id")
+    )

@@ -19,9 +19,45 @@ deletes visible at the processed snapshot do apply to the new window.
 
 from __future__ import annotations
 
+import json
+import time
+
 from pyspark.sql import SparkSession
 
 SOURCE_SNAPSHOT_PROP = "htrtf.source.last-snapshot-id"
+TICK_METRICS_PROP = "htrtf.tick.last-metrics"
+
+
+def tick_metrics(dest_loc: str) -> dict | None:
+    """The last tick's persisted throughput metrics (rows, wall_sec,
+    rows_per_sec, processed_snapshot), or None if no tick has recorded
+    them yet. Written via a follow-up property commit AFTER the data
+    commit — the exactly-once MARKER is atomic with the data; metrics
+    are observability and may lag one tick after a crash (documented
+    tradeoff, same as native engines' metrics reporters)."""
+    from htrtf_spark.sources.iceberg import current_metadata
+
+    props = current_metadata(dest_loc).get("properties", {})
+    raw = props.get(TICK_METRICS_PROP)
+    return json.loads(raw) if raw else None
+
+
+def _record_metrics(dest_loc: str, processed: int, rows: int, wall: float) -> None:
+    from htrtf_spark.sources.iceberg import set_table_properties
+
+    set_table_properties(
+        dest_loc,
+        {
+            TICK_METRICS_PROP: json.dumps(
+                {
+                    "processed_snapshot": processed,
+                    "rows": rows,
+                    "wall_sec": round(wall, 3),
+                    "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+                }
+            )
+        },
+    )
 
 
 def extract_increment_once(
@@ -47,6 +83,7 @@ def extract_increment_once(
 
     src_meta = current_metadata(source_loc)
     cur = src_meta["current-snapshot-id"]
+    t0 = time.monotonic()
 
     if not table_exists(dest_loc):
         # first tick: full load of the pinned current snapshot; the
@@ -57,11 +94,9 @@ def extract_increment_once(
         write_iceberg_table(
             out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}
         )
-        return {
-            "processed_snapshot": cur,
-            "rows": _committed_added_records(dest_loc),
-            "noop": False,
-        }
+        rows = _committed_added_records(dest_loc)
+        _record_metrics(dest_loc, cur, rows, time.monotonic() - t0)
+        return {"processed_snapshot": cur, "rows": rows, "noop": False}
 
     props = current_metadata(dest_loc).get("properties", {})
     if SOURCE_SNAPSHOT_PROP not in props:
@@ -85,11 +120,9 @@ def extract_increment_once(
     # report rows from the committed snapshot's summary — out.count()
     # here would re-run the whole incremental read + extraction a
     # second time per tick (pure cost; the commit already counted)
-    return {
-        "processed_snapshot": cur,
-        "rows": _committed_added_records(dest_loc),
-        "noop": False,
-    }
+    rows = _committed_added_records(dest_loc)
+    _record_metrics(dest_loc, cur, rows, time.monotonic() - t0)
+    return {"processed_snapshot": cur, "rows": rows, "noop": False}
 
 
 def _committed_added_records(dest_loc: str) -> int:

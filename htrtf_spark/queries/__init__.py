@@ -57,6 +57,7 @@ _RUN_FIRST = [
     # new this round (round 4): no driver row exists yet
     "q87_iceberg_stats_pruned_window",
     "q89_pack_documents_bpe",
+    "q90_incremental_stats_window",
     "q88_bpe_token_counts",
     "q83b_incremental_dedup_persisted",
     # stale driver rows: these 36 were last recorded in CORRECTNESS_r02

@@ -734,3 +734,76 @@ QUERIES["q87_iceberg_stats_pruned_window"] = (
     q87_iceberg_stats_pruned_window,
     _Q87_SQL,
 )
+
+
+# --------------------------------------------------------------------- q90
+# Incremental scan × column-stats pruning (round 4): the continuous-
+# ingest tick's realistic read — only data files appended AFTER the
+# last processed snapshot (sequence-window manifest pruning, q84) AND
+# only those whose recorded ts bounds overlap the requested window
+# (column-stats pruning, q87), composed in one read_iceberg_increment
+# call. Batch 2 is range-clustered on ts before the append so both
+# tiers actually bite. The oracle restates day-cut + ts-window in SQL.
+
+_Q90_CUT = "2024-01-15"
+_Q90_LO = "2024-01-20 00:00:00"
+_Q90_HI = "2024-01-24 23:59:59"
+
+
+def q90_incremental_stats_window(spark, sf_dir):
+    import datetime as dt
+    import tempfile
+
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        read_iceberg_increment,
+        write_iceberg_table,
+    )
+
+    tr = events_as_transcripts(spark, sf_dir)
+    cut = F.lit(_Q90_CUT).cast("date")
+    loc = os.path.join(
+        tempfile.mkdtemp(prefix="htrtf_iceberg_incrw_"), "transcripts"
+    )
+    s1 = write_iceberg_table(tr.filter(F.to_date("ts") <= cut), loc)
+    append_iceberg_table(
+        tr.filter(F.to_date("ts") > cut).repartitionByRange(6, "ts"), loc
+    )
+    inc = read_iceberg_increment(
+        spark, loc, from_snapshot_id=s1,
+        range_filter={
+            "ts": (
+                dt.datetime.fromisoformat(_Q90_LO),
+                dt.datetime.fromisoformat(_Q90_HI),
+            )
+        },
+    )
+    return extract_turns(inc, num_partitions=None, check_schema=True)
+
+
+_Q90_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
+             AS role,
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, 'plain' AS mode,
+       {{clean}} AS extracted_text,
+       CAST(length({{clean}}) AS INTEGER) AS n_chars,
+       CASE WHEN {{clean}} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM tr
+WHERE CAST(ts AS DATE) > DATE '{_Q90_CUT}'
+  AND ts BETWEEN TIMESTAMP '{_Q90_LO}' AND TIMESTAMP '{_Q90_HI}'
+""".format(clean=clean_sql("text"))
+
+
+QUERIES["q90_incremental_stats_window"] = (
+    q90_incremental_stats_window,
+    _Q90_SQL,
+)

@@ -204,3 +204,22 @@ def test_run_dedup_ingest_job_cli(spark, tmp_path):
     assert got.count() == 6
     assert got.filter("id = '11'").count() == 1
     assert got.filter("id = '10'").count() == 0
+
+
+def test_tick_metrics_persisted(spark, tmp_path, src_table):
+    """Each non-noop tick persists its throughput metrics alongside the
+    output table (north-star lineage/metrics contract); noop ticks keep
+    the previous record."""
+    from htrtf_spark.plans.incremental import extract_increment_once, tick_metrics
+
+    src, _df = src_table
+    dest = str(tmp_path / "dest_m")
+    r1 = extract_increment_once(spark, src, dest)
+    m1 = tick_metrics(dest)
+    assert m1 is not None
+    assert m1["rows"] == r1["rows"] == 3
+    assert m1["processed_snapshot"] == r1["processed_snapshot"]
+    assert m1["wall_sec"] > 0 and m1["rows_per_sec"] > 0
+
+    r2 = extract_increment_once(spark, src, dest)  # noop
+    assert r2["noop"] and tick_metrics(dest) == m1

@@ -821,3 +821,26 @@ def test_pack_documents_with_bpe_token_expr(spark, docs):
         for r in bpe.bpe_token_counts(docs, "doc_id", "text").collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_bpe_udf_path_matches_expression_chain(spark, docs):
+    """The large-vocab Arrow-UDF BPE must equal the expression-chain
+    form exactly — same merge table, same counts — including on texts
+    with repeats and whitespace edge cases."""
+    from htrtf_spark.operators import bpe
+
+    extra = spark.createDataFrame(
+        [(100, "the the the aaaaaa"), (101, ""), (102, "   x   "),
+         (103, "a\u00a0b"), (104, "a\x0bb")],  # NBSP is NOT \s; \x0b IS
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(extra)
+    expr = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(d, "doc_id", "text").collect()
+    }
+    udf = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts_udf(d, "doc_id", "text").collect()
+    }
+    assert expr == udf and len(expr) == 11
