@@ -1152,6 +1152,20 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             for r in I.read_iceberg_table(spark, loc).collect()
         )
         assert got == sorted(model.items())
+        # a stats-pruned range read over a random k window must equal
+        # the model's own slice — pruning composes with every op mix
+        if model:
+            lo = rng.choice(sorted(model))
+            hi = lo + rng.randint(0, 5)
+            got_rng = sorted(
+                (r["k"], r["v"])
+                for r in I.read_iceberg_table(
+                    spark, loc, range_filter={"k": (lo, hi)}
+                ).collect()
+            )
+            assert got_rng == sorted(
+                (k, v) for k, v in model.items() if lo <= k <= hi
+            )
 
     check()
     for _step in range(10):
