@@ -1795,6 +1795,93 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
             meta = current_metadata(location)
 
 
+def remove_orphan_files(
+    location: str, grace_seconds: float = 86400.0
+) -> list[str]:
+    """Delete files under the table location referenced by NO snapshot
+    (Iceberg's remove-orphan-files maintenance): a write that crashed
+    between its distributed data write and its metadata commit leaves
+    whole commit-/delete- directories on disk forever otherwise. Only
+    files older than ``grace_seconds`` are removed — a racing in-flight
+    commit's files are younger than any sane grace period (the same
+    default-3-day contract as the native procedure; tests pass 0).
+    Metadata JSON/version files are never touched. Returns the removed
+    paths."""
+    meta = current_metadata(location)
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        referenced.add(os.path.abspath(s["manifest-list"]))
+        _, _, mans = avro_read(s["manifest-list"])
+        for m in mans:
+            referenced.add(os.path.abspath(m["manifest_path"]))
+            _, _, entries = avro_read(m["manifest_path"])
+            for e in entries:
+                referenced.add(os.path.abspath(e["data_file"]["file_path"]))
+
+    cutoff = time.time() - grace_seconds
+    removed: list[str] = []
+    roots = [os.path.join(location, "data")]
+    for root in roots:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.abspath(os.path.join(dirpath, f))
+                if p in referenced:
+                    continue
+                if f in ("_SUCCESS",) or f.startswith("."):
+                    # writer sidecars live next to referenced files;
+                    # only reap them when their whole dir is orphaned
+                    if any(
+                        os.path.abspath(os.path.join(dirpath, g)) in referenced
+                        for g in os.listdir(dirpath)
+                    ):
+                        continue
+                if os.path.getmtime(p) > cutoff:
+                    continue
+                os.remove(p)
+                removed.append(p)
+    # unreferenced avro in metadata/ (crashed mid-commit manifests);
+    # *.json and version-hint are the commit log itself — never touched
+    meta_dir = _meta_dir(location)
+    for f in os.listdir(meta_dir):
+        if not f.endswith(".avro"):
+            continue
+        p = os.path.abspath(os.path.join(meta_dir, f))
+        if p in referenced or os.path.getmtime(p) > cutoff:
+            continue
+        os.remove(p)
+        removed.append(p)
+    # prune now-empty orphan commit dirs
+    for root in roots:
+        for dirpath, dirs, files in os.walk(root, topdown=False):
+            if dirpath != root and not dirs and not files:
+                os.rmdir(dirpath)
+    return sorted(removed)
+
+
+def rollback_to_snapshot(location: str, snapshot_id: int) -> None:
+    """Point the table back at an earlier EXISTING snapshot (Iceberg's
+    rollback): metadata-only — current-snapshot-id moves, the snapshot
+    log records the rollback, no file is touched, and later snapshots
+    remain time-travelable until expire_snapshots. Appends after a
+    rollback build on the rolled-back state (fresh, still-monotonic
+    sequence numbers)."""
+    while True:
+        meta = current_metadata(location)
+        _find_snapshot(meta, snapshot_id)  # must exist
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = snapshot_id
+        now_ms = int(time.time() * 1000)
+        new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return
+        except CommitConflict:
+            continue
+
+
 # ------------------------------------------------------------------ read
 def _schema_by_id(meta: dict, schema_id: int) -> dict:
     for s in meta["schemas"]:

@@ -1529,3 +1529,64 @@ def test_manifest_partition_summaries_skip_whole_manifests(
     assert n2 == multiday_df.filter(
         "ts = timestamp'2024-01-01 08:00:00'"
     ).count() and n2 == 1
+
+
+def test_remove_orphan_files(spark, transcripts_df, tmp_path):
+    """Files from a write that crashed before its metadata commit are
+    reaped; every referenced file (any snapshot, incl. time travel)
+    survives; young orphans inside the grace window survive."""
+    loc = str(tmp_path / "orphtbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    I.append_iceberg_table(transcripts_df, loc)
+
+    # crashed write: data files exist, no commit references them
+    ice_schema = I._schema_by_id(
+        I.current_metadata(loc), I.current_metadata(loc)["current-schema-id"]
+    )
+    orphans = I._write_data_files(
+        transcripts_df, loc, seq=99, ice_schema=ice_schema
+    )
+    orphan_paths = {o["file_path"] for o in orphans}
+    # crashed mid-commit manifest
+    stray = os.path.join(loc, "metadata", "manifest-99999-deadbeef.avro")
+    with open(stray, "wb") as fh:
+        fh.write(b"not a real manifest")
+
+    # inside the grace window: nothing is removed
+    assert I.remove_orphan_files(loc, grace_seconds=3600) == []
+
+    removed = set(I.remove_orphan_files(loc, grace_seconds=-1))
+    assert orphan_paths <= removed
+    assert os.path.abspath(stray) in removed
+    # table fully intact, both snapshots
+    assert I.read_iceberg_table(spark, loc).count() == 6
+    assert I.read_iceberg_table(spark, loc, snapshot_id=s1).count() == 3
+    # idempotent
+    assert I.remove_orphan_files(loc, grace_seconds=-1) == []
+
+
+def test_rollback_to_snapshot(spark, transcripts_df, tmp_path):
+    """Metadata-only rollback: reads return the rolled-back state, the
+    later snapshot stays time-travelable, and appends after rollback
+    build on the rolled-back state."""
+    loc = str(tmp_path / "rbtbl")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-v2"))
+    )
+    s2 = I.append_iceberg_table(extra, loc)
+    assert I.read_iceberg_table(spark, loc).count() == 6
+
+    I.rollback_to_snapshot(loc, s1)
+    assert I.read_iceberg_table(spark, loc).count() == 3
+    # the rolled-back-over snapshot is still time-travelable
+    assert I.read_iceberg_table(spark, loc, snapshot_id=s2).count() == 6
+
+    # appends after rollback build on the rolled-back state
+    I.append_iceberg_table(extra.limit(1), loc)
+    got = I.read_iceberg_table(spark, loc)
+    assert got.count() == 4
+    assert got.filter("conv_id LIKE '%-v2'").count() == 1
+
+    with pytest.raises(KeyError):
+        I.rollback_to_snapshot(loc, 999)
