@@ -807,3 +807,78 @@ QUERIES["q90_incremental_stats_window"] = (
     q90_incremental_stats_window,
     _Q90_SQL,
 )
+
+
+# --------------------------------------------------------------------- q91
+# The streaming SOURCE end-to-end (round 4): transcripts written to
+# Iceberg in TWO commits, consumed through
+# readStream.format("htrtf_iceberg") in TWO availableNow runs against
+# one checkpoint — run 1 sees commit 1, run 2 sees exactly the
+# increment (snapshot-sequence offsets; no overlap, no loss) — then
+# extraction over the union. The oracle is the full-table reshape +
+# extraction: any duplicate or dropped micro-batch row hash-mismatches.
+
+def q91_streaming_source_extract(spark, sf_dir):
+    import tempfile
+
+    from htrtf_spark.sources import iceberg_stream
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        write_iceberg_table,
+    )
+
+    iceberg_stream.register(spark)
+    base = tempfile.mkdtemp(prefix="htrtf_iceberg_stream_")
+    loc = os.path.join(base, "transcripts")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    tr = events_as_transcripts(spark, sf_dir)
+    cut = F.lit(_Q84_CUT).cast("date")
+    write_iceberg_table(tr.filter(F.to_date("ts") <= cut), loc)
+
+    def drain():
+        q = (
+            spark.readStream.format("htrtf_iceberg")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()                                             # batch 1
+    append_iceberg_table(tr.filter(F.to_date("ts") > cut), loc)
+    drain()                                             # the increment
+    return extract_turns(
+        spark.read.parquet(out), num_partitions=None, check_schema=True
+    )
+
+
+_Q91_SQL = f"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+              AS INTEGER) AS turn_idx,
+         ['user','assistant','system','tool'][CAST(((event_id % 4) + 4) % 4 AS INTEGER) + 1]
+             AS role,
+         concat_ws(' ', event_type, 'value', CAST(value AS VARCHAR), props) AS text,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, role, 'plain' AS mode,
+       {{clean}} AS extracted_text,
+       CAST(length({{clean}}) AS INTEGER) AS n_chars,
+       CASE WHEN {{clean}} = ''
+            THEN 'empty_after_clean' END AS reject_reason
+FROM tr
+""".format(clean=clean_sql("text"))
+
+
+QUERIES["q91_streaming_source_extract"] = (
+    q91_streaming_source_extract,
+    _Q91_SQL,
+)
