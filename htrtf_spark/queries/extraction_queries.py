@@ -882,3 +882,81 @@ QUERIES["q91_streaming_source_extract"] = (
     q91_streaming_source_extract,
     _Q91_SQL,
 )
+
+
+# --------------------------------------------------------------------- q92
+# Layout-aware line segmentation (north-star stage; operators/layout).
+# Documents are turned into positioned text BLOCKS on a deterministic
+# two-column grid (word i → x=(i%8)*125, y=(i//8)*20, w=100, h=16 —
+# i%8>=4 lands in the right column), then reading order is recovered:
+# column by x-center, line by dense-ranked y-bin, left-to-right within
+# a line, column-major document assembly. The oracle restates the grid
+# AND the full segmentation rule; any drift in column/line/order logic
+# hash-mismatches on doc_text.
+
+
+def q92_layout_segmentation(spark, sf_dir):
+    from htrtf_spark.operators.layout import assemble_documents
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("i", "w"),
+    )
+    blocks = words.select(
+        "doc_id",
+        F.col("i").alias("block_id"),
+        ((F.col("i") % 8) * 125).cast("double").alias("x"),
+        ((F.floor(F.col("i") / 8)) * 20).cast("double").alias("y"),
+        F.lit(100.0).alias("w_box"),
+        F.lit(16.0).alias("h"),
+        F.col("w").alias("text"),
+    ).withColumnRenamed("w_box", "w")
+    return assemble_documents(blocks).orderBy("doc_id")
+
+
+_Q92_SQL = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+blocks AS (
+  SELECT d.doc_id,
+         g.i - 1 AS block_id,
+         ((g.i - 1) % 8) * 125 AS x,
+         ((g.i - 1) // 8) * 20 AS y,
+         d.words[g.i] AS w
+  FROM ws d
+  JOIN generate_series(1, 100000) g(i) ON g.i <= len(d.words)
+),
+cols AS (
+  SELECT doc_id, block_id, x, w,
+         CASE WHEN (x + 50) >= 500 THEN 1 ELSE 0 END AS col_idx,
+         CAST(FLOOR((y + 8) / 20) AS BIGINT) AS ybin
+  FROM blocks
+),
+lined AS (
+  SELECT doc_id, col_idx, x, block_id, w,
+         DENSE_RANK() OVER (PARTITION BY doc_id, col_idx ORDER BY ybin) - 1
+             AS line_idx
+  FROM cols
+),
+lines_ AS (
+  SELECT doc_id, col_idx, line_idx,
+         string_agg(w, ' ' ORDER BY x, block_id) AS line_text
+  FROM lined
+  GROUP BY doc_id, col_idx, line_idx
+)
+SELECT doc_id,
+       string_agg(line_text, chr(10) ORDER BY col_idx, line_idx) AS doc_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT col_idx) AS BIGINT) AS n_cols
+FROM lines_
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["q92_layout_segmentation"] = (q92_layout_segmentation, _Q92_SQL)

@@ -844,3 +844,52 @@ def test_bpe_udf_path_matches_expression_chain(spark, docs):
         for r in bpe.bpe_token_counts_udf(d, "doc_id", "text").collect()
     }
     assert expr == udf and len(expr) == 11
+
+
+def test_layout_reading_order_semantics(spark):
+    """Handcrafted two-column page: column by x-center, line grouping
+    by y-bin dense rank (gaps collapse), left-to-right in a line,
+    column-major document assembly."""
+    from htrtf_spark.operators.layout import (
+        assemble_documents,
+        assemble_lines,
+        reading_order,
+    )
+
+    blocks = [
+        # left column, line 0 (y bin 0), deliberately out of x order
+        (1, 0, 130.0, 2.0, 100.0, 16.0, "left0b"),
+        (1, 1, 0.0, 0.0, 100.0, 16.0, "left0a"),
+        # left column, next line after a GAP (y bin 5 → dense rank 1)
+        (1, 2, 0.0, 100.0, 100.0, 16.0, "left1"),
+        # right column, one line
+        (1, 3, 600.0, 0.0, 100.0, 16.0, "right0a"),
+        (1, 4, 760.0, 3.0, 100.0, 16.0, "right0b"),
+        # a second doc, single block
+        (2, 0, 10.0, 10.0, 50.0, 10.0, "solo"),
+    ]
+    df = spark.createDataFrame(
+        blocks,
+        "doc_id long, block_id int, x double, y double, w double, "
+        "h double, text string",
+    )
+    ro = {
+        (r["doc_id"], r["block_id"]): (r["col_idx"], r["line_idx"], r["order_idx"])
+        for r in reading_order(df).collect()
+    }
+    assert ro[(1, 1)] == (0, 0, 0) and ro[(1, 0)] == (0, 0, 1)
+    assert ro[(1, 2)] == (0, 1, 2)      # gap collapsed to line 1
+    assert ro[(1, 3)][0] == 1 and ro[(1, 3)][2] == 3
+    assert ro[(1, 4)][2] == 4
+
+    lines = {
+        (r["doc_id"], r["col_idx"], r["line_idx"]): r["line_text"]
+        for r in assemble_lines(df).collect()
+    }
+    assert lines[(1, 0, 0)] == "left0a left0b"
+    assert lines[(1, 1, 0)] == "right0a right0b"
+
+    docs = {r["doc_id"]: r for r in assemble_documents(df).collect()}
+    assert docs[1]["doc_text"] == "left0a left0b\nleft1\nright0a right0b"
+    assert docs[1]["n_lines"] == 3 and docs[1]["n_cols"] == 2
+    assert docs[2]["doc_text"] == "solo" and docs[2]["n_cols"] == 1
