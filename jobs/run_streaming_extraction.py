@@ -1,0 +1,111 @@
+"""spark-submit job: CONTINUOUS Iceberg-to-Iceberg extraction as one
+Structured Streaming query — the north-star pipeline in streaming form.
+
+source:  readStream.format("htrtf_iceberg")  (snapshot-sequence
+         offsets; each micro-batch = exactly the newly appended files)
+stages:  the same vectorized Arrow extraction as the batch path
+sink:    exactly-once Iceberg appends (batch-id property committed
+         atomically with the data)
+
+Offsets live in the query checkpoint; the sink's batch-id guard makes
+the replayed boundary batch idempotent — together: exactly-once from
+table to table across restarts. Run with --available-now for a
+drain-and-exit tick (cron form), without it for a long-lived query.
+
+    spark-submit --py-files htrtf_spark.zip \
+        jobs/run_streaming_extraction.py \
+        --source /warehouse/transcripts --dest /warehouse/extracted \
+        --checkpoint /warehouse/_ckpt/extract --available-now
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
+                available_now: bool = True):
+    from htrtf_spark.sources import iceberg_stream
+    from htrtf_spark.streaming.extract_stream import stream_extract
+
+    iceberg_stream.register(spark)
+    src = (
+        spark.readStream.format("htrtf_iceberg")
+        .option("location", source_loc)
+        .load()
+    )
+    return stream_to_iceberg_trigger(
+        stream_extract(src), dest_loc, checkpoint, available_now
+    )
+
+
+def stream_to_iceberg_trigger(df, location, checkpoint_dir, available_now):
+    """stream_to_iceberg with an availableNow trigger option (drain
+    ticks); same exactly-once batch-id guard."""
+    from htrtf_spark.streaming.extract_stream import _BATCH_PROP
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        current_metadata,
+        table_exists,
+        write_iceberg_table,
+    )
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        if not table_exists(location):
+            write_iceberg_table(
+                batch_df, location, properties={_BATCH_PROP: str(batch_id)}
+            )
+            return
+        meta = current_metadata(location)
+        last = int(meta.get("properties", {}).get(_BATCH_PROP, "-1"))
+        if batch_id <= last:
+            return
+        append_iceberg_table(
+            batch_df, location, properties={_BATCH_PROP: str(batch_id)}
+        )
+
+    w = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("iceberg_to_iceberg_extraction")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain everything committed so far, then exit")
+    p.add_argument("--timeout-sec", type=int, default=0,
+                   help="await at most this long (0 = forever)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    owned = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    q = build_query(
+        spark, args.source, args.dest, args.checkpoint,
+        available_now=args.available_now,
+    )
+    if args.timeout_sec:
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+    else:
+        q.awaitTermination()
+    if owned:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -501,3 +501,59 @@ def test_iceberg_streaming_source_incremental_batches(spark, tmp_path):
 
     # schema surfaced from table metadata, ts is a real timestamp
     assert dict(got1.dtypes)["ts"].startswith("timestamp")
+
+
+def test_iceberg_to_iceberg_streaming_extraction_pipeline(spark, tmp_path):
+    """The full continuous pipeline (jobs/run_streaming_extraction):
+    htrtf_iceberg streaming source -> Arrow extraction -> exactly-once
+    Iceberg sink. Two source commits drained in two availableNow runs
+    against one checkpoint: the destination holds each turn's
+    extraction exactly once, equal to the batch path over the full
+    source."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.sources import iceberg as I
+    from jobs.run_streaming_extraction import build_query
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    batch1 = [("conv-a", 0, "user", "hello   world", None, "2024-01-01 00:00:00"),
+              ("conv-a", 1, "assistant", "hi there", None, "2024-01-01 00:00:01")]
+    batch2 = [("conv-b", 0, "user", "second  conv", "tool_x", "2024-01-01 00:01:00"),
+              ("conv-b", 1, "tool", "<div>x</div>", "tool_x", "2024-01-01 00:01:01")]
+
+    I.write_iceberg_table(mk(batch1), src)
+    q = build_query(spark, src, dest, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert I.read_iceberg_table(spark, dest).count() == 2
+
+    I.append_iceberg_table(mk(batch2), src)
+    q = build_query(spark, src, dest, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = I.read_iceberg_table(spark, dest)
+    assert got.count() == 4
+
+    # re-drain with nothing new: still 4 (no dup appends)
+    q = build_query(spark, src, dest, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert I.read_iceberg_table(spark, dest).count() == 4
+
+    # byte-parity with the batch extraction over the whole source
+    want = extract_turns(
+        I.read_iceberg_table(spark, src), num_partitions=None
+    )
+    g = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+         for r in got.collect()}
+    w = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+         for r in want.collect()}
+    assert g == w
