@@ -893,3 +893,51 @@ def test_layout_reading_order_semantics(spark):
     assert docs[1]["doc_text"] == "left0a left0b\nleft1\nright0a right0b"
     assert docs[1]["n_lines"] == 3 and docs[1]["n_cols"] == 2
     assert docs[2]["doc_text"] == "solo" and docs[2]["n_cols"] == 1
+
+
+def test_bpe_fuzz_expression_vs_reference(spark):
+    """Hypothesis fuzz: the expression-chain BPE equals the pure-python
+    reference scan on random texts over the merge alphabet (repeats,
+    chains, punctuation, multi-space)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from htrtf_spark.operators import bpe
+
+    def ref_encode(word):
+        toks = list(word)
+        for left, right in bpe.DEFAULT_MERGES:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    alphabet = "theinrandofgsmclupvw ., !?"
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=40),
+        min_size=1, max_size=16,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts)
+    def run(batch):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+        )
+        got = {
+            r["id"]: r["n_bpe_tokens"]
+            for r in bpe.bpe_token_counts(df, "doc_id", "text").collect()
+        }
+        want = {
+            i: sum(len(ref_encode(w)) for w in t.split(" ") if w)
+            for i, t in enumerate(batch)
+        }
+        assert got == want
+
+    run()
