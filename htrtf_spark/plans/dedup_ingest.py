@@ -209,3 +209,26 @@ def dedup_ingest_tick(
         "flagged_lsh": int(counts.get("lsh") or 0),
         "noop": False,
     }
+
+
+def maintain_index(spark: SparkSession, index_loc: str) -> dict:
+    """Periodic index maintenance: rewrite the band-index table with
+    DISTINCT rows in one replace snapshot. Crash-replayed ticks append
+    duplicate band rows (harmless for probes — they distinct — but
+    they accumulate storage and probe input); many small per-tick
+    appends also fragment the table. One overwrite dedupes and
+    compacts both. Stop rows (band_id = -1) are preserved."""
+    from htrtf_spark.sources.iceberg import (
+        overwrite_iceberg_table,
+        read_iceberg_table,
+    )
+
+    idx = read_iceberg_table(spark, index_loc)
+    before = idx.count()
+    distinct = idx.distinct()
+    overwrite_iceberg_table(
+        distinct.select("id", "band_id", "band_val"), index_loc
+    )
+    after = read_iceberg_table(spark, index_loc).count()
+    return {"rows_before": before, "rows_after": after,
+            "duplicates_removed": before - after}

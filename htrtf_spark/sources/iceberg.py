@@ -1689,6 +1689,63 @@ def upsert_iceberg_table(
 
 
 # ----------------------------------------------------------- maintenance
+def overwrite_iceberg_table(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """INSERT OVERWRITE: replace the table's visible rows with ``df``
+    in ONE snapshot (operation replace — the manifest list carries only
+    the new manifest; prior snapshots stay time-travelable until
+    expire). Schema must match. Same conflict rule as compaction: a
+    racing commit forces a redo of the data write against refreshed
+    metadata, so nothing committed in between is silently erased —
+    though its EFFECT is then overwritten, which is what OVERWRITE
+    means."""
+    meta = current_metadata(location)
+    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+    want = _spark_schema(ice_schema)
+    got = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
+    want_n = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in want.fields]
+    )
+    if got != want_n:
+        raise ValueError(
+            f"overwrite schema mismatch: table={want_n.simpleString()} "
+            f"df={got.simpleString()}"
+        )
+    while True:
+        specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+        if partition_by is None:
+            spec = specs[meta["default-spec-id"]]
+        else:
+            match = [
+                s for s in specs.values()
+                if [(f["name"], f["transform"]) for f in s["fields"]]
+                == [
+                    (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
+                    for c in partition_by
+                ]
+            ]
+            spec = match[0] if match else _make_spec(
+                ice_schema, list(partition_by), spec_id=max(specs) + 1
+            )
+        files = _write_data_files(
+            df, location, seq=meta["last-sequence-number"] + 1,
+            spec_fields=spec["fields"], ice_schema=ice_schema,
+        )
+        try:
+            return _commit(
+                location, ice_schema, files, prev_meta=meta, spec=spec,
+                carry_prior_manifests=False, properties=properties,
+            )
+        except CommitConflict:
+            meta = current_metadata(location)
+
+
 def compact_iceberg_table(
     spark: SparkSession, location: str, partition_by: list[str] | None = None
 ) -> int:

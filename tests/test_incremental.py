@@ -223,3 +223,64 @@ def test_tick_metrics_persisted(spark, tmp_path, src_table):
 
     r2 = extract_increment_once(spark, src, dest)  # noop
     assert r2["noop"] and tick_metrics(dest) == m1
+
+
+def test_index_maintenance_dedupes_replayed_rows(spark, tmp_path):
+    """maintain_index removes the duplicate band rows a crash-replayed
+    tick appends, in one replace snapshot, preserving probe behavior
+    and the persisted stop rows."""
+    from htrtf_spark.plans import dedup_ingest as DI
+    from htrtf_spark.sources import iceberg as I
+
+    corpus_loc, index_loc = str(tmp_path / "c"), str(tmp_path / "i")
+    docs = spark.createDataFrame(
+        [(i, f"corpus doc number {i} with shared body text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    DI.dedup_ingest_bootstrap(
+        spark, docs, corpus_loc, index_loc,
+        id_col="doc_id", text_col="text", max_doc_freq=3,
+    )
+    idx0 = I.read_iceberg_table(spark, index_loc)
+    n0 = idx0.count()
+    stop0 = idx0.filter("band_id = -1").count()
+    assert stop0 > 0
+
+    # simulate a crash-replayed append: duplicate every band row once
+    I.append_iceberg_table(idx0.filter("band_id >= 0"), index_loc)
+    assert I.read_iceberg_table(spark, index_loc).count() > n0
+
+    r = DI.maintain_index(spark, index_loc)
+    assert r["duplicates_removed"] > 0 and r["rows_after"] == n0
+    idx1 = I.read_iceberg_table(spark, index_loc)
+    assert idx1.filter("band_id = -1").count() == stop0
+    # probes still work against the maintained index
+    t1 = spark.createDataFrame(
+        [(50, "corpus doc number 2 with shared body text")],
+        "doc_id long, text string",
+    )
+    r1 = DI.dedup_ingest_tick(
+        spark, t1, corpus_loc, index_loc, batch_id="bx",
+        id_col="doc_id", text_col="text",
+    )
+    assert r1["flagged_exact"] == 1 and r1["accepted"] == 0
+
+
+def test_overwrite_iceberg_table(spark, tmp_path):
+    """INSERT OVERWRITE: one replace snapshot, prior snapshot still
+    time-travelable, schema mismatch refused."""
+    import pytest as _p
+
+    from htrtf_spark.sources import iceberg as I
+
+    loc = str(tmp_path / "ow")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    s1 = I.write_iceberg_table(df, loc)
+    repl = spark.createDataFrame([(9, "z")], "k long, v string")
+    I.overwrite_iceberg_table(repl, loc)
+    assert [tuple(r) for r in I.read_iceberg_table(spark, loc).collect()] == [(9, "z")]
+    assert I.read_iceberg_table(spark, loc, snapshot_id=s1).count() == 2
+    with _p.raises(ValueError, match="overwrite schema mismatch"):
+        I.overwrite_iceberg_table(
+            spark.createDataFrame([(1,)], "k long"), loc
+        )
