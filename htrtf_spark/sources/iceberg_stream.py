@@ -93,22 +93,29 @@ class IcebergStreamReader(DataSourceStreamReader):
             if not (lo < rec["_seq"] <= hi):
                 continue
             wmap = {f["id"]: f["name"] for f in rec["_write_fields"]}
-            part_cols = set()
-            part_vals = []
+            part_vals = {}
             for pfield in rec["_spec_fields"]:
                 if pfield["transform"] != "identity":
                     continue
-                s = ice_by_id.get(pfield["source-id"])
-                if s is not None:
-                    part_cols.add(s["name"])
-                    part_vals.append(
-                        (s["name"], rec["partition"].get(pfield["name"]))
+                src = ice_by_id.get(pfield["source-id"])
+                if src is not None:
+                    part_vals[src["name"]] = rec["partition"].get(
+                        pfield["name"]
                     )
+            # one entry per schema field IN SCHEMA ORDER — arrow batch
+            # columns map to the declared schema BY POSITION, so
+            # identity-partition columns must sit at their real slot,
+            # not be appended at the end
             col_map = []
             for f in ice_schema["fields"]:
-                if f["name"] in part_cols:
-                    continue
-                col_map.append((wmap.get(f["id"]), f["name"], f["type"]))
+                if f["name"] in part_vals:
+                    col_map.append(
+                        ("\x00const", f["name"], f["type"], part_vals[f["name"]])
+                    )
+                else:
+                    col_map.append(
+                        (wmap.get(f["id"]), f["name"], f["type"], None)
+                    )
             eq, pos = [], []
             for d in deletes:
                 if d["content"] == 2 and d["_seq"] > rec["_seq"]:
@@ -187,19 +194,19 @@ class IcebergStreamReader(DataSourceStreamReader):
             mask = [t not in keys for t in zip(*file_cols)]
             tbl = tbl.filter(pa.array(mask))
 
-        # field-id column resolution + identity partition values
+        # field-id column resolution; identity partition columns are
+        # materialized as TYPED constants at their schema position
         arrays, names = [], []
-        for wname, tname, ice_t in partition.col_map:
-            if wname is not None and wname in tbl.column_names:
+        for wname, tname, ice_t, const in partition.col_map:
+            at = _ICE_TO_ARROW(ice_t)
+            if wname == "\x00const":
+                arrays.append(pa.array([const] * tbl.num_rows, type=at))
+            elif wname is not None and wname in tbl.column_names:
                 arrays.append(tbl.column(wname))
             else:
-                arrays.append(pa.nulls(tbl.num_rows, type=_ICE_TO_ARROW(ice_t)))
+                arrays.append(pa.nulls(tbl.num_rows, type=at))
             names.append(tname)
         out = pa.table(dict(zip(names, arrays)))
-        for cname, val in partition.part_vals:
-            out = out.append_column(
-                cname, pa.array([val] * out.num_rows)
-            )
         return iter(out.to_batches())
 
 

@@ -557,3 +557,50 @@ def test_iceberg_to_iceberg_streaming_extraction_pipeline(spark, tmp_path):
     w = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
          for r in want.collect()}
     assert g == w
+
+
+def test_iceberg_streaming_source_identity_partitioned(spark, tmp_path):
+    """Identity-partitioned source table: partition values are
+    materialized as typed constants AT THEIR SCHEMA POSITION (arrow
+    batches map by position — the partition column here sits mid-
+    schema), and value pruning still yields exact streams."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.sources import iceberg as I
+    from htrtf_spark.sources import iceberg_stream
+
+    iceberg_stream.register(spark)
+    loc = str(tmp_path / "parttbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    rows = [("conv-a", 0, "user", "hello", None, "2024-01-01 00:00:00"),
+            ("conv-b", 0, "assistant", "world", "tool_x", "2024-01-01 00:01:00"),
+            ("conv-c", 0, "user", "third", None, "2024-01-01 00:02:00")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    I.write_iceberg_table(df, loc, partition_by=["role"])
+
+    q = (
+        spark.readStream.format("htrtf_iceberg")
+        .option("location", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.schema.fieldNames() == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ]
+    by_conv = {r["conv_id"]: (r["role"], r["text"], r["tool"])
+               for r in got.collect()}
+    assert by_conv == {
+        "conv-a": ("user", "hello", None),
+        "conv-b": ("assistant", "world", "tool_x"),
+        "conv-c": ("user", "third", None),
+    }
