@@ -217,7 +217,12 @@ def maintain_index(spark: SparkSession, index_loc: str) -> dict:
     duplicate band rows (harmless for probes — they distinct — but
     they accumulate storage and probe input); many small per-tick
     appends also fragment the table. One overwrite dedupes and
-    compacts both. Stop rows (band_id = -1) are preserved."""
+    compacts both. Stop rows (band_id = -1) are preserved.
+
+    NOT concurrency-safe with a running tick: the overwrite replaces
+    the table with the rows read at call time, so an index append
+    landing mid-maintenance would be dropped. Run it from the tick
+    scheduler's own loop (between ticks), like any table maintenance."""
     from htrtf_spark.sources.iceberg import (
         overwrite_iceberg_table,
         read_iceberg_table,

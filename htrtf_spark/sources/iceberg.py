@@ -867,6 +867,9 @@ def _file_column_bounds(pf, ice_schema: dict) -> tuple[list[dict], list[dict]]:
             f = by_name.get(name)
             if f is None or "." in name:
                 continue  # nested or non-schema column: no bound
+            if f["type"] == "binary":
+                continue  # unbounded payloads (media bytes) — a bound
+                # could be megabytes per file; no pruning value either
             st = col.statistics
             if st is None or not st.has_min_max:
                 # one stats-less row group blinds the whole file for
