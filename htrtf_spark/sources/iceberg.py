@@ -842,8 +842,14 @@ def _truncate_upper(v: str) -> str | None:
     prefix = v[:_BOUND_TRUNC]
     for i in range(len(prefix) - 1, -1, -1):
         cp = ord(prefix[i])
-        if cp < 0x10FFFF:
-            return prefix[:i] + chr(cp + 1)
+        if cp >= 0x10FFFF:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            # never mint a lone surrogate (unencodable in UTF-8);
+            # U+E000 is the next real codepoint and still an upper bound
+            nxt = 0xE000
+        return prefix[:i] + chr(nxt)
     return None
 
 

@@ -284,3 +284,47 @@ def test_overwrite_iceberg_table(spark, tmp_path):
         I.overwrite_iceberg_table(
             spark.createDataFrame([(1,)], "k long"), loc
         )
+
+
+def test_dedup_ingest_tick_all_duplicates(spark, tmp_path):
+    """A tick where EVERY candidate is a dup: zero-row appends still
+    commit, the batch marker still advances (replay is a no-op), and
+    the corpus is unchanged."""
+    from htrtf_spark.plans import dedup_ingest as DI
+    from htrtf_spark.sources import iceberg as I
+
+    corpus_loc, index_loc = str(tmp_path / "c"), str(tmp_path / "i")
+    docs = spark.createDataFrame(
+        [(i, f"unique seed document {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    DI.dedup_ingest_bootstrap(
+        spark, docs, corpus_loc, index_loc, id_col="doc_id", text_col="text"
+    )
+    dup_batch = spark.createDataFrame(
+        [(100, "unique seed document 1"), (101, "unique seed document 3")],
+        "doc_id long, text string",
+    )
+    r = DI.dedup_ingest_tick(
+        spark, dup_batch, corpus_loc, index_loc, batch_id="dups",
+        id_col="doc_id", text_col="text",
+    )
+    assert r["accepted"] == 0 and r["flagged_exact"] == 2
+    assert I.read_iceberg_table(spark, corpus_loc).count() == 4
+    r2 = DI.dedup_ingest_tick(
+        spark, dup_batch, corpus_loc, index_loc, batch_id="dups",
+        id_col="doc_id", text_col="text",
+    )
+    assert r2["noop"]
+
+
+def test_truncate_upper_surrogate_boundary():
+    """_truncate_upper never mints a lone surrogate: a U+D7FF at the
+    increment position jumps to U+E000 and stays a valid upper bound."""
+    from htrtf_spark.sources.iceberg import _BOUND_TRUNC, _truncate_upper
+
+    v = "a" * (_BOUND_TRUNC - 1) + "퟿" + "tail-beyond-truncation"
+    t = _truncate_upper(v)
+    assert t == "a" * (_BOUND_TRUNC - 1) + ""
+    assert t > v[:_BOUND_TRUNC] and len(t) <= _BOUND_TRUNC
+    t.encode("utf-8")  # must be encodable
