@@ -725,3 +725,52 @@ def connected_components(
     finally:
         sym.unpersist()
     return labels.select("id", F.col("label").alias("cluster_rep"))
+
+
+def benchmark_contamination(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    bench_id_col: str = "id",
+    bench_text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    min_shared: int = 2,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Train/test DECONTAMINATION: flag corpus documents that share at
+    least ``min_shared`` distinct word n-grams with any benchmark
+    document — the standard pre-training hygiene pass that keeps
+    evaluation sets out of the training corpus.
+
+    Returns (id, bench_id, shared_ngrams) — one row per contaminated
+    (corpus doc, benchmark doc) pair; anti-join the corpus against its
+    ``id`` column to drop contaminated docs.
+
+    Scale shape: the benchmark side is SMALL (thousands of eval docs vs
+    a 10^12-turn corpus), so its shingle table broadcasts and the probe
+    is a broadcast equi-join on the shingle — the corpus is scanned
+    once, never shuffled on text. The stop-shingle cap (corpus document
+    frequencies) drops boilerplate shingles that would otherwise flag
+    everything; it is applied to BOTH sides (the symmetric-cap rule)."""
+    raw = shingle_table(corpus_df, id_col, text_col, n, max_doc_freq=None)
+    if max_doc_freq is not None:
+        stop = corpus_stop_list(corpus_df, id_col, text_col, n, max_doc_freq)
+        corpus_g = _apply_stop_list(raw, stop)
+        bench_g = _apply_stop_list(
+            shingle_table(bench_df, bench_id_col, bench_text_col, n,
+                          max_doc_freq=None),
+            stop,
+        )
+    else:
+        corpus_g = raw
+        bench_g = shingle_table(
+            bench_df, bench_id_col, bench_text_col, n, max_doc_freq=None
+        )
+    bench_g = bench_g.select(F.col("id").alias("bench_id"), "ng")
+    return (
+        corpus_g.join(F.broadcast(bench_g), "ng")
+        .groupBy("id", "bench_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

@@ -60,6 +60,7 @@ _RUN_FIRST = [
     "q90_incremental_stats_window",
     "q91_streaming_source_extract",
     "q92_layout_segmentation",
+    "q93_benchmark_contamination",
     "q88_bpe_token_counts",
     "q83b_incremental_dedup_persisted",
     # stale driver rows: these 36 were last recorded in CORRECTNESS_r02

@@ -7,6 +7,7 @@ hashing (md5 strings + lexicographic MIN) in pure SQL.
 from __future__ import annotations
 
 from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from htrtf_spark.operators import dedup as D
 from htrtf_spark.queries.util import t
@@ -583,4 +584,79 @@ LEFT JOIN lsh_hit l ON l.id = d.doc_id
 QUERIES["q83b_incremental_dedup_persisted"] = (
     q83b_incremental_dedup_persisted,
     _Q83B_SQL,
+)
+
+
+# --------------------------------------------------------------------- q93
+# Train/test decontamination (round 4): flag corpus documents sharing
+# >= 2 distinct trigrams with a benchmark set (here: the first 12 words
+# of every 40th document — a deterministic eval-set stand-in). The
+# corpus-derived stop list is applied to BOTH sides (symmetric cap) and
+# the benchmark side broadcasts. The oracle restates shingling, the
+# shared stop list, and the pair count threshold.
+
+_Q93_MIN_SHARED = 2
+_Q93_CAP = 4
+
+
+def q93_benchmark_contamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter("doc_id % 40 = 0").select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(
+                F.filter(F.split("text", " "), lambda x: x != F.lit("")),
+                1, 12,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    out = D.benchmark_contamination(
+        d, bench, id_col="doc_id", text_col="text",
+        bench_id_col="bench_id", bench_text_col="text",
+        min_shared=_Q93_MIN_SHARED, max_doc_freq=_Q93_CAP,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "bench_id",
+        F.col("shared_ngrams").cast("long").alias("shared_ngrams"),
+    )
+
+
+_Q93_SQL = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(
+           list_filter(string_split(text, ' '), x -> x <> '')[1:12], ' '
+         ) AS text
+  FROM documents WHERE doc_id % 40 = 0
+),
+{_q83_grams("cg0", "documents")},
+bg0 AS (
+  SELECT bench_id AS id, unnest(ngs) AS ng FROM (
+    SELECT bench_id,
+           list_distinct(
+             CASE WHEN len(w) >= {_N}
+                  THEN [array_to_string(w[i:i+{_N - 1}], ' ')
+                        for i in generate_series(1, len(w) - {_N - 1})]
+                  ELSE [] END) AS ngs
+    FROM (SELECT bench_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM bench)
+  )
+),
+cstop AS (
+  SELECT ng FROM cg0 GROUP BY ng HAVING COUNT(*) > {_Q93_CAP}
+),
+cg AS (SELECT * FROM cg0 WHERE ng NOT IN (SELECT ng FROM cstop)),
+bg AS (SELECT * FROM bg0 WHERE ng NOT IN (SELECT ng FROM cstop))
+SELECT c.id AS doc_id, b.id AS bench_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM cg c JOIN bg b USING (ng)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_Q93_MIN_SHARED}
+"""
+
+QUERIES["q93_benchmark_contamination"] = (
+    q93_benchmark_contamination,
+    _Q93_SQL,
 )

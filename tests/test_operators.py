@@ -941,3 +941,39 @@ def test_bpe_fuzz_expression_vs_reference(spark):
         assert got == want
 
     run()
+
+
+def test_benchmark_contamination(spark):
+    """Decontamination: corpus docs sharing >= min_shared n-grams with
+    a benchmark doc are flagged (and only those); the corpus stop list
+    applies to BOTH sides so boilerplate shingles cannot flag."""
+    boiler = "all rights reserved worldwide"
+    corpus = spark.createDataFrame(
+        [(0, f"the quick brown fox jumps over the lazy dog {boiler}"),
+         (1, f"a completely different training document body {boiler}"),
+         (2, f"third item with its own unrelated content {boiler}"),
+         (3, f"the quick brown fox appears here too {boiler}"),
+         (4, f"benchmark question about world capitals and rivers {boiler}")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark question about world capitals"),
+         (101, "the quick brown fox")],
+        "bench_id long, text string",
+    )
+    got = {
+        (r["id"], r["bench_id"]): r["shared_ngrams"]
+        for r in dedup.benchmark_contamination(
+            corpus, bench, id_col="doc_id", text_col="text",
+            bench_id_col="bench_id", bench_text_col="text",
+            min_shared=2, max_doc_freq=4,
+        ).collect()
+    }
+    # doc 4 shares the benchmark question trigrams; docs 0/3 share
+    # "the quick brown (fox)" with bench 101
+    assert (4, 100) in got and got[(4, 100)] >= 2
+    assert (0, 101) in got and (3, 101) in got
+    assert all(k[0] in (0, 3, 4) for k in got)
+    # the boilerplate tail (df=5 > cap=4) flags nothing by itself:
+    # docs 1 and 2 are absent even though every doc shares the boiler
+    assert not any(k[0] in (1, 2) for k in got)
