@@ -346,3 +346,57 @@ def ivf_topk(
         "id", F.round(cosine(F.col("v"), q) * 10000).cast("long").alias("sim_bp")
     )
     return _ranked_topk(scored, k)
+
+
+def semantic_dedup_flags(
+    df,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    sim_threshold_bp: int = 9500,
+) -> "DataFrame":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster
+    flag a document as a semantic duplicate iff a LOWER-id document in
+    the same cluster has cosine similarity ≥ the threshold —
+    deterministic keep-first, the same tie rule as exact dedup.
+
+    Returns (id, cell, sem_dup, keep) for every input vector.
+
+    Scale shape: assignment is a narrow broadcast-centroid transform
+    (no shuffle); the duplicate test is a per-cell self-join — O(cell
+    size²) pairs — so ``len(centroids)`` must scale with the corpus
+    (SemDeDup's own design: more, smaller clusters at larger N; the
+    paper uses k ~ 10^4-10^5 at web scale). Cosines are rounded to
+    basis points so the keep decision is engine-portable."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.transform(cent_arr, lambda c: cosine(v, c))
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    assigned = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), cell.alias("cell")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim_bp = F.round(
+        cosine(F.col("a.v"), F.col("b.v")) * 10000
+    ).cast("long")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .select(F.col("a.id").alias("id"), sim_bp.alias("sim_bp"))
+        .filter(F.col("sim_bp") >= sim_threshold_bp)
+        .select("id")
+        .distinct()
+        .withColumn("sem_dup", F.lit(1))
+    )
+    out = assigned.join(dups, "id", "left").select(
+        "id",
+        "cell",
+        F.coalesce("sem_dup", F.lit(0)).alias("sem_dup"),
+    )
+    return out.withColumn("keep", (F.col("sem_dup") == 0).cast("int"))

@@ -61,6 +61,7 @@ _RUN_FIRST = [
     "q91_streaming_source_extract",
     "q92_layout_segmentation",
     "q93_benchmark_contamination",
+    "q94_semantic_dedup",
     "q88_bpe_token_counts",
     "q83b_incremental_dedup_persisted",
     # stale driver rows: these 36 were last recorded in CORRECTNESS_r02
@@ -108,7 +109,9 @@ _RUN_FIRST = [
     "q82_iceberg_day_partitioned",
     "q84_iceberg_incremental",
     "q67_iceberg_extract",
-    "q74_iceberg_dedup_apply",
+    # (q74 has a green r3 row and its machinery is covered by
+    # q67/q82/q84/q87/q90 current-code rows — trimmed to keep
+    # _RUN_FIRST within the driver's ~50-row recording budget)
 ]
 
 

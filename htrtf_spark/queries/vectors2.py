@@ -11,6 +11,8 @@ Recall-vs-brute-force is additionally tested in tests/test_operators.py.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from htrtf_spark.operators import multimodal, simsearch
 from htrtf_spark.operators.simsearch import _hyperplanes
 from htrtf_spark.queries.util import t
@@ -198,3 +200,75 @@ QUERIES = {
     "q42_multimodal_features": (q42_multimodal_features, _Q42_SQL),
     "q58_batch_cosine_topk": (q58_batch_cosine_topk, _Q58_SQL),
 }
+
+
+# --------------------------------------------------------------------- q94
+# SemDeDup-style semantic dedup (round 4; Abbas et al. 2023): assign
+# every embedding to its max-cosine centroid (first 8 vectors by id —
+# the q56 convention; ties broken to the lowest cell, matching
+# array_position's first-max), then flag a vector as a semantic dup iff
+# a LOWER-id same-cell vector has cosine >= 0.40 (keep-first). The
+# oracle recomputes assignment AND the pairwise keep rule; ~20 dup
+# pairs exist at both gate scales, so the dup path is exercised.
+
+_Q94_CELLS = 8
+_Q94_THR_BP = 4000
+
+
+def q94_semantic_dedup(spark, sf_dir):
+    from htrtf_spark.operators.simsearch import semantic_dedup_flags
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in e.orderBy("vec_id").limit(_Q94_CELLS).collect()
+    ]
+    return (
+        semantic_dedup_flags(
+            e, "vec_id", "v", cents, sim_threshold_bp=_Q94_THR_BP
+        )
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+_Q94_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         v AS cv
+  FROM v ORDER BY vec_id LIMIT {_Q94_CELLS}
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT v.vec_id, v.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.v, c.cv)
+                      / (sqrt(list_dot_product(v.v, v.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell ASC) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE CAST(ROUND(10000 * list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT)
+        >= {_Q94_THR_BP}
+)
+SELECT a.vec_id,
+       a.cell,
+       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS sem_dup,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+QUERIES["q94_semantic_dedup"] = (q94_semantic_dedup, _Q94_SQL)

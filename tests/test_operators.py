@@ -977,3 +977,33 @@ def test_benchmark_contamination(spark):
     # the boilerplate tail (df=5 > cap=4) flags nothing by itself:
     # docs 1 and 2 are absent even though every doc shares the boiler
     assert not any(k[0] in (1, 2) for k in got)
+
+
+def test_semantic_dedup_flags(spark):
+    """SemDeDup flags: planted near-identical vectors in one cell flag
+    the HIGHER id (keep-first); distinct vectors keep."""
+    import numpy as np
+
+    from htrtf_spark.operators.simsearch import semantic_dedup_flags
+
+    rs = np.random.RandomState(3)
+    base = rs.randn(20, 16)
+    base[7] = base[2] * 1.001 + 0.0005   # near-dup of 2
+    base[11] = base[2] * 0.999           # another near-dup of 2
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [[float(x) for x in base[i]] for i in range(4)]
+    got = {
+        r["id"]: (r["cell"], r["sem_dup"], r["keep"])
+        for r in semantic_dedup_flags(
+            df, "vec_id", "v", cents, sim_threshold_bp=9900
+        ).collect()
+    }
+    assert len(got) == 20
+    # 2 keeps (lowest id of the trio); 7 and 11 are dups in 2's cell
+    assert got[2][1] == 0 and got[2][2] == 1
+    assert got[7] == (got[2][0], 1, 0)
+    assert got[11] == (got[2][0], 1, 0)
+    # everything flagged dup has a lower-id >=threshold neighbor: here
+    # exactly the planted pair set
+    assert sorted(i for i, v in got.items() if v[1] == 1) == [7, 11]
