@@ -137,3 +137,80 @@ def rolling_fingerprints(
     return df.select(
         F.col(id_col).alias("id"), F.explode(wins).alias("w")
     ).select("id", F.col("w.win_idx").alias("win_idx"), F.col("w.fp").alias("fp"))
+
+
+def _bp_div(num, den) -> F.Column:
+    """FLOOR((num*10000)/den) in exact long arithmetic — engine-portable
+    (DuckDB restates it as (num*10000)//den; ROUND would differ at
+    half-bp boundaries between HALF_UP and HALF_EVEN engines)."""
+    t = num.cast("long") * F.lit(10000).cast("long")
+    return ((t - F.pmod(t, den.cast("long"))) / den.cast("long")).cast("long")
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 "repetitious text" rules), per document:
+
+    - ``top_word_ratio_bp``: occurrences of the most frequent word /
+      total words (ties: the highest ratio — identical either way),
+    - ``top_bigram_ratio_bp``: same for word 2-grams WITH repeats (not
+      the distinct shingles dedup uses — repetition is the signal),
+    - ``dup_line_frac_bp``: fraction of newline-separated lines that
+      are duplicates of an earlier identical line.
+
+    All ratios are FLOOR'd integer basis points (exact long arithmetic,
+    engine-portable — no double rounding); docs
+    with no words (or < 2 words / no lines) report 0 for the affected
+    ratio. One narrow projection — JVM higher-order functions, no
+    shuffle, no Python; composes with ``stratified_sample`` to drop
+    high-repetition strata the way the Gopher rules do."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+
+    def top_ratio(arr):
+        # max count of any value / size — via sort + adjacent run-length
+        sorted_ = F.array_sort(arr)
+        runs = F.aggregate(
+            sorted_,
+            F.struct(
+                F.lit(0).alias("best"), F.lit(0).alias("run"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(1),
+                ).alias("best"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                x.alias("prev"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return F.when(
+            F.size(arr) > 0, _bp_div(runs, F.size(arr))
+        ).otherwise(F.lit(0).cast("long"))
+
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: x != F.lit("")
+    )
+    dup_lines = F.size(lines) - F.size(F.array_distinct(lines))
+    dup_frac = F.when(
+        F.size(lines) > 0, _bp_div(dup_lines, F.size(lines))
+    ).otherwise(F.lit(0).cast("long"))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(w).cast("long").alias("n_words"),
+        top_ratio(w).alias("top_word_ratio_bp"),
+        top_ratio(bigrams).alias("top_bigram_ratio_bp"),
+        dup_frac.alias("dup_line_frac_bp"),
+    )

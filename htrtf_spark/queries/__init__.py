@@ -62,6 +62,7 @@ _RUN_FIRST = [
     "q92_layout_segmentation",
     "q93_benchmark_contamination",
     "q94_semantic_dedup",
+    "q95_repetition_stats",
     "q88_bpe_token_counts",
     "q83b_incremental_dedup_persisted",
     # stale driver rows: these 36 were last recorded in CORRECTNESS_r02

@@ -136,3 +136,68 @@ FROM documents
 
 
 QUERIES["q88_bpe_token_counts"] = (q88_bpe_token_counts, _q88_sql())
+
+
+# --------------------------------------------------------------------- q95
+# Gopher-style repetition quality rules (round 4; Rae et al. 2021
+# §A1.1): per-doc top-word ratio, top-bigram ratio (WITH repeats — the
+# distinct shingles dedup uses would hide exactly the signal), and
+# duplicate-line fraction, all floor'd basis points in exact integer
+# arithmetic (engine-portable; ROUND differs at half-bp between
+# HALF_UP and HALF_EVEN engines). Oracle restates every rule.
+
+
+def q95_repetition_stats(spark, sf_dir):
+    return (
+        TS.repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+_Q95_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines_
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(w) AS tok FROM base
+),
+topw AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+bigr AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2
+                THEN [w[i] || ' ' || w[i+1]
+                      for i in generate_series(1, len(w) - 1)]
+                ELSE [] END AS bgs
+    FROM base
+  )
+),
+topb AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bigr GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(COALESCE((tw.top_c * 10000) // len(b.w), 0) AS BIGINT)
+           AS top_word_ratio_bp,
+       CAST(CASE WHEN len(b.w) >= 2
+                 THEN COALESCE((tb.top_c * 10000) // (len(b.w) - 1), 0)
+                 ELSE 0 END AS BIGINT) AS top_bigram_ratio_bp,
+       CAST(CASE WHEN len(b.lines_) > 0
+                 THEN ((len(b.lines_) - len(list_distinct(b.lines_))) * 10000)
+                      // len(b.lines_)
+                 ELSE 0 END AS BIGINT) AS dup_line_frac_bp
+FROM base b
+LEFT JOIN topw tw USING (doc_id)
+LEFT JOIN topb tb USING (doc_id)
+"""
+
+QUERIES["q95_repetition_stats"] = (q95_repetition_stats, _Q95_SQL)

@@ -1007,3 +1007,28 @@ def test_semantic_dedup_flags(spark):
     # everything flagged dup has a lower-id >=threshold neighbor: here
     # exactly the planted pair set
     assert sorted(i for i, v in got.items() if v[1] == 1) == [7, 11]
+
+
+def test_repetition_stats_rules(spark):
+    """Gopher repetition rules: exact floor'd bp for handcrafted docs
+    (top word, top bigram WITH repeats, duplicate lines, 1-word and
+    empty edges, a .5-bp boundary that must floor)."""
+    docs2 = spark.createDataFrame(
+        [(0, "a a a b"),                      # top word 3/4, top bigram 2/3
+         (1, "x y x y x y"),                  # bigram "x y" 3/5
+         (2, ""), (3, "solo"),
+         (4, "l1\nl2\nl1\nl1"),               # dup lines 2/4
+         (5, " ".join(["w"] + ["u"] * 31))],  # 1? top=31/32 -> floor 9687
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_words"], r["top_word_ratio_bp"],
+                  r["top_bigram_ratio_bp"], r["dup_line_frac_bp"])
+        for r in textstats.repetition_stats(docs2, "doc_id", "text").collect()
+    }
+    assert got[0] == (4, 7500, 6666, 0)
+    assert got[1] == (6, 5000, 6000, 0)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (1, 10000, 0, 0)
+    assert got[4][3] == 5000
+    assert got[5] == (32, 9687, 9677, 0)
