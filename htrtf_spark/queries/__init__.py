@@ -109,9 +109,8 @@ _RUN_FIRST = [
     "q86_pack_documents",
     "q82_iceberg_day_partitioned",
     "q84_iceberg_incremental",
-    "q67_iceberg_extract",
-    # (q74 has a green r3 row and its machinery is covered by
-    # q67/q82/q84/q87/q90 current-code rows — trimmed to keep
+    # (q67/q74 have green r3 rows and their machinery has fresh
+    # current-code rows via q82/q84/q87/q90/q91 — trimmed to keep
     # _RUN_FIRST within the driver's ~50-row recording budget)
 ]
 
