@@ -81,7 +81,11 @@ def bpe_token_count(
         _words(text_col),
         lambda w: F.size(F.split(_encode_word(w, merges), f"{SEP}{SEP}")),
     )
-    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+    # NULL text counts 0, matching the UDF path and the q88 oracle's
+    # COALESCE — a NULL here would silently consume no packing budget
+    return F.coalesce(
+        F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x), F.lit(0)
+    )
 
 
 def bpe_tokenize(
@@ -98,7 +102,7 @@ def bpe_tokenize(
             lambda t: F.translate(t, SEP, ""),
         ),
     )
-    return F.flatten(toks)
+    return F.coalesce(F.flatten(toks), F.array().cast("array<string>"))
 
 
 def bpe_token_counts(

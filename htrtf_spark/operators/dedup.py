@@ -448,6 +448,17 @@ def incremental_dedup_flags(
             "incremental_dedup_flags needs corpus_df, or BOTH "
             "corpus_index and corpus_fps (the persisted form)"
         )
+    if corpus_index is not None and corpus_stop is None and max_doc_freq is not None:
+        # refusing beats silent recall loss: an index built WITH a cap
+        # but probed WITHOUT its stop list bands identical documents
+        # differently (the exact asymmetry this function exists to
+        # prevent). Pass the persisted stop list (empty is fine), or
+        # state the index is uncapped with max_doc_freq=None.
+        raise ValueError(
+            "corpus_index given without corpus_stop while max_doc_freq "
+            "is set: pass the index's persisted stop list (may be "
+            "empty), or max_doc_freq=None if the index was built uncapped"
+        )
     ids = new_df.select(F.col(id_col).alias("id")).distinct()
     fps = (
         corpus_fps.select("fp")
@@ -755,7 +766,18 @@ def benchmark_contamination(
     everything; it is applied to BOTH sides (the symmetric-cap rule)."""
     raw = shingle_table(corpus_df, id_col, text_col, n, max_doc_freq=None)
     if max_doc_freq is not None:
-        stop = corpus_stop_list(corpus_df, id_col, text_col, n, max_doc_freq)
+        # cached-raw pattern (see minhash_signatures): ONE cache of the
+        # corpus posting table feeds the stop-list agg, the capped
+        # corpus side AND the bench-side stop filter — deriving the
+        # stop list from corpus_df again would run the biggest explode
+        # in the job twice. (No _cap_cached swap here: its unpersist of
+        # raw would strand the stop list's lineage for the bench side.)
+        raw = _register_cache(raw.cache())
+        stop = (
+            raw.groupBy("ng").agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("ng")
+        )
         corpus_g = _apply_stop_list(raw, stop)
         bench_g = _apply_stop_list(
             shingle_table(bench_df, bench_id_col, bench_text_col, n,

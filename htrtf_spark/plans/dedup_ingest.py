@@ -105,7 +105,10 @@ def dedup_ingest_bootstrap(
 
     if table_exists(corpus_loc):
         raise FileExistsError(f"corpus already exists at {corpus_loc}")
-    docs = _dedup_within(_norm_docs(docs_df, id_col, text_col))
+    # cache: the deduped-docs pipeline (fp shuffle + semi-join over the
+    # whole seed corpus) feeds the stop list, the index write AND the
+    # corpus write — uncached it would re-execute per consumer
+    docs = _dedup_within(_norm_docs(docs_df, id_col, text_col)).cache()
     stop = (
         None if max_doc_freq is None
         else corpus_stop_list(docs, "id", "text", n, max_doc_freq)
@@ -117,7 +120,17 @@ def dedup_ingest_bootstrap(
     write_iceberg_table(
         docs, corpus_loc, properties={BATCH_ID_PROP: batch_id}
     )
-    n_docs = docs.count()
+    docs.unpersist()
+    # count from the committed snapshot's summary — free metadata
+    from htrtf_spark.sources.iceberg import current_metadata
+
+    meta = current_metadata(corpus_loc)
+    cur = meta["current-snapshot-id"]
+    n_docs = next(
+        int(sn.get("summary", {}).get("added-records", 0))
+        for sn in meta["snapshots"]
+        if sn["snapshot-id"] == cur
+    )
     return {"batch_id": batch_id, "accepted": n_docs, "noop": False}
 
 

@@ -776,8 +776,12 @@ def _encode_bound(value, ice_type: str) -> bytes | None:
         if isinstance(value, datetime.datetime):
             if value.tzinfo is not None:
                 value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-            micros = int(
-                (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            # EXACT integer micros: total_seconds() is a float and
+            # truncates ~1% of values 1 microsecond LOW, which would
+            # make an upper bound sit below the file's true max and
+            # range_filter silently drop boundary rows
+            micros = (value - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+                microseconds=1
             )
         else:
             micros = int(value)
@@ -1042,6 +1046,7 @@ def _commit(
     carry_prior_manifests: bool = True,
     properties: dict[str, str] | None = None,
     extra_manifests: list[tuple[list[dict], int, dict]] | None = None,
+    operation: str | None = None,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
@@ -1140,7 +1145,8 @@ def _commit(
         "manifest-list": os.path.abspath(manifest_list_path),
         "schema-id": ice_schema.get("schema-id", 0),
         "summary": {
-            "operation": (
+            "operation": operation
+            or (
                 "overwrite"
                 if len({c for _f, c, _s in groups}) > 1
                 else ("append" if manifest_content == 0 else "delete")
@@ -1698,6 +1704,29 @@ def upsert_iceberg_table(
 
 
 # ----------------------------------------------------------- maintenance
+def _resolve_commit_spec(
+    meta: dict, ice_schema: dict, partition_by: list[str] | None
+) -> dict:
+    """The spec a replace-style commit writes under: the table default
+    when ``partition_by`` is None, else the existing spec with the same
+    (name, transform) list, else a freshly registered spec (evolution).
+    ONE implementation for compaction and overwrite."""
+    specs = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    if partition_by is None:
+        return specs[meta["default-spec-id"]]
+    match = [
+        sp for sp in specs.values()
+        if [(f["name"], f["transform"]) for f in sp["fields"]]
+        == [
+            (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
+            for c in partition_by
+        ]
+    ]
+    return match[0] if match else _make_spec(
+        ice_schema, list(partition_by), spec_id=max(specs) + 1
+    )
+
+
 def overwrite_iceberg_table(
     df: DataFrame,
     location: str,
@@ -1727,21 +1756,7 @@ def overwrite_iceberg_table(
             f"df={got.simpleString()}"
         )
     while True:
-        specs = {s["spec-id"]: s for s in meta["partition-specs"]}
-        if partition_by is None:
-            spec = specs[meta["default-spec-id"]]
-        else:
-            match = [
-                s for s in specs.values()
-                if [(f["name"], f["transform"]) for f in s["fields"]]
-                == [
-                    (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
-                    for c in partition_by
-                ]
-            ]
-            spec = match[0] if match else _make_spec(
-                ice_schema, list(partition_by), spec_id=max(specs) + 1
-            )
+        spec = _resolve_commit_spec(meta, ice_schema, partition_by)
         files = _write_data_files(
             df, location, seq=meta["last-sequence-number"] + 1,
             spec_fields=spec["fields"], ice_schema=ice_schema,
@@ -1750,6 +1765,7 @@ def overwrite_iceberg_table(
             return _commit(
                 location, ice_schema, files, prev_meta=meta, spec=spec,
                 carry_prior_manifests=False, properties=properties,
+                operation="replace",
             )
         except CommitConflict:
             meta = current_metadata(location)
@@ -1782,21 +1798,7 @@ def compact_iceberg_table(
         ice_schema = _schema_by_id(meta, meta["current-schema-id"])
         current = read_iceberg_table(spark, location)
 
-        specs = {s["spec-id"]: s for s in meta["partition-specs"]}
-        if partition_by is None:
-            spec = specs[meta["default-spec-id"]]
-        else:
-            match = [
-                s for s in specs.values()
-                if [(f["name"], f["transform"]) for f in s["fields"]]
-                == [
-                    (_parse_partition_term(c)[3], _parse_partition_term(c)[1])
-                    for c in partition_by
-                ]
-            ]
-            spec = match[0] if match else _make_spec(
-                ice_schema, list(partition_by), spec_id=max(specs) + 1
-            )
+        spec = _resolve_commit_spec(meta, ice_schema, partition_by)
         files = _write_data_files(
             current, location, seq=meta["last-sequence-number"] + 1,
             spec_fields=spec["fields"], ice_schema=ice_schema,
@@ -1804,7 +1806,7 @@ def compact_iceberg_table(
         try:
             return _commit(
                 location, ice_schema, files, prev_meta=meta, spec=spec,
-                carry_prior_manifests=False,
+                carry_prior_manifests=False, operation="replace",
             )
         except CommitConflict:
             continue  # racing commit landed: redo read + rewrite, not just metadata
@@ -1986,7 +1988,14 @@ def read_iceberg_increment(
     upper snapshot still apply to the windowed rows (the result is
     "appended AND still live"); rows deleted FROM OLDER snapshots are
     not surfaced (this is incremental append, not full CDC — no
-    before/after images)."""
+    before/after images).
+
+    REPLACE snapshots (compaction / INSERT OVERWRITE with
+    operation=replace) inside the window are SKIPPED, and each append
+    snapshot's files come from that snapshot's OWN manifest list - so
+    a compaction between ticks neither re-surfaces the whole rewritten
+    table NOR hides appends it rewrote away (the Iceberg
+    incremental-append-scan rule). Retention must exceed consumer lag."""
     meta = current_metadata(location)
     try:
         from_seq = _find_snapshot(meta, from_snapshot_id)["sequence-number"]
@@ -2001,12 +2010,26 @@ def read_iceberg_increment(
             "the incremental window cannot be reconstructed — "
             "re-baseline with a full read of the current snapshot"
         ) from None
+    to_snap = (
+        _find_snapshot(meta, to_snapshot_id)
+        if to_snapshot_id is not None
+        else _find_snapshot(meta, meta["current-snapshot-id"])
+    )
+    to_seq = int(to_snap["sequence-number"])
+    records: list[dict] = []
+    for sn in sorted(meta["snapshots"], key=lambda x: x["sequence-number"]):
+        seq = int(sn["sequence-number"])
+        if not (from_seq < seq <= to_seq):
+            continue
+        if sn.get("summary", {}).get("operation") == "replace":
+            continue  # rewritten old rows, not new data
+        records.extend(added_data_files(location, sn))
     return read_iceberg_table(
         spark, location, snapshot_id=to_snapshot_id,
         partition_filter=partition_filter,
-        min_sequence_exclusive=from_seq,
         range_filter=range_filter,
         null_filter=null_filter,
+        _file_records=records,
     )
 
 
@@ -2146,6 +2169,39 @@ def live_data_files(
     return files
 
 
+def added_data_files(location: str, snapshot: dict) -> list[dict]:
+    """The data files a snapshot itself ADDED (its manifest-list entries
+    whose sequence number equals the snapshot's own) — the unit of an
+    incremental APPEND scan. Unlike live_data_files(to_snapshot), this
+    still sees files that a LATER replace (compaction) rewrote away,
+    so an incremental window spanning a compaction surfaces every
+    appended row exactly once."""
+    snap_seq = int(snapshot["sequence-number"])
+    _, _, manifests = avro_read(snapshot["manifest-list"])
+    files: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        if int(m.get("sequence_number", snap_seq)) != snap_seq:
+            continue  # carried-forward manifest from an older commit
+        _, mmeta, entries = avro_read(m["manifest_path"])
+        spec_fields = json.loads(mmeta.get("partition-spec", "[]"))
+        write_fields = json.loads(mmeta.get("schema", "{}")).get("fields", [])
+        spec_cols = [
+            f["name"] for f in spec_fields if f["transform"] == "identity"
+        ]
+        for e in entries:
+            if e["status"] != _ADDED or e["sequence_number"] != snap_seq:
+                continue
+            rec = dict(e["data_file"])
+            rec["_spec_cols"] = spec_cols
+            rec["_spec_fields"] = spec_fields
+            rec["_write_fields"] = write_fields
+            rec["_seq"] = e["sequence_number"]
+            files.append(rec)
+    return files
+
+
 def live_delete_files(location: str, snapshot_id: int | None = None) -> list[dict]:
     """Delete-file records visible at a snapshot — EQUALITY_DELETES
     (content=2, with equality column NAMES resolved from the recorded
@@ -2191,6 +2247,7 @@ def read_iceberg_table(
     min_sequence_exclusive: int = 0,
     range_filter: dict[str, tuple] | None = None,
     null_filter: dict[str, str] | None = None,
+    _file_records: list[dict] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the manifest-listed live files, with
     the table schema pinned from metadata (no parquet inference drift).
@@ -2395,10 +2452,33 @@ def read_iceberg_table(
                     return True
         return False
 
+    # incremental mode skips REPLACE snapshots' files entirely: a
+    # compaction inside the window rewrites ALREADY-SURFACED rows into
+    # files with fresh sequence numbers — surfacing them would re-emit
+    # the whole table as "new" (Iceberg's incremental append scan
+    # skips replace snapshots for exactly this reason; genuinely new
+    # rows always arrive via append/overwrite snapshots)
+    replace_seqs = (
+        {
+            int(sn["sequence-number"])
+            for sn in meta["snapshots"]
+            if sn.get("summary", {}).get("operation") == "replace"
+        }
+        if min_sequence_exclusive > 0
+        else set()
+    )
+
     groups: dict[tuple, list[str]] = {}
-    for rec in live_data_files(location, snapshot_id, _skip_manifest):
+    file_records = (
+        _file_records
+        if _file_records is not None
+        else live_data_files(location, snapshot_id, _skip_manifest)
+    )
+    for rec in file_records:
         if rec["_seq"] <= min_sequence_exclusive:
             continue  # incremental read: only files appended after
+        if rec["_seq"] in replace_seqs:
+            continue  # rewritten old rows, not new data
         # identity partition values materialize under the TARGET name of
         # their source field (rename-proof); a dropped source is simply
         # not materialized

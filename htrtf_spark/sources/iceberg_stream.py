@@ -77,21 +77,56 @@ class IcebergStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from htrtf_spark.sources.iceberg import (
             _schema_by_id,
+            added_data_files,
             current_metadata,
-            live_data_files,
             live_delete_files,
         )
 
         lo, hi = int(start["seq"]), int(end["seq"])
         meta = current_metadata(self.location)
-        ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+        # PIN the window to table METADATA snapshots: each batch
+        # surfaces the files each APPEND snapshot in (lo, hi] itself
+        # added, read from that snapshot's OWN manifest list. Planning
+        # from the CURRENT live file set would let a compaction
+        # committed between offset capture and planning (or before a
+        # checkpoint replay) swap the file set: rewritten files carry a
+        # NEW sequence (whole-table duplication) while the window's
+        # original appends disappear from the live view (loss).
+        # REPLACE snapshots are skipped outright - rewritten old rows,
+        # not new data (the Iceberg incremental-append-scan rule).
+        end_snap = None
+        for sn in meta["snapshots"]:
+            if int(sn["sequence-number"]) == hi:
+                end_snap = sn
+                break
+        if end_snap is None:
+            raise RuntimeError(
+                f"offset snapshot (sequence {hi}) is no longer in "
+                f"{self.location!r} metadata (expired between offset "
+                "capture and planning?) - restart from a fresh "
+                "checkpoint to re-baseline"
+            )
+        window = [
+            sn
+            for sn in sorted(
+                meta["snapshots"], key=lambda x: x["sequence-number"]
+            )
+            if lo < int(sn["sequence-number"]) <= hi
+            and sn.get("summary", {}).get("operation") != "replace"
+        ]
+        ice_schema = _schema_by_id(
+            meta, end_snap.get("schema-id", meta["current-schema-id"])
+        )
         ice_by_id = {f["id"]: f for f in ice_schema["fields"]}
 
-        deletes = live_delete_files(self.location)
+        # deletes visible at the batch's upper snapshot
+        deletes = live_delete_files(
+            self.location, snapshot_id=end_snap["snapshot-id"]
+        )
         parts = []
-        for rec in live_data_files(self.location):
-            if not (lo < rec["_seq"] <= hi):
-                continue
+        for rec in [
+            r for sn in window for r in added_data_files(self.location, sn)
+        ]:
             wmap = {f["id"]: f["name"] for f in rec["_write_fields"]}
             part_vals = {}
             for pfield in rec["_spec_fields"]:

@@ -89,7 +89,8 @@ _BATCH_PROP = "streaming.last-batch-id"
 
 
 def stream_to_iceberg(
-    df: DataFrame, location: str, checkpoint_dir: str, query_name: str = "to_iceberg"
+    df: DataFrame, location: str, checkpoint_dir: str,
+    query_name: str = "to_iceberg", available_now: bool = False,
 ):
     """EXACTLY-ONCE streaming sink into an Iceberg v2 table: each
     micro-batch appends under ``foreachBatch``, recording its batch id
@@ -123,10 +124,12 @@ def stream_to_iceberg(
             batch_df, location, properties={_BATCH_PROP: str(batch_id)}
         )
 
-    return (
+    w = (
         df.writeStream.outputMode("append")
         .foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
-        .start()
     )
+    if available_now:  # drain-and-exit ticks (cron form)
+        w = w.trigger(availableNow=True)
+    return w.start()

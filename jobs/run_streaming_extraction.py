@@ -27,7 +27,10 @@ import sys
 def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
                 available_now: bool = True):
     from htrtf_spark.sources import iceberg_stream
-    from htrtf_spark.streaming.extract_stream import stream_extract
+    from htrtf_spark.streaming.extract_stream import (
+        stream_extract,
+        stream_to_iceberg,
+    )
 
     iceberg_stream.register(spark)
     src = (
@@ -35,45 +38,11 @@ def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
         .option("location", source_loc)
         .load()
     )
-    return stream_to_iceberg_trigger(
-        stream_extract(src), dest_loc, checkpoint, available_now
+    return stream_to_iceberg(
+        stream_extract(src), dest_loc, checkpoint,
+        query_name="iceberg_to_iceberg_extraction",
+        available_now=available_now,
     )
-
-
-def stream_to_iceberg_trigger(df, location, checkpoint_dir, available_now):
-    """stream_to_iceberg with an availableNow trigger option (drain
-    ticks); same exactly-once batch-id guard."""
-    from htrtf_spark.streaming.extract_stream import _BATCH_PROP
-    from htrtf_spark.sources.iceberg import (
-        append_iceberg_table,
-        current_metadata,
-        table_exists,
-        write_iceberg_table,
-    )
-
-    def commit_batch(batch_df, batch_id: int) -> None:
-        if not table_exists(location):
-            write_iceberg_table(
-                batch_df, location, properties={_BATCH_PROP: str(batch_id)}
-            )
-            return
-        meta = current_metadata(location)
-        last = int(meta.get("properties", {}).get(_BATCH_PROP, "-1"))
-        if batch_id <= last:
-            return
-        append_iceberg_table(
-            batch_df, location, properties={_BATCH_PROP: str(batch_id)}
-        )
-
-    w = (
-        df.writeStream.outputMode("append")
-        .foreachBatch(commit_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName("iceberg_to_iceberg_extraction")
-    )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1590,3 +1590,96 @@ def test_rollback_to_snapshot(spark, transcripts_df, tmp_path):
 
     with pytest.raises(KeyError):
         I.rollback_to_snapshot(loc, 999)
+
+
+def test_incremental_scan_across_compaction(spark, transcripts_df, tmp_path):
+    """CODE-REVIEW r4: an incremental window spanning a compaction must
+    surface each appended row EXACTLY ONCE — neither re-emitting the
+    whole rewritten table (replace snapshots skipped) nor losing the
+    appends the compaction rewrote away (files come from each append
+    snapshot's own manifest list)."""
+    loc = str(tmp_path / "inccomp")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    t2 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-b2"))
+    )
+    t3 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-b3"))
+    )
+    I.append_iceberg_table(t2, loc)
+    I.compact_iceberg_table(spark, loc)   # rewrites batch1+batch2
+    I.append_iceberg_table(t3, loc)
+
+    inc = I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    assert _collect(inc) == _collect(t2.unionByName(t3))
+
+    # window that ends ON the compaction snapshot: only t2
+    snaps = I.snapshot_ids(loc)
+    inc2 = I.read_iceberg_increment(
+        spark, loc, from_snapshot_id=s1, to_snapshot_id=snaps[2]
+    )
+    assert _collect(inc2) == _collect(t2)
+
+
+def test_streaming_source_across_compaction(spark, transcripts_df, tmp_path):
+    """Same contract for the streaming source: a compaction between
+    drains must not duplicate already-streamed rows nor lose the
+    not-yet-streamed appends it rewrote."""
+    from htrtf_spark.sources import iceberg_stream
+
+    iceberg_stream.register(spark)
+    loc = str(tmp_path / "strcomp")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    I.write_iceberg_table(transcripts_df, loc)
+
+    def drain():
+        q = (
+            spark.readStream.format("htrtf_iceberg")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    assert drain().count() == 3  # batch 1
+
+    t2 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-b2"))
+    )
+    I.append_iceberg_table(t2, loc)       # NOT yet streamed
+    I.compact_iceberg_table(spark, loc)   # rewrites everything
+    t3 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-b3"))
+    )
+    I.append_iceberg_table(t3, loc)
+
+    got = drain()
+    assert got.count() == 9  # 3 + t2(3) + t3(3): no dup, no loss
+    assert _collect(got.select(*transcripts_df.columns)) == _collect(
+        transcripts_df.unionByName(t2).unionByName(t3)
+    )
+
+
+def test_timestamp_bound_encoding_exact():
+    """CODE-REVIEW r4: micros encoding must be exact integer arithmetic
+    — float total_seconds() truncates ~1% of values 1µs low, which put
+    upper bounds BELOW a file's true max (boundary rows pruned away)."""
+    import datetime as dt
+
+    # a value float total_seconds() mis-encodes
+    v = dt.datetime(1970, 1, 1) + dt.timedelta(
+        seconds=555122063, microseconds=543873
+    )
+    enc = I._encode_bound(v, "timestamptz")
+    assert I._decode_bound(enc, "timestamptz") == v
+    # brute sweep around a few second boundaries
+    for base in (1_000_000_007, 555_122_063, 1_700_000_001):
+        for us in (0, 1, 499999, 500000, 999999):
+            x = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=base, microseconds=us)
+            assert I._decode_bound(I._encode_bound(x, "timestamp"), "timestamp") == x

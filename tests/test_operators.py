@@ -1032,3 +1032,42 @@ def test_repetition_stats_rules(spark):
     assert got[3] == (1, 10000, 0, 0)
     assert got[4][3] == 5000
     assert got[5] == (32, 9687, 9677, 0)
+
+
+def test_bpe_null_text_counts_zero(spark):
+    """CODE-REVIEW r4: NULL text counts 0 on BOTH BPE paths (and
+    tokenizes to an empty array) — a NULL would silently consume no
+    packing budget and diverge from the oracle's COALESCE."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "the fox")], "doc_id long, text string"
+    )
+    expr = {r["id"]: r["n_bpe_tokens"]
+            for r in bpe.bpe_token_counts(df, "doc_id", "text").collect()}
+    udf = {r["id"]: r["n_bpe_tokens"]
+           for r in bpe.bpe_token_counts_udf(df, "doc_id", "text").collect()}
+    assert expr == udf and expr[0] == 0 and expr[1] > 0
+    toks = df.select(bpe.bpe_tokenize("text").alias("t")).collect()
+    assert [r["t"] for r in toks if r["t"] == []] == [[]]
+
+
+def test_incremental_dedup_refuses_asymmetric_cap(spark, docs, tmp_path):
+    """CODE-REVIEW r4: a capped persisted index probed WITHOUT its stop
+    list is refused (silent asymmetric banding = recall loss)."""
+    idx, stop, fps = dedup.build_corpus_index(
+        docs, "doc_id", "text", max_doc_freq=2
+    )
+    with pytest.raises(ValueError, match="corpus_stop"):
+        dedup.incremental_dedup_flags(
+            docs, id_col="doc_id", text_col="text",
+            corpus_index=idx, corpus_fps=fps, max_doc_freq=2,
+        )
+    # explicit uncapped declaration still works
+    out = dedup.incremental_dedup_flags(
+        docs, id_col="doc_id", text_col="text",
+        corpus_index=idx, corpus_fps=fps, max_doc_freq=None,
+    )
+    assert out.count() == 6
