@@ -1142,9 +1142,18 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         return rows
 
     model: dict[int, str] = dict(fresh_rows(5))
-    I.write_iceberg_table(
+    # incremental-scan model: rows each append/upsert snapshot ADDED
+    added_by_snapshot: dict[int, list] = {}
+    sid0 = I.write_iceberg_table(
         spark.createDataFrame(sorted(model.items()), "k long, v string"), loc
     )
+    added_by_snapshot[sid0] = sorted(model.items())
+
+    def snapshot_seq(sid):
+        return {
+            sn["snapshot-id"]: sn["sequence-number"]
+            for sn in I.current_metadata(loc)["snapshots"]
+        }[sid]
 
     def check():
         got = sorted(
@@ -1166,15 +1175,41 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             assert got_rng == sorted(
                 (k, v) for k, v in model.items() if lo <= k <= hi
             )
+        # incremental-append oracle: from a random LIVE snapshot, the
+        # window must surface exactly the rows appended by append/
+        # upsert snapshots after it that are STILL LIVE — regardless
+        # of interleaved compactions (replace snapshots skipped, files
+        # from each append snapshot's own manifest list)
+        live = I.snapshot_ids(loc)
+        frm = rng.choice(live)
+        frm_seq = snapshot_seq(frm)
+        got_inc = sorted(
+            (r["k"], r["v"])
+            for r in I.read_iceberg_increment(
+                spark, loc, from_snapshot_id=frm
+            ).collect()
+        )
+        live_set = set(model.items())
+        want_inc = sorted(
+            {
+                rw
+                for sid, rows in added_by_snapshot.items()
+                if sid in live and snapshot_seq(sid) > frm_seq
+                for rw in rows
+                if rw in live_set
+            }
+        )
+        assert got_inc == want_inc, (frm, got_inc, want_inc)
 
     check()
     for _step in range(10):
         op = rng.choice(["append", "delete", "upsert", "compact", "expire"])
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
-            I.append_iceberg_table(
+            sid = I.append_iceberg_table(
                 spark.createDataFrame(rows, "k long, v string"), loc
             )
+            added_by_snapshot[sid] = rows
             model.update(rows)
         elif op == "delete" and model:
             keys = rng.sample(sorted(model), k=min(2, len(model)))
@@ -1188,9 +1223,10 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         elif op == "upsert" and model:
             keys = rng.sample(sorted(model), k=min(2, len(model)))
             rows = [(k, f"upd{seed}-{k}-{_step}") for k in keys] + fresh_rows(1)
-            I.upsert_iceberg_table(
+            sid = I.upsert_iceberg_table(
                 spark.createDataFrame(rows, "k long, v string"), loc, ["k"]
             )
+            added_by_snapshot[sid] = rows
             model.update(rows)
         elif op == "compact":
             I.compact_iceberg_table(spark, loc)
