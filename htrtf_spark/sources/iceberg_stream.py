@@ -123,10 +123,23 @@ class IcebergStreamReader(DataSourceStreamReader):
         deletes = live_delete_files(
             self.location, snapshot_id=end_snap["snapshot-id"]
         )
+        if lo == 0:
+            # FIRST batch = full load of the pinned snapshot (live
+            # files, replace snapshots included): a stream starting on
+            # a table whose pre-compaction history was expired would
+            # otherwise skip the replace snapshot and surface NOTHING.
+            # Exactly extract_increment_once's bootstrap semantics.
+            from htrtf_spark.sources.iceberg import live_data_files
+
+            records = live_data_files(
+                self.location, snapshot_id=end_snap["snapshot-id"]
+            )
+        else:
+            records = [
+                r for sn in window for r in added_data_files(self.location, sn)
+            ]
         parts = []
-        for rec in [
-            r for sn in window for r in added_data_files(self.location, sn)
-        ]:
+        for rec in records:
             wmap = {f["id"]: f["name"] for f in rec["_write_fields"]}
             part_vals = {}
             for pfield in rec["_spec_fields"]:

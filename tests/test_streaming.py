@@ -604,3 +604,54 @@ def test_iceberg_streaming_source_identity_partitioned(spark, tmp_path):
         "conv-b": ("assistant", "world", "tool_x"),
         "conv-c": ("user", "third", None),
     }
+
+
+def test_streaming_source_start_on_compacted_history(spark, tmp_path):
+    """A stream STARTING on a table whose pre-compaction snapshots were
+    expired must surface the full current table in its first batch (the
+    only live files belong to a replace snapshot, which incremental
+    windows skip — the first batch is a full snapshot load instead)."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.sources import iceberg as I
+    from htrtf_spark.sources import iceberg_stream
+
+    iceberg_stream.register(spark)
+    loc = str(tmp_path / "histtbl")
+    rows = [("conv-a", 0, "user", "hello", None, "2024-01-01 00:00:00"),
+            ("conv-b", 0, "user", "world", None, "2024-01-01 00:01:00")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    I.write_iceberg_table(df, loc)
+    I.compact_iceberg_table(spark, loc)
+    I.expire_snapshots(loc, keep_last=1)  # only the replace snapshot lives
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("htrtf_iceberg")
+        .option("location", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r["text"] for r in got.collect()) == ["hello", "world"]
+
+    # subsequent appends still stream incrementally (no re-emission)
+    extra = df.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-x")))
+    I.append_iceberg_table(extra, loc)
+    q = (
+        spark.readStream.format("htrtf_iceberg")
+        .option("location", loc).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
