@@ -655,3 +655,43 @@ def test_streaming_source_start_on_compacted_history(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_avro_source_matches_parquet(spark, tmp_path):
+    """The pure-python Avro transcript source (repo codec, distributed
+    per-file decode, timestamp-micros) extracts byte-identically to the
+    parquet path — including NULL text/tool and sub-second
+    timestamps."""
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.sources.transcripts import (
+        read_transcripts_avro,
+        write_transcripts_avro,
+    )
+
+    pdf = synth.synth_pandas(n_convs=10, seed=22)
+    pdf.loc[pdf.index[0], "text"] = None
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    apath, ppath = str(tmp_path / "t.avro"), str(tmp_path / "t.pq")
+    write_transcripts_avro(df, apath, partitions=3)
+    df.coalesce(2).write.parquet(ppath)
+
+    back = read_transcripts_avro(spark, apath)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    cols = ["conv_id", "turn_idx", "mode", "extracted_text", "reject_reason"]
+
+    def run(frame):
+        return (
+            extract_turns(frame, check_schema=False)
+            .select(*cols).toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+
+    base = run(spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(ppath))
+    got = run(read_transcripts_avro(spark, apath))
+    for c in cols:
+        assert (
+            got[c].fillna("<N>").values == base[c].fillna("<N>").values
+        ).all(), c
