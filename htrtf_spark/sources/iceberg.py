@@ -1742,20 +1742,24 @@ def overwrite_iceberg_table(
     though its EFFECT is then overwritten, which is what OVERWRITE
     means."""
     meta = current_metadata(location)
-    ice_schema = _schema_by_id(meta, meta["current-schema-id"])
-    want = _spark_schema(ice_schema)
-    got = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
-    )
-    want_n = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in want.fields]
-    )
-    if got != want_n:
-        raise ValueError(
-            f"overwrite schema mismatch: table={want_n.simpleString()} "
-            f"df={got.simpleString()}"
-        )
     while True:
+        # schema is re-resolved INSIDE the retry loop: a racing
+        # schema-evolution commit refreshes meta on CommitConflict, and
+        # the redo must validate + stamp against the NEW schema-id, not
+        # the one read before the conflict (compaction's rule)
+        ice_schema = _schema_by_id(meta, meta["current-schema-id"])
+        want = _spark_schema(ice_schema)
+        got = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+        )
+        want_n = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in want.fields]
+        )
+        if got != want_n:
+            raise ValueError(
+                f"overwrite schema mismatch: table={want_n.simpleString()} "
+                f"df={got.simpleString()}"
+            )
         spec = _resolve_commit_spec(meta, ice_schema, partition_by)
         files = _write_data_files(
             df, location, seq=meta["last-sequence-number"] + 1,
@@ -1813,17 +1817,31 @@ def compact_iceberg_table(
 
 
 def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
-    """Drop all but the newest ``keep_last`` snapshots from the table
-    metadata and DELETE the data/delete/manifest files referenced ONLY
-    by the expired snapshots (exactly Iceberg's expire-snapshots
-    maintenance contract). Returns the expired snapshot ids."""
+    """Drop all but the newest ``keep_last`` ANCESTORS of the current
+    snapshot from the table metadata and DELETE the data/delete/manifest
+    files referenced ONLY by the expired snapshots (Iceberg's
+    expire-snapshots contract: retain-last applies to the current
+    branch's ancestor chain; snapshots NOT on the current branch —
+    abandoned by ``rollback_to_snapshot`` — are expired regardless).
+    Selecting keepers purely by sequence number would, after a
+    rollback, keep the newer abandoned branch and drop the CURRENT
+    snapshot itself, deleting the table's live data. Returns the
+    expired snapshot ids."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     meta = current_metadata(location)
-    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
-    if len(snaps) <= keep_last:
+    chain = _ancestors(meta, meta.get("current-snapshot-id"))
+    keep_ids = {s["snapshot-id"] for s in chain[:keep_last]} or {
+        # no resolvable current snapshot: fall back to newest-by-sequence
+        s["snapshot-id"]
+        for s in sorted(
+            meta["snapshots"], key=lambda x: x["sequence-number"]
+        )[-keep_last:]
+    }
+    keep = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
+    drop = [s for s in meta["snapshots"] if s["snapshot-id"] not in keep_ids]
+    if not drop:
         return []
-    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
 
     def _referenced(snapshots):
         manifests, data = set(), set()
@@ -1971,6 +1989,28 @@ def _find_snapshot(meta: dict, snapshot_id: int) -> dict:
     raise KeyError(f"snapshot {snapshot_id} not found")
 
 
+def _ancestors(meta: dict, snapshot_id: int | None) -> list[dict]:
+    """The snapshot and its ancestor chain (parent-snapshot-id walk),
+    newest first. This is the table's LIVE BRANCH when started from
+    current-snapshot-id: after ``rollback_to_snapshot``, snapshots on
+    the abandoned branch still sit in metadata with in-range sequence
+    numbers but are NOT ancestors — every reader that selects snapshots
+    by sequence window must intersect with this chain (the native
+    incremental-append-scan rule), and expiration must never drop a
+    member of it while keeping non-members. The walk stops at a parent
+    already expired from metadata."""
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    out: list[dict] = []
+    sid = snapshot_id
+    seen: set = set()
+    while sid in by_id and sid not in seen:
+        seen.add(sid)
+        s = by_id[sid]
+        out.append(s)
+        sid = s.get("parent-snapshot-id")
+    return out
+
+
 def read_iceberg_increment(
     spark: SparkSession,
     location: str,
@@ -2016,8 +2056,21 @@ def read_iceberg_increment(
         else _find_snapshot(meta, meta["current-snapshot-id"])
     )
     to_seq = int(to_snap["sequence-number"])
+    # the window is the upper snapshot's ANCESTOR chain intersected with
+    # the sequence range — selecting by sequence number alone would,
+    # after rollback_to_snapshot, surface abandoned-branch appends that
+    # are not in the table's live state
+    ancestry = _ancestors(meta, to_snap["snapshot-id"])
+    if from_snapshot_id not in {s["snapshot-id"] for s in ancestry}:
+        raise ExpiredSnapshotError(
+            f"from_snapshot_id {from_snapshot_id} is not an ancestor of "
+            f"the window's upper snapshot in {location!r} (table rolled "
+            "back past the consumer's marker?) — rows emitted from the "
+            "abandoned branch cannot be reconciled incrementally; "
+            "re-baseline with a full read of the current snapshot"
+        )
     records: list[dict] = []
-    for sn in sorted(meta["snapshots"], key=lambda x: x["sequence-number"]):
+    for sn in sorted(ancestry, key=lambda x: x["sequence-number"]):
         seq = int(sn["sequence-number"])
         if not (from_seq < seq <= to_seq):
             continue

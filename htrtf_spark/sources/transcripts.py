@@ -142,7 +142,14 @@ def write_transcripts_avro(df: DataFrame, out_dir: str, partitions: int = 8) -> 
     """Distributed Avro write via the repo's own codec (sources/avro_io —
     the same implementation the Iceberg manifests use): each task
     serializes its partition to one object-container file. Timestamps
-    encode as exact integer micros."""
+    encode as exact integer micros.
+
+    Task-retry idempotence: the output name is deterministic per
+    partition index (``part-{pid:05d}.avro``) and the file is staged to
+    a temp name then atomically ``os.replace``d — a retried or
+    speculatively-executed task overwrites its own partition instead of
+    leaving a second randomly-named copy that the reader would
+    double-count."""
     import datetime as _dt
     import os as _os
     import uuid as _uuid
@@ -153,7 +160,7 @@ def write_transcripts_avro(df: DataFrame, out_dir: str, partitions: int = 8) -> 
     schema = _TRANSCRIPTS_AVRO_SCHEMA
     epoch = _dt.datetime(1970, 1, 1)
 
-    def _write_part(rows):
+    def _write_part(pid, rows):
         recs = []
         for r in rows:
             ts = r["ts"]
@@ -168,16 +175,17 @@ def write_transcripts_avro(df: DataFrame, out_dir: str, partitions: int = 8) -> 
                 }
             )
         if recs:
-            avro_write(
-                _os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.avro"),
-                schema,
-                recs,
+            final = _os.path.join(out_dir, f"part-{pid:05d}.avro")
+            tmp = _os.path.join(
+                out_dir, f".part-{pid:05d}.avro.tmp-{_uuid.uuid4().hex}"
             )
+            avro_write(tmp, schema, recs)
+            _os.replace(tmp, final)  # atomic: concurrent retry can't tear
         return iter(())
 
     df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").repartition(
         partitions
-    ).rdd.mapPartitions(_write_part).count()
+    ).rdd.mapPartitionsWithIndex(_write_part).count()
 
 
 def read_transcripts_avro(spark: SparkSession, path: str) -> DataFrame:

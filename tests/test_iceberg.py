@@ -1719,3 +1719,130 @@ def test_timestamp_bound_encoding_exact():
         for us in (0, 1, 499999, 500000, 999999):
             x = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=base, microseconds=us)
             assert I._decode_bound(I._encode_bound(x, "timestamp"), "timestamp") == x
+
+
+# ---------------------------------------------------- rollback ancestry
+def test_expire_after_rollback_keeps_current_branch(
+    spark, transcripts_df, tmp_path
+):
+    """ADVICE r4 (high): expire must retain the CURRENT snapshot's
+    ancestry, not the newest-by-sequence snapshots — after
+    rollback(s1) with a newer abandoned s2, expire(keep_last=1) used
+    to drop s1 (the live table!) and keep s2, deleting live data."""
+    loc = str(tmp_path / "rbexp")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-v2"))
+    )
+    s2 = I.append_iceberg_table(extra, loc)
+    I.rollback_to_snapshot(loc, s1)
+
+    expired = I.expire_snapshots(loc, keep_last=1)
+    # the abandoned branch is expired, the current snapshot survives
+    assert s2 in expired and s1 not in expired
+    meta = I.current_metadata(loc)
+    assert meta["current-snapshot-id"] == s1
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {s1}
+    # table still fully readable — live data intact
+    assert I.read_iceberg_table(spark, loc).count() == 3
+    # abandoned s2's unshared data files are gone from disk
+    with pytest.raises(KeyError):
+        I.read_iceberg_table(spark, loc, snapshot_id=s2)
+
+
+def test_expire_after_rollback_appended_branch(spark, transcripts_df, tmp_path):
+    """keep_last counts ANCESTORS of current: after rollback + new
+    append, keep_last=2 keeps {s3, s1} and expires abandoned s2 even
+    though s2 is newer than s1 by sequence."""
+    loc = str(tmp_path / "rbexp2")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-v2"))
+    )
+    s2 = I.append_iceberg_table(extra, loc)
+    I.rollback_to_snapshot(loc, s1)
+    s3 = I.append_iceberg_table(extra.limit(1), loc)
+
+    expired = I.expire_snapshots(loc, keep_last=2)
+    assert expired == [s2]
+    meta = I.current_metadata(loc)
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {s1, s3}
+    assert I.read_iceberg_table(spark, loc).count() == 4
+    # linear-history behavior unchanged: nothing more to expire
+    assert I.expire_snapshots(loc, keep_last=2) == []
+
+
+def test_incremental_skips_abandoned_branch(spark, transcripts_df, tmp_path):
+    """ADVICE r4 (medium): incremental windows walk the upper
+    snapshot's parent chain — abandoned-branch appends (rolled back,
+    still in metadata with in-window sequence numbers) must not
+    surface; a marker ON the abandoned branch raises the re-baseline
+    signal."""
+    loc = str(tmp_path / "rbinc")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    extra = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-dead"))
+    )
+    s2 = I.append_iceberg_table(extra, loc)  # will be abandoned
+    I.rollback_to_snapshot(loc, s1)
+    live = transcripts_df.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-live"))
+    )
+    s3 = I.append_iceberg_table(live, loc)
+
+    inc = I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    got = {r["conv_id"] for r in inc.collect()}
+    assert got == {"conv-a-live", "conv-b-live"}  # s2's rows invisible
+    assert inc.count() == 3
+
+    # marker on the abandoned branch: incremental cannot reconcile
+    with pytest.raises(I.ExpiredSnapshotError):
+        I.read_iceberg_increment(spark, loc, from_snapshot_id=s2)
+    # explicit upper snapshot on the abandoned branch still works
+    # (time-travel semantics: s2's own ancestry is s1 -> s2)
+    assert (
+        I.read_iceberg_increment(
+            spark, loc, from_snapshot_id=s1, to_snapshot_id=s2
+        ).count()
+        == 3
+    )
+    assert s3 is not None
+
+
+def test_overwrite_retry_revalidates_schema(
+    spark, transcripts_df, tmp_path, monkeypatch
+):
+    """ADVICE r4 (low): overwrite resolves the table schema INSIDE its
+    conflict-retry loop — a schema evolution landing between read and
+    commit must fail the retry's validation instead of being stamped
+    over with the stale schema-id."""
+    import pyspark.sql.types as T
+
+    loc = str(tmp_path / "ovrace")
+    I.write_iceberg_table(transcripts_df, loc)
+
+    real_commit = I._commit
+    state = {"raced": False}
+
+    def racing_commit(*args, **kwargs):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer evolves the schema (adds a column)
+            # after overwrite read its metadata
+            new_schema = T.StructType(
+                list(transcripts_df.schema.fields)
+                + [T.StructField("lang", T.StringType(), True)]
+            )
+            I.evolve_iceberg_schema(loc, new_schema)
+            raise I.CommitConflict("simulated race")
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(I, "_commit", racing_commit)
+    with pytest.raises(ValueError, match="overwrite schema mismatch"):
+        I.overwrite_iceberg_table(transcripts_df, loc)
+    # the stale-schema overwrite must NOT have committed: the table is
+    # still the original snapshot under the EVOLVED current schema
+    meta = I.current_metadata(loc)
+    assert len(meta["snapshots"]) == 1
+    assert meta["current-schema-id"] == 1  # evolution survived
+    assert I.read_iceberg_table(spark, loc).count() == 3

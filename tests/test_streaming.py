@@ -695,3 +695,34 @@ def test_avro_source_matches_parquet(spark, tmp_path):
         assert (
             got[c].fillna("<N>").values == base[c].fillna("<N>").values
         ).all(), c
+
+
+def test_avro_write_task_retry_idempotent(spark, tmp_path):
+    """ADVICE r4 (low): the Avro writer names files deterministically
+    per partition index and replaces atomically — a retried /
+    speculatively re-executed write (modeled as a second full write
+    into the same dir) overwrites instead of duplicating records."""
+    import glob
+    import os
+
+    from htrtf_spark.sources.transcripts import (
+        read_transcripts_avro,
+        write_transcripts_avro,
+    )
+
+    pdf = synth.synth_pandas(n_convs=6, seed=31)
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    apath = str(tmp_path / "retry.avro")
+    write_transcripts_avro(df, apath, partitions=3)
+    first_files = sorted(glob.glob(os.path.join(apath, "*.avro")))
+    write_transcripts_avro(df, apath, partitions=3)  # the "retry"
+    second_files = sorted(glob.glob(os.path.join(apath, "*.avro")))
+
+    assert first_files == second_files  # deterministic names, no extras
+    assert all(os.path.basename(f).startswith("part-") for f in first_files)
+    assert not glob.glob(os.path.join(apath, ".part-*"))  # no tmp litter
+    back = read_transcripts_avro(spark, apath)
+    assert back.count() == len(pdf)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
