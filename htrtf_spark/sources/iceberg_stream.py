@@ -59,31 +59,226 @@ class _FilePartition(InputPartition):
         self.pos_deletes = pos_deletes
 
 
+def _off_key(off: dict) -> tuple:
+    """Total order over stream offsets. Bootstrap file-group offsets of
+    the pinned snapshot (sequence S0) sort strictly between
+    ``{"seq": S0-1}`` and ``{"seq": S0}``; a completed bootstrap
+    (grp == ngrp) is equivalent to ``{"seq": S0}``."""
+    if "boot_seq" in off:
+        if int(off.get("grp", 0)) < int(off.get("ngrp", 0)):
+            return (int(off["boot_seq"]), 0, int(off["grp"]))
+        return (int(off["boot_seq"]), 1, 0)
+    return (int(off["seq"]), 1, 0)
+
+
+def _chunk_bounds(n_items: int, n_groups: int) -> list[tuple[int, int]]:
+    """Deterministic contiguous split of ``n_items`` into ``n_groups``
+    near-equal chunks (first ``n_items % n_groups`` chunks one larger):
+    replayed batches must re-derive IDENTICAL group boundaries from the
+    offset alone, even if the trigger cap option changed on restart."""
+    q, r = divmod(n_items, n_groups)
+    bounds, lo = [], 0
+    for i in range(n_groups):
+        hi = lo + q + (1 if i < r else 0)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
+
+
 class IcebergStreamReader(DataSourceStreamReader):
-    def __init__(self, location: str):
+    """See module docstring. Admission control (the part that keeps a
+    10^12-turn table's stream alive): without a cap, the first batch is
+    one job over EVERY live file of the current snapshot and a burst of
+    upstream commits lands in a single micro-batch — one failure late in
+    a huge batch restarts the whole batch. With
+    ``option("maxFilesPerTrigger", N)`` the bootstrap splits into
+    ceil(M/N) deterministic file groups (one per micro-batch, offsets
+    carry the group cursor, so each group is its own checkpointed unit
+    of recovery) and subsequent batches take only as many snapshots as
+    fit N files (always ≥1 so a jumbo commit still drains);
+    ``option("maxSnapshotsPerTrigger", K)`` caps snapshots per batch
+    (reference analog: bounded batch slicing, Modules/utils.py:309-350 —
+    never bite more than one batch). The cap lives in ``latestOffset``,
+    which advances from the reader's tracked position — fed by
+    initialOffset / partitions / commit, so restarts resume capped from
+    the checkpoint (Spark replans the pending batch or commits the last
+    one before asking for a new offset)."""
+
+    def __init__(self, location: str, options: dict | None = None):
         self.location = location
+        opts = {k.lower(): v for k, v in (options or {}).items()}
+
+        def _int_opt(name: str):
+            v = opts.get(name.lower())
+            if v is None:
+                return None
+            iv = int(v)
+            if iv < 1:
+                raise ValueError(f"{name} must be >= 1, got {v}")
+            return iv
+
+        self.max_files = _int_opt("maxFilesPerTrigger")
+        self.max_snapshots = _int_opt("maxSnapshotsPerTrigger")
+        self.metrics_dir = opts.get("lagmetricsdir")
+        self._pos: dict | None = None  # latest position this run knows
+
+    def _dbg(self, msg: str) -> None:
+        import os
+        f = os.environ.get("HTRTF_STREAM_DEBUG")
+        if f:
+            with open(f, "a") as fh:
+                fh.write(f"pid={os.getpid()} {msg}\n")
+
+    def _track(self, off: dict) -> None:
+        if self._pos is None or _off_key(off) > _off_key(self._pos):
+            self._pos = dict(off)
 
     # ------------------------------------------------ driver-side plan
     def initialOffset(self) -> dict:
-        # start of stream = nothing consumed; the first batch surfaces
-        # the whole current table (seq window (0, latest])
-        return {"seq": 0}
+        # start of stream = nothing consumed; bootstrap begins at the
+        # next latestOffset (never regress a position learned from a
+        # checkpoint replay — Spark may probe initialOffset anyway)
+        off = {"seq": 0}
+        self._track(off)
+        self._dbg(f"initialOffset -> {off}")
+        return off
 
     def latestOffset(self) -> dict:
-        from htrtf_spark.sources.iceberg import current_metadata
+        import math
 
-        return {"seq": int(current_metadata(self.location)["last-sequence-number"])}
+        from htrtf_spark.sources.iceberg import (
+            _ancestors,
+            current_metadata,
+            live_data_files,
+        )
+
+        meta = current_metadata(self.location)
+        self._dbg(f"latestOffset pos={self._pos} mf={self.max_files} ms={self.max_snapshots}")
+        chain = _ancestors(meta, meta.get("current-snapshot-id"))
+        if not chain:
+            return {"seq": 0}
+        head_seq = int(chain[0]["sequence-number"])
+        pos = self._pos
+        if pos is None:
+            # Spark PREFETCHES latestOffset before initialOffset on a
+            # fresh query (PythonStreamingSourceRunner), so an untracked
+            # position means "nothing consumed yet" — start the capped
+            # bootstrap. On a RESTART the engine always replans the last
+            # checkpointed batch (partitions(start, end)) before asking
+            # for a new offset, which seeds _pos from the checkpoint;
+            # partitions() additionally guards the inconsistent pairing
+            # should an engine ever skip that replay.
+            pos = {"seq": 0}
+
+        # mid-bootstrap: next file group (one per trigger)
+        if "boot_seq" in pos and int(pos["grp"]) < int(pos["ngrp"]):
+            nxt = int(pos["grp"]) + 1
+            if nxt < int(pos["ngrp"]):
+                return {**pos, "grp": nxt}
+            return {"seq": int(pos["boot_seq"])}  # bootstrap complete
+
+        cur_seq = int(pos.get("boot_seq", pos.get("seq", 0)))
+        if cur_seq >= head_seq:
+            return {"seq": cur_seq}  # nothing new (or table rolled back)
+
+        if cur_seq == 0:
+            # bootstrap: pin the current snapshot; split its live files
+            boot = chain[0]
+            n_files = len(
+                live_data_files(
+                    self.location, snapshot_id=boot["snapshot-id"]
+                )
+            )
+            if self.max_files and n_files > self.max_files:
+                ngrp = math.ceil(n_files / self.max_files)
+                return {
+                    "seq": 0,
+                    "boot_sid": int(boot["snapshot-id"]),
+                    "boot_seq": head_seq,
+                    "grp": 1,
+                    "ngrp": ngrp,
+                }
+            return {"seq": head_seq}
+
+        # append advance along the live branch, capped; replace
+        # snapshots surface no rows (skipped in planning) so sliding
+        # over them is free and never counts against the caps
+        cands = [
+            sn
+            for sn in sorted(chain, key=lambda x: x["sequence-number"])
+            if cur_seq < int(sn["sequence-number"]) <= head_seq
+        ]
+        last, files_acc, snaps_acc = cur_seq, 0, 0
+        for sn in cands:
+            if sn.get("summary", {}).get("operation") == "replace":
+                last = int(sn["sequence-number"])
+                continue
+            n = int(sn.get("summary", {}).get("added-data-files", 0))
+            if snaps_acc > 0 and (
+                (self.max_snapshots and snaps_acc >= self.max_snapshots)
+                or (self.max_files and files_acc + n > self.max_files)
+            ):
+                break
+            files_acc += n
+            snaps_acc += 1
+            last = int(sn["sequence-number"])
+        return {"seq": last}
+
+    def _write_lag_metrics(
+        self, start: dict, end: dict, records: list, meta: dict
+    ) -> None:
+        """One JSONL row per planned batch (files, bytes, sequence lag
+        behind the table head) — the stream-side analog of the
+        incremental job's tick_metrics lineage (plans/incremental.py)."""
+        if not self.metrics_dir:
+            return
+        import json
+        import os
+        import time
+
+        from htrtf_spark.sources.iceberg import _ancestors
+
+        chain = _ancestors(meta, meta.get("current-snapshot-id"))
+        head_seq = int(chain[0]["sequence-number"]) if chain else 0
+        end_seq = int(end.get("boot_seq", end.get("seq", 0)))
+        row = {
+            "start": start,
+            "end": end,
+            "files": sum(1 for r in records if r is not None),
+            "bytes": int(
+                sum(int(r.get("file_size_in_bytes", 0)) for r in records)
+            ),
+            "seq_lag": max(0, head_seq - end_seq),
+            "boot_groups_remaining": (
+                int(end["ngrp"]) - int(end["grp"])
+                if "boot_seq" in end
+                and int(end.get("grp", 0)) < int(end.get("ngrp", 0))
+                else 0
+            ),
+            "ts_ms": int(time.time() * 1000),
+        }
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        with open(
+            os.path.join(self.metrics_dir, "batch_lag.jsonl"), "a"
+        ) as f:
+            f.write(json.dumps(row, sort_keys=True) + "\n")
 
     def partitions(self, start: dict, end: dict):
         from htrtf_spark.sources.iceberg import (
+            _ancestors,
             _schema_by_id,
             added_data_files,
             current_metadata,
+            live_data_files,
             live_delete_files,
         )
 
-        lo, hi = int(start["seq"]), int(end["seq"])
         meta = current_metadata(self.location)
+        self._dbg(f"partitions({start}, {end})")
+        # a replanned checkpoint batch is how a restarted reader learns
+        # its position (the engine replays the last offset-log entry
+        # before requesting a new offset) — track BOTH ends
+        self._track(start)
         # PIN the window to table METADATA snapshots: each batch
         # surfaces the files each APPEND snapshot in (lo, hi] itself
         # added, read from that snapshot's OWN manifest list. Planning
@@ -93,27 +288,112 @@ class IcebergStreamReader(DataSourceStreamReader):
         # NEW sequence (whole-table duplication) while the window's
         # original appends disappear from the live view (loss).
         # REPLACE snapshots are skipped outright - rewritten old rows,
-        # not new data (the Iceberg incremental-append-scan rule).
-        end_snap = None
-        for sn in meta["snapshots"]:
-            if int(sn["sequence-number"]) == hi:
-                end_snap = sn
-                break
-        if end_snap is None:
+        # not new data - and the window walks the upper snapshot's
+        # ANCESTOR chain, so appends rolled back between batches
+        # (abandoned branch, still in metadata with in-range sequence
+        # numbers) never surface (the Iceberg incremental-append rule).
+
+        def _snap_by_id(sid: int):
+            for sn in meta["snapshots"]:
+                if int(sn["snapshot-id"]) == sid:
+                    return sn
             raise RuntimeError(
-                f"offset snapshot (sequence {hi}) is no longer in "
+                f"offset snapshot id {sid} is no longer in "
                 f"{self.location!r} metadata (expired between offset "
                 "capture and planning?) - restart from a fresh "
                 "checkpoint to re-baseline"
             )
-        window = [
-            sn
-            for sn in sorted(
-                meta["snapshots"], key=lambda x: x["sequence-number"]
+
+        def _snap_by_seq(seq: int):
+            for sn in meta["snapshots"]:
+                if int(sn["sequence-number"]) == seq:
+                    return sn
+            raise RuntimeError(
+                f"offset snapshot (sequence {seq}) is no longer in "
+                f"{self.location!r} metadata (expired between offset "
+                "capture and planning?) - restart from a fresh "
+                "checkpoint to re-baseline"
             )
-            if lo < int(sn["sequence-number"]) <= hi
-            and sn.get("summary", {}).get("operation") != "replace"
-        ]
+
+        def _boot_slice(boff: dict, g_lo: int, g_hi: int) -> list:
+            files = live_data_files(
+                self.location, snapshot_id=int(boff["boot_sid"])
+            )
+            bounds = _chunk_bounds(len(files), int(boff["ngrp"]))
+            lo_i = bounds[g_lo][0] if g_lo < len(bounds) else len(files)
+            hi_i = bounds[g_hi - 1][1] if g_hi >= 1 else 0
+            return files[lo_i:hi_i]
+
+        records: list = []
+        if (
+            "boot_seq" in end
+            and int(end["grp"]) < int(end["ngrp"])
+            and "boot_seq" not in start
+            and int(start.get("seq", 0)) > 0
+        ):
+            # inconsistent pairing (bootstrap end against a non-zero
+            # consumed position — only possible if an engine skipped the
+            # restart replay and latestOffset re-derived a bootstrap):
+            # plan it as a plain append window up to the pinned
+            # snapshot and normalize the tracked position past the
+            # bootstrap so no file group ever re-surfaces consumed rows
+            end = {"seq": int(end["boot_seq"])}
+        if "boot_seq" in end and int(end["grp"]) < int(end["ngrp"]):
+            # bootstrap in progress: groups (start.grp, end.grp] of the
+            # pinned snapshot's live files (replace files included —
+            # this is a full-state load, same as the legacy lo=0 batch)
+            g_lo = int(start["grp"]) if "boot_seq" in start else 0
+            records = _boot_slice(end, g_lo, int(end["grp"]))
+            end_snap = _snap_by_id(int(end["boot_sid"]))
+        else:
+            hi = int(end.get("boot_seq", end["seq"]))
+            if hi == 0:
+                end_snap, records = None, []
+            else:
+                end_snap = _snap_by_seq(hi)
+                if "boot_seq" in start and int(start["grp"]) < int(
+                    start["ngrp"]
+                ):
+                    # finish the bootstrap's remaining groups, plus any
+                    # appends after the pinned snapshot
+                    records = _boot_slice(
+                        start, int(start["grp"]), int(start["ngrp"])
+                    )
+                    lo = int(start["boot_seq"])
+                else:
+                    lo = int(start.get("boot_seq", start["seq"]))
+                if "boot_seq" not in start and lo == 0:
+                    # legacy/uncapped FIRST batch = full load of the
+                    # pinned snapshot (live files, replace snapshots
+                    # included): a stream starting on a table whose
+                    # pre-compaction history was expired would
+                    # otherwise skip the replace snapshot and surface
+                    # NOTHING. Exactly extract_increment_once's
+                    # bootstrap semantics.
+                    records = live_data_files(
+                        self.location, snapshot_id=end_snap["snapshot-id"]
+                    )
+                else:
+                    window = [
+                        sn
+                        for sn in sorted(
+                            _ancestors(meta, end_snap["snapshot-id"]),
+                            key=lambda x: x["sequence-number"],
+                        )
+                        if lo < int(sn["sequence-number"]) <= hi
+                        and sn.get("summary", {}).get("operation")
+                        != "replace"
+                    ]
+                    records = records + [
+                        r
+                        for sn in window
+                        for r in added_data_files(self.location, sn)
+                    ]
+        if end_snap is None:
+            self._write_lag_metrics(start, end, [], meta)
+            self._track(end)
+            return [_FilePartition(None, 0, [], [], [], [])]
+
         ice_schema = _schema_by_id(
             meta, end_snap.get("schema-id", meta["current-schema-id"])
         )
@@ -123,21 +403,6 @@ class IcebergStreamReader(DataSourceStreamReader):
         deletes = live_delete_files(
             self.location, snapshot_id=end_snap["snapshot-id"]
         )
-        if lo == 0:
-            # FIRST batch = full load of the pinned snapshot (live
-            # files, replace snapshots included): a stream starting on
-            # a table whose pre-compaction history was expired would
-            # otherwise skip the replace snapshot and surface NOTHING.
-            # Exactly extract_increment_once's bootstrap semantics.
-            from htrtf_spark.sources.iceberg import live_data_files
-
-            records = live_data_files(
-                self.location, snapshot_id=end_snap["snapshot-id"]
-            )
-        else:
-            records = [
-                r for sn in window for r in added_data_files(self.location, sn)
-            ]
         parts = []
         for rec in records:
             wmap = {f["id"]: f["name"] for f in rec["_write_fields"]}
@@ -188,10 +453,16 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
         if not parts:  # Spark requires ≥1 partition per batch
             parts = [_FilePartition(None, 0, [], [], [], [])]
+        self._write_lag_metrics(start, end, records, meta)
+        self._track(end)
         return parts
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint
+        # offsets live in the query checkpoint; tracking the committed
+        # position lets the FIRST latestOffset after a restart advance
+        # capped from it instead of falling back to the uncapped head
+        self._dbg(f"commit({end})")
+        self._track(end)
 
     # --------------------------------------------- executor-side read
     def read(self, partition):
@@ -310,7 +581,7 @@ class IcebergIncrementalSource(DataSource):
         return cols
 
     def streamReader(self, schema):
-        return IcebergStreamReader(self.options["location"])
+        return IcebergStreamReader(self.options["location"], dict(self.options))
 
 
 def register(spark) -> None:

@@ -25,7 +25,19 @@ import sys
 
 
 def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
-                available_now: bool = True):
+                available_now: bool = True,
+                max_files_per_trigger: int | None = None,
+                max_snapshots_per_trigger: int | None = None,
+                lag_metrics_dir: str | None = None):
+    """Admission control: at 10^12-turn scale pass
+    ``max_files_per_trigger`` so the first batch is NOT one job over
+    every live file (the source splits the bootstrap into bounded,
+    individually-checkpointed file groups) and commit bursts drain as
+    bounded batches. With ``--available-now`` the caps bound the
+    PER-RUN work — each cron tick drains a bounded slice and repeated
+    ticks converge to the head (exactly the bounded-batch contract);
+    a long-lived query drains fully with bounded micro-batches.
+    ``lag_metrics_dir`` records per-batch files/bytes/sequence-lag."""
     from htrtf_spark.sources import iceberg_stream
     from htrtf_spark.streaming.extract_stream import (
         stream_extract,
@@ -33,11 +45,19 @@ def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
     )
 
     iceberg_stream.register(spark)
-    src = (
+    reader = (
         spark.readStream.format("htrtf_iceberg")
         .option("location", source_loc)
-        .load()
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_snapshots_per_trigger:
+        reader = reader.option(
+            "maxSnapshotsPerTrigger", str(max_snapshots_per_trigger)
+        )
+    if lag_metrics_dir:
+        reader = reader.option("lagMetricsDir", lag_metrics_dir)
+    src = reader.load()
     return stream_to_iceberg(
         stream_extract(src), dest_loc, checkpoint,
         query_name="iceberg_to_iceberg_extraction",

@@ -726,3 +726,164 @@ def test_avro_write_task_retry_idempotent(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def _mk_turns(spark, n, tag=""):
+    from pyspark.sql import functions as F
+
+    rows = [(f"c{i}{tag}", 0, "user", f"text {i}{tag}", None) for i in range(n)]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+
+def test_stream_admission_control_capped_drain(spark, tmp_path):
+    """maxFilesPerTrigger splits the bootstrap into ceil(M/N) file
+    groups — each its own checkpointed micro-batch — and caps
+    subsequent batches by snapshot file counts (a jumbo commit still
+    drains as ONE batch: progress guarantee). Lag metrics record every
+    planned batch. VERDICT r4 #1."""
+    import json
+    import os
+
+    from htrtf_spark.sources import iceberg as I
+    from htrtf_spark.sources import iceberg_stream
+
+    iceberg_stream.register(spark)
+    loc, out, ckpt, mdir = (
+        str(tmp_path / d) for d in ("tbl", "out", "ckpt", "metrics")
+    )
+    I.write_iceberg_table(_mk_turns(spark, 12).repartition(6), loc)
+
+    def drain():
+        q = (
+            spark.readStream.format("htrtf_iceberg")
+            .option("location", loc)
+            .option("maxFilesPerTrigger", "2")
+            .option("lagMetricsDir", mdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 12  # exactly once
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(mdir, "batch_lag.jsonl"))
+    ]
+    boot = [r for r in rows if r["files"] > 0]
+    assert [r["files"] for r in boot] == [2, 2, 2]  # 6 files / cap 2
+    assert [r["boot_groups_remaining"] for r in boot] == [2, 1, 0]
+    assert all(r["bytes"] > 0 for r in boot)
+
+    # jumbo commit (4 files > cap) + small commit: jumbo is one batch
+    # (never split post-bootstrap, never merged with the next commit)
+    I.append_iceberg_table(_mk_turns(spark, 4, "-j").repartition(4), loc)
+    I.append_iceberg_table(_mk_turns(spark, 1, "-s").repartition(1), loc)
+    drain()
+    assert spark.read.parquet(out).count() == 17  # 12 + 4 + 1, no dup
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(mdir, "batch_lag.jsonl"))
+    ]
+    tail = [r for r in rows if r["files"] > 0][3:]
+    # exactly two data batches: the jumbo commit (> cap, all its files
+    # in ONE batch) and the small commit (not merged into the jumbo)
+    assert len(tail) == 2
+    assert tail[0]["files"] > 2 and tail[1]["files"] == 1
+    assert [r["seq_lag"] for r in tail] == [1, 0]  # lag drains to zero
+
+
+def test_stream_admission_offset_state_machine(spark, tmp_path):
+    """Driver-side offset unit drive of IcebergStreamReader (no Spark
+    query): the exact call pattern the engine produces — prefetched
+    latestOffset BEFORE initialOffset on fresh start, replayed
+    partitions() seeding the position on restart — yields capped,
+    gapless, non-overlapping windows; every row surfaces exactly once
+    across bootstrap groups; snapshot caps honor replace-slide."""
+    import pyarrow as pa
+
+    from htrtf_spark.sources import iceberg as I
+    from htrtf_spark.sources.iceberg_stream import IcebergStreamReader
+
+    loc = str(tmp_path / "tbl")
+    I.write_iceberg_table(_mk_turns(spark, 10).repartition(5), loc)
+
+    def batch_convs(reader, parts):
+        out = []
+        for p in parts:
+            for b in reader.read(p):
+                out.extend(pa.Table.from_batches([b]).column("conv_id").to_pylist())
+        return out
+
+    import math
+
+    from htrtf_spark.sources.iceberg_stream import _off_key
+
+    n_files = len(I.live_data_files(loc))
+    assert n_files >= 4  # enough to force a multi-group bootstrap
+    ngrp = math.ceil(n_files / 2)
+    r = IcebergStreamReader(loc, {"maxFilesPerTrigger": "2"})
+    # fresh query: latestOffset is PREFETCHED before initialOffset
+    o1 = r.latestOffset()
+    assert o1 == {"seq": 0, "boot_sid": 1, "boot_seq": 1, "grp": 1, "ngrp": ngrp}
+    assert r.initialOffset() == {"seq": 0}
+    offs = [{"seq": 0}, o1]
+    seen = batch_convs(r, r.partitions(offs[-2], offs[-1]))
+    batches = [len(seen)]
+
+    # crash after group 1; the restarted reader learns its position
+    # from the engine's replay of the last checkpointed batch — same
+    # rows — and the NEXT offset CONTINUES the bootstrap instead of
+    # restarting it from scratch
+    r2 = IcebergStreamReader(loc, {"maxFilesPerTrigger": "2"})
+    replay = batch_convs(r2, r2.partitions(offs[-2], offs[-1]))
+    assert sorted(replay) == sorted(seen)
+    seen = replay
+
+    # drive the remaining bootstrap groups to the completion marker
+    while offs[-1] != {"seq": 1}:
+        nxt = r2.latestOffset()
+        assert _off_key(nxt) > _off_key(offs[-1])  # strictly forward
+        rows = batch_convs(r2, r2.partitions(offs[-1], nxt))
+        seen += rows
+        batches.append(len(rows))
+        offs.append(nxt)
+    assert sorted(seen) == sorted(f"c{i}" for i in range(10))  # exact
+    assert len(batches) == ngrp  # one micro-batch per file group
+    assert max(batches) <= 2 * max(
+        1, (10 + n_files - 1) // n_files
+    ) * 2  # bounded batch size (cap 2 files/group)
+    o3 = offs[-1]
+
+    # three appends + a compaction: snapshot cap 1/batch, the replace
+    # snapshot slides for free, windows stay gapless
+    for tag in ("-a", "-b"):
+        I.append_iceberg_table(_mk_turns(spark, 2, tag).repartition(1), loc)
+    I.compact_iceberg_table(spark, loc)
+    I.append_iceberg_table(_mk_turns(spark, 2, "-c").repartition(1), loc)
+
+    r3 = IcebergStreamReader(loc, {"maxSnapshotsPerTrigger": "1"})
+    r3.commit(o3)  # engine delivers the committed offset on restart
+    got = []
+    cur = o3
+    hops = []
+    while True:
+        nxt = r3.latestOffset()
+        if nxt == cur:
+            break
+        got += batch_convs(r3, r3.partitions(cur, nxt))
+        hops.append((cur, nxt))
+        cur = nxt
+    want = [f"c{i}-a" for i in range(2)] + [f"c{i}-b" for i in range(2)] + [
+        f"c{i}-c" for i in range(2)
+    ]
+    assert sorted(got) == sorted(want)
+    # 3 append snapshots, cap 1 -> 3 data-bearing hops (replace free)
+    assert len(hops) == 3
