@@ -660,3 +660,114 @@ QUERIES["q93_benchmark_contamination"] = (
     q93_benchmark_contamination,
     _Q93_SQL,
 )
+
+# --------------------------------------------------------------------- q96
+
+_SUBSTR_L = 50  # the oracle SQL below is DERIVED from this knob
+
+
+def q96_repeated_substring_spans(spark, sf_dir):
+    """Exact repeated-substring spans (Lee et al. 2022 suffix-array
+    semantics) at min_len=50 over documents — maximal character spans
+    every length-50 window of which occurs >= 2 times in the corpus."""
+    from htrtf_spark.operators.substr_dedup import repeated_substring_spans
+
+    return repeated_substring_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        min_len=_SUBSTR_L,
+    ).withColumnRenamed("id", "doc_id")
+
+
+_SPANS_CTE = f"""
+grams AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1,
+                   'g': substring(text, i, {_SUBSTR_L})}}
+                 for i in generate_series(
+                     1, length(text) - {_SUBSTR_L} + 1)],
+                recursive := true)
+  FROM documents WHERE length(text) >= {_SUBSTR_L}
+),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS n FROM grams
+  ) WHERE n >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start,
+         MAX(pos) + {_SUBSTR_L} AS span_end
+  FROM isl GROUP BY doc_id, grp
+)
+"""
+
+_Q96_SQL = f"""
+WITH {_SPANS_CTE}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start AS span_len
+FROM spans
+"""
+
+QUERIES["q96_repeated_substring_spans"] = (
+    q96_repeated_substring_spans,
+    _Q96_SQL,
+)
+
+# --------------------------------------------------------------------- q97
+
+
+def q97_substring_dedup_apply(spark, sf_dir):
+    """Apply-side substring dedup: cut every duplicated span out of the
+    text (drop-duplicated-regions policy); untouched documents pass
+    through with removed_chars = 0."""
+    from htrtf_spark.operators.substr_dedup import (
+        repeated_substring_spans,
+        strip_repeated_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(
+        docs, "doc_id", "text", min_len=_SUBSTR_L
+    )
+    return strip_repeated_spans(docs, spans, "doc_id", "text").select(
+        "doc_id", F.col("text").alias("kept_text"), "removed_chars"
+    )
+
+
+_Q97_SQL = f"""
+WITH {_SPANS_CTE},
+segs AS (
+  SELECT doc_id, span_start, span_end,
+         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 0) AS prev_e
+  FROM spans
+),
+pieces AS (
+  SELECT s.doc_id, s.span_start AS ord,
+         substring(d.text, s.prev_e + 1, s.span_start - s.prev_e) AS seg
+  FROM segs s JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 2147483647 AS ord,
+         substring(d.text, m.max_e + 1, length(d.text) - m.max_e) AS seg
+  FROM (SELECT doc_id, MAX(span_end) AS max_e FROM spans GROUP BY doc_id) m
+  JOIN documents d USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS kept_text
+  FROM pieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.kept_text, d.text) AS kept_text,
+       length(d.text) - length(COALESCE(c.kept_text, d.text))
+         AS removed_chars
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+QUERIES["q97_substring_dedup_apply"] = (
+    q97_substring_dedup_apply,
+    _Q97_SQL,
+)

@@ -1,0 +1,148 @@
+"""Exact repeated-substring dedup (operators/substr_dedup.py): planted
+repeats spanning document boundaries, a brute-force oracle, hash
+prefilter equivalence, and apply-side reconstruction."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from htrtf_spark.operators.substr_dedup import (
+    repeated_substring_spans,
+    strip_repeated_spans,
+)
+
+
+def _brute_spans(docs: dict[int, str], L: int) -> set[tuple]:
+    """Independent scan: count every L-gram over all (doc, pos), mark
+    repeated positions, merge consecutive runs into maximal spans."""
+    from collections import Counter
+
+    counts = Counter(
+        t[i : i + L]
+        for t in docs.values()
+        for i in range(len(t) - L + 1)
+    )
+    spans = set()
+    for d, t in docs.items():
+        hit = [i for i in range(len(t) - L + 1) if counts[t[i : i + L]] >= 2]
+        run: list[int] = []
+        for p in hit + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add((d, run[0], run[-1] + L, run[-1] + L - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+def _mk_docs() -> dict[int, str]:
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "delta", "echo", "golf", "hotel", "kilo"]
+
+    def soup(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    boiler = "this license text is repeated verbatim across documents " * 3
+    intra = "the same paragraph occurs twice inside one document here! "
+    docs = {
+        0: soup(40) + " " + boiler + " " + soup(30),          # cross-doc A
+        1: soup(35) + " " + boiler + " " + soup(25),          # cross-doc B
+        2: intra + soup(20) + " " + intra + soup(10),         # within-doc
+        3: soup(60),                                          # clean
+        4: boiler,                                            # whole doc dup
+        5: "short",                                           # < L
+    }
+    return docs
+
+
+L = 40
+
+
+def test_spans_match_brute_force(spark):
+    docs = _mk_docs()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        tuple(r)
+        for r in repeated_substring_spans(
+            df, "doc_id", "text", min_len=L
+        ).collect()
+    }
+    want = _brute_spans(docs, L)
+    assert got == want
+    assert any(d == 2 for d, *_ in got)          # within-doc repeat found
+    assert {d for d, *_ in got} >= {0, 1, 4}     # cross-doc boilerplate
+    assert not any(d in (3, 5) for d, *_ in got)  # clean/short untouched
+
+
+def test_prefilter_hash_equivalence(spark):
+    docs = _mk_docs()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    a = repeated_substring_spans(df, "doc_id", "text", L, prefilter_hash=True)
+    b = repeated_substring_spans(df, "doc_id", "text", L, prefilter_hash=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_strip_repeated_spans_reconstruction(spark):
+    docs = _mk_docs()
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    spans = repeated_substring_spans(df, "doc_id", "text", min_len=L)
+    out = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in strip_repeated_spans(df, spans, "doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for d, s, e, _ in _brute_spans(docs, L):
+        by_doc.setdefault(d, []).append((s, e))
+    for d, t in docs.items():
+        cut = sorted(by_doc.get(d, []))
+        want = ""
+        cur = 0
+        for s, e in cut:
+            want += t[cur:s]
+            cur = e
+        want += t[cur:]
+        assert out[d][0] == want, f"doc {d}"
+        assert out[d][1] == len(t) - len(want)
+    # untouched docs pass through byte-identical with removed_chars=0
+    assert out[3] == (docs[3], 0) and out[5] == (docs[5], 0)
+
+
+def test_min_len_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repeated_substring_spans(df, min_len=0)
+
+
+def test_span_at_document_start_and_end(spark):
+    # duplicated region flush at position 0 and flush at the text end
+    core = "Z" * (L + 7)
+    df = spark.createDataFrame(
+        [(1, core + " middle filler one"), (2, "tail filler two " + core)],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in repeated_substring_spans(df, "doc_id", "text", L).collect()
+    }
+    assert (1, 0, len(core)) in spans
+    t2 = "tail filler two " + core
+    assert (2, len(t2) - len(core), len(t2)) in spans
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in strip_repeated_spans(
+            df,
+            repeated_substring_spans(df, "doc_id", "text", L),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert stripped[1] == " middle filler one"
+    assert stripped[2] == "tail filler two "
