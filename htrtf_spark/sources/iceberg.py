@@ -1816,6 +1816,236 @@ def compact_iceberg_table(
             continue  # racing commit landed: redo read + rewrite, not just metadata
 
 
+def _merge_manifest_summaries(
+    rows: list[dict], spec_fields: list[dict], write_schema: dict
+) -> list[dict] | None:
+    """Merge the field-507 partition summaries of several manifest-list
+    rows (all under the SAME spec) into one conservative summary:
+    contains_null ORs, bounds widen to the union. Bounds are compared in
+    DECODED form but the winning original encoded bytes are kept, so no
+    value ever round-trips through a re-encode. Any row without
+    summaries poisons the merge to None — a reader must then open the
+    manifest rather than risk a false prune."""
+    if not spec_fields:
+        return None
+    if any(not r.get("partitions") for r in rows):
+        return None
+    merged: list[dict] = []
+    for i, pf in enumerate(spec_fields):
+        ptype = _partition_value_type(pf, write_schema)
+        lo_b = hi_b = None
+        lo_v = hi_v = None
+        contains_null = False
+        contains_nan: bool | None = None
+        for r in rows:
+            s = r["partitions"][i]
+            contains_null = contains_null or s["contains_null"]
+            if s.get("contains_nan") is not None:
+                contains_nan = bool(contains_nan) or s["contains_nan"]
+            for key, better in (("lower_bound", "lo"), ("upper_bound", "hi")):
+                b = s.get(key)
+                if b is None:
+                    continue
+                v = _decode_bound(b, ptype)
+                if better == "lo" and (lo_v is None or v < lo_v):
+                    lo_v, lo_b = v, b
+                elif better == "hi" and (hi_v is None or v > hi_v):
+                    hi_v, hi_b = v, b
+        merged.append(
+            {
+                "contains_null": contains_null,
+                "contains_nan": contains_nan,
+                "lower_bound": lo_b,
+                "upper_bound": hi_b,
+            }
+        )
+    return merged
+
+
+def rewrite_manifests(
+    location: str, target_entries_per_manifest: int = 100_000
+) -> int | None:
+    """Maintenance REWRITE MANIFESTS (the metadata analog of native
+    Iceberg's ``rewriteManifests`` action): consolidate the CURRENT
+    snapshot's accumulated small manifests into few large ones without
+    touching a single data file. Every append adds one manifest to the
+    list, so after thousands of commits scan PLANNING opens thousands
+    of tiny Avro files even when field-507 summaries prune most of
+    them; this keeps planning cost O(live files / target), not
+    O(commits) — at 100 TB / ~400k files that is the difference between
+    a sub-second plan and minutes of metadata I/O per query.
+
+    Semantics preserved exactly:
+
+    - Live entries (status != DELETED) are re-emitted with status
+      EXISTING and their ORIGINAL snapshot-id / sequence numbers, so
+      equality-delete applicability (strictly-smaller-sequence rule)
+      and ``read_iceberg_table`` results are bit-identical.
+    - Entries are grouped by (content, spec-id, write schema): each
+      merged manifest keeps the same write-time schema + spec file_meta
+      its sources had, so schema-pinned reads of pre-rename/pre-drop
+      files still resolve by field-id, and delete manifests stay
+      separate from data manifests.
+    - The commit is a ``replace`` snapshot — incremental readers and
+      the streaming source skip it (no rows are new), and older
+      snapshots keep their own manifest lists for time travel until
+      ``expire_snapshots``.
+    - Manifest-list rows carry existing (not added) counts, the new
+      snapshot's sequence number, ``min_sequence_number`` of their
+      entries, and merged field-507 summaries (conservatively widened;
+      bounds bytes are reused, never re-encoded).
+
+    A racing commit restarts the whole read→merge→commit cycle against
+    refreshed metadata (same rule as ``compact_iceberg_table`` — a
+    blind metadata retry would erase the interleaved commit's
+    manifest). Returns the new snapshot id, or None when the list is
+    already consolidated (fewer-or-equal manifests than the merged
+    layout would produce — rewriting would churn metadata for nothing).
+
+    Reference analog: the reference consolidates its many per-batch
+    checkpoint artifacts into one canonical set before long runs
+    (Modules/utils.py:309-350 batch bookkeeping); this is the same
+    dont-let-bookkeeping-grow-linearly rule applied to table metadata.
+    """
+    while True:
+        meta = current_metadata(location)
+        cur_id = meta.get("current-snapshot-id")
+        if cur_id is None:
+            return None
+        snap = _find_snapshot(meta, cur_id)
+        _, _, manifests = avro_read(snap["manifest-list"])
+
+        groups: dict[tuple, dict] = {}
+        for m in manifests:
+            writer_schema, mmeta, entries = avro_read(m["manifest_path"])
+            key = (
+                int(m.get("content", 0)),
+                int(m["partition_spec_id"]),
+                mmeta.get("schema", ""),
+                mmeta.get("partition-spec", "[]"),
+            )
+            g = groups.setdefault(
+                key,
+                {
+                    "writer_schema": writer_schema,
+                    "file_meta": dict(mmeta),
+                    "rows": [],
+                    "entries": [],
+                },
+            )
+            g["rows"].append(m)
+            g["entries"].extend(e for e in entries if e["status"] != _DELETED)
+
+        n_merged = sum(
+            max(1, -(-len(g["entries"]) // target_entries_per_manifest))
+            for g in groups.values()
+            if g["entries"]
+        )
+        if len(manifests) <= n_merged:
+            return None  # already consolidated; a rewrite would only churn
+
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = seq
+        meta_dir = _meta_dir(location)
+        new_rows: list[dict] = []
+        for (content, spec_id, schema_json, spec_json), g in groups.items():
+            if not g["entries"]:
+                continue
+            spec_fields = json.loads(spec_json)
+            write_schema = json.loads(schema_json) if schema_json else {"fields": []}
+            summary = _merge_manifest_summaries(
+                g["rows"], spec_fields, write_schema
+            )
+            ents = g["entries"]
+            for lo in range(0, len(ents), target_entries_per_manifest):
+                chunk = ents[lo : lo + target_entries_per_manifest]
+                path = os.path.join(
+                    meta_dir, f"manifest-{seq:05d}-{uuid.uuid4().hex[:8]}.avro"
+                )
+                avro_write(
+                    path,
+                    g["writer_schema"],
+                    [{**e, "status": _EXISTING} for e in chunk],
+                    file_meta=g["file_meta"],
+                )
+                new_rows.append(
+                    {
+                        "manifest_path": os.path.abspath(path),
+                        "manifest_length": os.path.getsize(path),
+                        "partition_spec_id": spec_id,
+                        "content": content,
+                        "sequence_number": seq,
+                        "min_sequence_number": min(
+                            int(e["sequence_number"]) for e in chunk
+                        ),
+                        "added_snapshot_id": snapshot_id,
+                        "added_files_count": 0,
+                        "existing_files_count": len(chunk),
+                        "deleted_files_count": 0,
+                        "added_rows_count": 0,
+                        "existing_rows_count": sum(
+                            int(e["data_file"]["record_count"]) for e in chunk
+                        ),
+                        "deleted_rows_count": 0,
+                        # group-level merged summaries: conservative
+                        # (wider than a per-chunk recompute) but never
+                        # wrong — with the default target one chunk per
+                        # group is the common case anyway
+                        "partitions": summary,
+                    }
+                )
+
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        avro_write(
+            manifest_list_path,
+            _MANIFEST_FILE_SCHEMA,
+            new_rows,
+            file_meta={
+                "snapshot-id": str(snapshot_id),
+                "format-version": "2",
+            },
+        )
+        now_ms = int(time.time() * 1000)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": os.path.abspath(manifest_list_path),
+            "schema-id": meta["current-schema-id"],
+            "parent-snapshot-id": cur_id,
+            "summary": {
+                "operation": "replace",
+                "added-data-files": "0",
+                "added-records": "0",
+                "rewritten-manifests": str(len(manifests)),
+                "merged-manifests": str(len(new_rows)),
+            },
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+        new_meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        new_meta["metadata-log"] = meta["metadata-log"] + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{meta['_version']}.metadata.json"
+                ),
+            }
+        ]
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return snapshot_id
+        except CommitConflict:
+            continue  # racing commit: its manifest must be in the merge too
+
+
 def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` ANCESTORS of the current
     snapshot from the table metadata and DELETE the data/delete/manifest

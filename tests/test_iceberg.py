@@ -1203,7 +1203,9 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
 
     check()
     for _step in range(10):
-        op = rng.choice(["append", "delete", "upsert", "compact", "expire"])
+        op = rng.choice(
+            ["append", "delete", "upsert", "compact", "expire", "rewrite"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             sid = I.append_iceberg_table(
@@ -1232,6 +1234,11 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             I.compact_iceberg_table(spark, loc)
         elif op == "expire":
             I.expire_snapshots(loc, keep_last=1)
+        elif op == "rewrite":
+            # metadata-only manifest consolidation: every observable
+            # below (live reads, time travel, incremental windows) must
+            # be bit-identical whether or not it ran
+            I.rewrite_manifests(loc)
         check()
 
 
@@ -1846,3 +1853,209 @@ def test_overwrite_retry_revalidates_schema(
     assert len(meta["snapshots"]) == 1
     assert meta["current-schema-id"] == 1  # evolution survived
     assert I.read_iceberg_table(spark, loc).count() == 3
+
+
+# ----------------------------------------------------- rewrite_manifests
+def _current_manifests(loc):
+    meta = I.current_metadata(loc)
+    snap = [
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    ][0]
+    _, _, mans = avro_read(snap["manifest-list"])
+    return snap, mans
+
+
+def test_rewrite_manifests_consolidates(spark, transcripts_df, tmp_path):
+    """VERDICT r4 #4: N appends leave N manifests in the list (planning
+    cost O(commits)); rewrite_manifests merges them into one EXISTING
+    manifest without touching a data file, commits a replace snapshot,
+    and is a no-op when already consolidated."""
+    loc = str(tmp_path / "rwm")
+    I.write_iceberg_table(transcripts_df, loc)
+    for i in range(3):
+        I.append_iceberg_table(
+            transcripts_df.withColumn(
+                "conv_id", F.concat(F.lit(f"a{i}-"), F.col("conv_id"))
+            ),
+            loc,
+        )
+    _, before = _current_manifests(loc)
+    assert len(before) == 4
+    expect = _collect(I.read_iceberg_table(spark, loc))
+    data_before = {f["file_path"] for f in I.live_data_files(loc)}
+
+    sid = I.rewrite_manifests(loc)
+    assert sid is not None
+    snap, after = _current_manifests(loc)
+    assert len(after) == 1
+    assert snap["summary"]["operation"] == "replace"
+    assert after[0]["added_files_count"] == 0
+    assert after[0]["existing_files_count"] == len(data_before)
+    # metadata-only: the exact same data files, the exact same rows
+    assert {f["file_path"] for f in I.live_data_files(loc)} == data_before
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect
+    # original per-file sequence numbers survive the rewrite
+    assert sorted({f["_seq"] for f in I.live_data_files(loc)}) == [1, 2, 3, 4]
+    # already consolidated: second call declines to churn metadata
+    assert I.rewrite_manifests(loc) is None
+
+
+def test_rewrite_manifests_preserves_delete_semantics(
+    spark, transcripts_df, tmp_path
+):
+    """Equality-delete applicability is sequence-number based; a rewrite
+    must keep original sequence numbers so (a) pre-rewrite deletes still
+    mask pre-delete data and (b) post-rewrite deletes still apply to
+    pre-rewrite data files."""
+    loc = str(tmp_path / "rwmdel")
+    I.write_iceberg_table(transcripts_df, loc)
+    b2 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    I.append_iceberg_table(b2, loc)
+    I.delete_iceberg_rows(
+        spark.createDataFrame([("conv-a",)], "conv_id string"), loc, ["conv_id"]
+    )
+    expect1 = _collect(
+        transcripts_df.union(b2).filter("conv_id <> 'conv-a'")
+    )
+    assert I.rewrite_manifests(loc) is not None
+    _, mans = _current_manifests(loc)
+    # data group and delete group stay separate manifests
+    assert sorted(m["content"] for m in mans) == [0, 1]
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect1
+    # a NEW delete (higher sequence) still applies to the old data files
+    I.delete_iceberg_rows(
+        spark.createDataFrame([("b2-conv-b",)], "conv_id string"),
+        loc,
+        ["conv_id"],
+    )
+    expect2 = _collect(
+        transcripts_df.union(b2).filter(
+            "conv_id NOT IN ('conv-a', 'b2-conv-b')"
+        )
+    )
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect2
+
+
+def test_rewrite_manifests_incremental_and_streaming_invisible(
+    spark, transcripts_df, tmp_path
+):
+    """A rewrite snapshot adds no rows: incremental readers crossing it
+    see exactly the genuinely-appended batches, once each."""
+    loc = str(tmp_path / "rwminc")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    b2 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    I.append_iceberg_table(b2, loc)
+    rw = I.rewrite_manifests(loc)
+    assert rw is not None
+    b3 = transcripts_df.withColumn(
+        "conv_id", F.concat(F.lit("b3-"), F.col("conv_id"))
+    )
+    I.append_iceberg_table(b3, loc)
+    inc = I.read_iceberg_increment(spark, loc, from_snapshot_id=s1)
+    assert _collect(inc) == _collect(b2.union(b3))
+    # window starting AT the rewrite snapshot: only the later append
+    inc2 = I.read_iceberg_increment(spark, loc, from_snapshot_id=rw)
+    assert _collect(inc2) == _collect(b3)
+
+
+def test_rewrite_manifests_partitioned_summaries_still_prune(
+    spark, transcripts_df, tmp_path
+):
+    """Merged manifests keep per-spec grouping and carry merged
+    field-507 summaries (bytes reused, conservatively widened), so
+    partition-filtered reads stay correct and file-pruned."""
+    loc = str(tmp_path / "rwmpart")
+    I.write_iceberg_table(transcripts_df, loc, partition_by=["role"])
+    I.append_iceberg_table(
+        transcripts_df.withColumn(
+            "conv_id", F.concat(F.lit("p2-"), F.col("conv_id"))
+        ),
+        loc,
+    )
+    assert I.rewrite_manifests(loc) is not None
+    _, mans = _current_manifests(loc)
+    assert len(mans) == 1 and mans[0]["partitions"] is not None
+    got = I.read_iceberg_table(
+        spark, loc, partition_filter={"role": "assistant"}
+    )
+    both = transcripts_df.union(
+        transcripts_df.withColumn(
+            "conv_id", F.concat(F.lit("p2-"), F.col("conv_id"))
+        )
+    )
+    assert _collect(got) == _collect(both.filter("role = 'assistant'"))
+    # pruning: only assistant-partition files are opened
+    opened = {p.removeprefix("file://") for p in got.inputFiles()}
+    assistant_files = {
+        f["file_path"]
+        for f in I.live_data_files(loc)
+        if f["partition"].get("role") == "assistant"
+    }
+    assert opened == assistant_files
+
+
+def test_rewrite_manifests_respects_partition_evolution(
+    spark, transcripts_df, tmp_path
+):
+    """Manifests under DIFFERENT specs never merge with each other: each
+    merged manifest keeps its own spec + write-schema file_meta so
+    evolution-aware readers resolve exactly as before."""
+    loc = str(tmp_path / "rwmevo")
+    I.write_iceberg_table(transcripts_df, loc)  # unpartitioned spec 0
+    I.append_iceberg_table(
+        transcripts_df.withColumn(
+            "conv_id", F.concat(F.lit("e2-"), F.col("conv_id"))
+        ),
+        loc,
+        partition_by=["role"],  # evolved spec
+    )
+    expect = _collect(I.read_iceberg_table(spark, loc))
+    # two specs, one manifest each: nothing to merge yet — no-op
+    assert I.rewrite_manifests(loc) is None
+    # a second append per spec makes both groups mergeable
+    I.append_iceberg_table(
+        transcripts_df.withColumn(
+            "conv_id", F.concat(F.lit("e3-"), F.col("conv_id"))
+        ),
+        loc,
+    )
+    expect = _collect(I.read_iceberg_table(spark, loc))
+    assert I.rewrite_manifests(loc) is not None
+    _, mans = _current_manifests(loc)
+    assert len(mans) == 2
+    assert {m["partition_spec_id"] for m in mans} == {0, 1}
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect
+
+
+def test_rewrite_manifests_time_travel_then_expire(
+    spark, transcripts_df, tmp_path
+):
+    """Old snapshots stay time-travelable after a rewrite; expiring them
+    reaps the superseded small manifests but NOT the data files (still
+    referenced by the merged manifest)."""
+    loc = str(tmp_path / "rwmexp")
+    s1 = I.write_iceberg_table(transcripts_df, loc)
+    I.append_iceberg_table(
+        transcripts_df.withColumn(
+            "conv_id", F.concat(F.lit("x2-"), F.col("conv_id"))
+        ),
+        loc,
+    )
+    old_manifest_paths = {m["manifest_path"] for m in _current_manifests(loc)[1]}
+    assert I.rewrite_manifests(loc) is not None
+    # time travel to the pre-rewrite snapshot still replays it
+    assert _collect(
+        I.read_iceberg_table(spark, loc, snapshot_id=s1)
+    ) == _collect(transcripts_df)
+    data_files = {f["file_path"] for f in I.live_data_files(loc)}
+    expired = I.expire_snapshots(loc, keep_last=1)
+    assert len(expired) == 2
+    assert all(not os.path.exists(p) for p in old_manifest_paths)
+    assert all(os.path.exists(p) for p in data_files)
+    got = I.read_iceberg_table(spark, loc)
+    assert got.count() == 6
