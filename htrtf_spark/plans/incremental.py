@@ -61,25 +61,62 @@ def _record_metrics(dest_loc: str, processed: int, rows: int, wall: float) -> No
 
 
 def extract_increment_once(
-    spark: SparkSession, source_loc: str, dest_loc: str
+    spark: SparkSession,
+    source_loc: str,
+    dest_loc: str,
+    auto_rebaseline: bool = False,
+    rebaseline_on_delete: bool = False,
 ) -> dict:
-    """Run one tick. Returns {"processed_snapshot", "rows", "noop"}.
+    """Run one tick. Returns {"processed_snapshot", "rows", "noop"}
+    (plus ``"rebaselined": <reason>`` when the escape hatch fired).
 
     Raises ``sources.iceberg.ExpiredSnapshotError`` (a KeyError
     subclass) when the persisted source marker has been expired by
-    ``expire_snapshots`` on the source table — the caller must
-    re-baseline (fresh destination from a full load) rather than retry
-    the tick; retrying can never succeed.
-    """
+    ``expire_snapshots`` — or rolled back off the live branch — on the
+    source table: the incremental window cannot be reconstructed and
+    retrying can never succeed. With ``auto_rebaseline=True`` the tick
+    recovers instead: one atomic OVERWRITE commit rebuilds the
+    destination from a full extraction of the source's current
+    snapshot, marker updated in the same commit (the delete-retraction
+    escape hatch — streaming/rebaseline.py is the stream-side twin).
+
+    ``rebaseline_on_delete=True`` extends the hatch to silent
+    retractions: if the unconsumed window contains a retracting
+    snapshot (delete / upsert-overwrite / INSERT OVERWRITE,
+    ``replace-kind: overwrite``), the tick rebuilds rather than
+    append-propagating — strict consistency for consumers that must
+    not retain upstream-deleted rows. Compaction / rewrite-manifests
+    replace snapshots never trigger it."""
     from htrtf_spark.plans.pipeline import extract_turns
     from htrtf_spark.sources.iceberg import (
+        ExpiredSnapshotError,
+        _ancestors,
+        _find_snapshot,
         append_iceberg_table,
         current_metadata,
+        overwrite_iceberg_table,
         read_iceberg_increment,
         read_iceberg_table,
         table_exists,
         write_iceberg_table,
     )
+
+    def _rebaseline(cur: int, reason: str) -> dict:
+        t0r = time.monotonic()
+        out = extract_turns(
+            read_iceberg_table(spark, source_loc, snapshot_id=cur)
+        )
+        overwrite_iceberg_table(
+            out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}
+        )
+        rows = _committed_added_records(dest_loc)
+        _record_metrics(dest_loc, cur, rows, time.monotonic() - t0r)
+        return {
+            "processed_snapshot": cur,
+            "rows": rows,
+            "noop": False,
+            "rebaselined": reason,
+        }
 
     src_meta = current_metadata(source_loc)
     cur = src_meta["current-snapshot-id"]
@@ -108,11 +145,42 @@ def extract_increment_once(
     if last == cur:
         return {"processed_snapshot": cur, "rows": 0, "noop": True}
 
+    if rebaseline_on_delete:
+        # strict-consistency mode: a retracting snapshot in the window
+        # means append-propagation would retain rows upstream deleted
+        try:
+            last_seq = int(_find_snapshot(src_meta, last)["sequence-number"])
+        except KeyError:
+            last_seq = None  # expired marker: the read below raises
+        if last_seq is not None:
+            cur_seq = int(_find_snapshot(src_meta, cur)["sequence-number"])
+            for sn in _ancestors(src_meta, cur):
+                s_seq = int(sn["sequence-number"])
+                if not (last_seq < s_seq <= cur_seq):
+                    continue
+                summ = sn.get("summary", {})
+                op = summ.get("operation")
+                if op in ("delete", "overwrite") or (
+                    op == "replace"
+                    and summ.get("replace-kind") == "overwrite"
+                ):
+                    return _rebaseline(
+                        cur,
+                        f"retracting snapshot (operation={op}, "
+                        f"sequence {s_seq}) in window and "
+                        "rebaseline_on_delete is set",
+                    )
+
     # read the window pinned to `cur`: a source append racing this tick
     # is NOT silently marked processed — it is the next tick's window
-    inc = read_iceberg_increment(
-        spark, source_loc, from_snapshot_id=last, to_snapshot_id=cur
-    )
+    try:
+        inc = read_iceberg_increment(
+            spark, source_loc, from_snapshot_id=last, to_snapshot_id=cur
+        )
+    except ExpiredSnapshotError as exc:
+        if not auto_rebaseline:
+            raise
+        return _rebaseline(cur, str(exc))
     out = extract_turns(inc)
     append_iceberg_table(
         out, dest_loc, properties={SOURCE_SNAPSHOT_PROP: str(cur)}

@@ -1047,6 +1047,7 @@ def _commit(
     properties: dict[str, str] | None = None,
     extra_manifests: list[tuple[list[dict], int, dict]] | None = None,
     operation: str | None = None,
+    summary_extra: dict[str, str] | None = None,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
@@ -1157,6 +1158,10 @@ def _commit(
             "added-records": str(
                 sum(m["added_rows_count"] for m in new_manifests)
             ),
+            # e.g. replace-kind: compact|overwrite — lets a consumer
+            # tell a no-op rewrite from a logical row replacement when
+            # both carry operation=replace (streaming/rebaseline.py)
+            **(summary_extra or {}),
         },
     }
     if parent_id is not None:
@@ -1770,6 +1775,7 @@ def overwrite_iceberg_table(
                 location, ice_schema, files, prev_meta=meta, spec=spec,
                 carry_prior_manifests=False, properties=properties,
                 operation="replace",
+                summary_extra={"replace-kind": "overwrite"},
             )
         except CommitConflict:
             meta = current_metadata(location)
@@ -1811,6 +1817,7 @@ def compact_iceberg_table(
             return _commit(
                 location, ice_schema, files, prev_meta=meta, spec=spec,
                 carry_prior_manifests=False, operation="replace",
+                summary_extra={"replace-kind": "compact"},
             )
         except CommitConflict:
             continue  # racing commit landed: redo read + rewrite, not just metadata
@@ -2017,6 +2024,7 @@ def rewrite_manifests(
             "parent-snapshot-id": cur_id,
             "summary": {
                 "operation": "replace",
+                "replace-kind": "rewrite-manifests",
                 "added-data-files": "0",
                 "added-records": "0",
                 "rewritten-manifests": str(len(manifests)),

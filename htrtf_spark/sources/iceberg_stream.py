@@ -121,6 +121,22 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.max_snapshots = _int_opt("maxSnapshotsPerTrigger")
         self.metrics_dir = opts.get("lagmetricsdir")
         self._pos: dict | None = None  # latest position this run knows
+        # startingSequence (the Delta startingVersion analog): a FRESH
+        # query begins AFTER this already-materialized source sequence
+        # instead of bootstrapping the whole snapshot — how a
+        # re-baselined consumer (streaming/rebaseline.py) resumes
+        # without re-emitting the state it just batch-loaded. Seeded
+        # into _pos here because Spark may prefetch latestOffset before
+        # initialOffset on a fresh query; a checkpointed restart replans
+        # its last batch first, which re-tracks the (always ≥) real
+        # position over this seed.
+        start_seq = opts.get("startingsequence")
+        if start_seq is not None:
+            if int(start_seq) < 0:
+                raise ValueError(
+                    f"startingSequence must be >= 0, got {start_seq}"
+                )
+            self._pos = {"seq": int(start_seq)}
 
     def _dbg(self, msg: str) -> None:
         import os
@@ -135,10 +151,11 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     # ------------------------------------------------ driver-side plan
     def initialOffset(self) -> dict:
-        # start of stream = nothing consumed; bootstrap begins at the
-        # next latestOffset (never regress a position learned from a
-        # checkpoint replay — Spark may probe initialOffset anyway)
-        off = {"seq": 0}
+        # start of stream = nothing consumed (or the caller's
+        # startingSequence); bootstrap begins at the next latestOffset
+        # (never regress a position learned from a checkpoint replay —
+        # Spark may probe initialOffset anyway)
+        off = dict(self._pos) if self._pos is not None else {"seq": 0}
         self._track(off)
         self._dbg(f"initialOffset -> {off}")
         return off

@@ -19,6 +19,14 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source", required=True, help="Iceberg transcripts table path")
     p.add_argument("--dest", required=True, help="Iceberg output table path")
+    p.add_argument("--auto-rebaseline", action="store_true",
+                   help="recover from an expired/rolled-back source "
+                        "marker by atomically rebuilding the destination "
+                        "from the source's current snapshot")
+    p.add_argument("--rebaseline-on-delete", action="store_true",
+                   help="also rebuild when the window contains retracting "
+                        "snapshots (delete/upsert/INSERT OVERWRITE) — "
+                        "strict consistency instead of append-only")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -28,7 +36,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from htrtf_spark.plans.incremental import extract_increment_once
 
-    res = extract_increment_once(spark, args.source, args.dest)
+    res = extract_increment_once(
+        spark, args.source, args.dest,
+        auto_rebaseline=args.auto_rebaseline,
+        rebaseline_on_delete=args.rebaseline_on_delete,
+    )
     print(json.dumps(res))
     spark.stop()
     return 0

@@ -28,7 +28,8 @@ def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
                 available_now: bool = True,
                 max_files_per_trigger: int | None = None,
                 max_snapshots_per_trigger: int | None = None,
-                lag_metrics_dir: str | None = None):
+                lag_metrics_dir: str | None = None,
+                starting_sequence: int | None = None):
     """Admission control: at 10^12-turn scale pass
     ``max_files_per_trigger`` so the first batch is NOT one job over
     every live file (the source splits the bootstrap into bounded,
@@ -57,6 +58,10 @@ def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
         )
     if lag_metrics_dir:
         reader = reader.option("lagMetricsDir", lag_metrics_dir)
+    if starting_sequence is not None:
+        # fresh query resumes AFTER this source sequence (a re-baseline
+        # just materialized it into dest) instead of bootstrapping
+        reader = reader.option("startingSequence", str(starting_sequence))
     src = reader.load()
     return stream_to_iceberg(
         stream_extract(src), dest_loc, checkpoint,
@@ -74,6 +79,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="drain everything committed so far, then exit")
     p.add_argument("--timeout-sec", type=int, default=0,
                    help="await at most this long (0 = forever)")
+    p.add_argument("--auto-rebaseline", action="store_true",
+                   help="before starting, detect an upstream rollback "
+                        "past the checkpoint's position and recover by "
+                        "atomically rebuilding the destination from the "
+                        "source's current snapshot (retires the old "
+                        "checkpoint; the new query resumes incrementally "
+                        "from the rebaselined snapshot)")
+    p.add_argument("--rebaseline-on-delete", action="store_true",
+                   help="with --auto-rebaseline: also rebuild when the "
+                        "unconsumed window contains retracting snapshots "
+                        "(delete/upsert/INSERT OVERWRITE) — strict "
+                        "consistency instead of append-only propagation")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -82,9 +99,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    starting_sequence = None
+    if args.auto_rebaseline:
+        from htrtf_spark.streaming.rebaseline import (
+            rebaseline_stream_extraction,
+            stream_needs_rebaseline,
+        )
+
+        reason = stream_needs_rebaseline(
+            args.source, args.checkpoint,
+            on_upstream_delete=args.rebaseline_on_delete,
+        )
+        if reason:
+            info = rebaseline_stream_extraction(
+                spark, args.source, args.dest, args.checkpoint
+            )
+            print(f"rebaselined: {reason} -> {info}")
+            starting_sequence = info["starting_sequence"]
+
     q = build_query(
         spark, args.source, args.dest, args.checkpoint,
         available_now=args.available_now,
+        starting_sequence=starting_sequence,
     )
     if args.timeout_sec:
         q.awaitTermination(args.timeout_sec)
