@@ -21,7 +21,7 @@ needs, so the parquet scan reads exactly those (.explain → ReadSchema).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from htrtf_spark.operators.extraction import EXTRACTED_DDL, extract_map_in_pandas
@@ -107,30 +107,94 @@ def conversation_stats(extracted: DataFrame, salt_factor: int = 16) -> DataFrame
     )
 
 
-def conversation_documents(extracted: DataFrame) -> DataFrame:
+def conversation_documents(
+    extracted: DataFrame,
+    max_turns: int | None = None,
+    max_doc_chars: int | None = None,
+) -> DataFrame:
     """Assemble one training document per conversation: extracted turns
     concatenated in (turn_idx) order — the output shape a training-data
     pipeline feeds downstream. One shuffle on the extracted rows;
     in-group ordering via array_sort on (turn_idx, text) structs, so the
-    result is deterministic regardless of partitioning. Whale note: a
-    conversation's document must be assembled somewhere — per-task
-    memory is bounded by the largest single conversation's extracted
-    text, which Arrow batching already caps per the capacity plan
-    (SCALING.md); stats that don't need the full text use the salted
-    two-phase ``conversation_stats`` instead."""
+    result is deterministic regardless of partitioning.
+
+    Whale-document cap (the 100 TB shape): without a cap, a 10^6-turn
+    whale conversation funnels its ENTIRE extracted text through one
+    task's collect_list — the one aggregation in the pipeline whose
+    per-task memory is proportional to the largest group, not to a
+    tunable. ``max_turns`` / ``max_doc_chars`` bound it: turns are
+    ranked in (turn_idx) order and the document keeps the deterministic
+    PREFIX — at most ``max_turns`` turns, stopping before the turn at
+    which the running character total has already reached
+    ``max_doc_chars`` (the first turn is always kept). The cap is
+    applied BEFORE the collect, inside the same single shuffle (window
+    rank + groupBy share the conv_id hash partitioning — one Exchange
+    in the plan), so task memory is bounded by the CAP, not by the
+    whale; the window sort itself spills to disk like any Spark sort.
+    Capped output adds ``n_turns_kept`` / ``truncated`` columns and
+    reports ``n_turns`` as the conversation's TOTAL turn count, so
+    truncation is observable downstream (the training-data provenance
+    rule). Reference analog: width chunking bounds per-step work the
+    same way (/root/reference/Modules/layers.py:345-369).
+
+    Uncapped (both None, the default) keeps the exact historical
+    schema and semantics (q62 gate)."""
+    if max_turns is None and max_doc_chars is None:
+        assembled = F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "extracted_text"))
+                ),
+                lambda s: s["extracted_text"],
+            ),
+        )
+        # string_agg semantics: a conversation with zero non-null texts
+        # yields NULL, not '' (concat_ws alone would give '')
+        doc_text = F.when(F.count("extracted_text") > 0, assembled)
+        return extracted.groupBy("conv_id").agg(
+            doc_text.alias("doc_text"),
+            F.count("*").alias("n_turns"),
+        )
+
+    if max_turns is not None and max_turns < 1:
+        raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    if max_doc_chars is not None and max_doc_chars < 1:
+        raise ValueError(f"max_doc_chars must be >= 1, got {max_doc_chars}")
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ln = F.coalesce(F.length("extracted_text"), F.lit(0)).cast("long")
+    rows = (
+        extracted.select("conv_id", "turn_idx", "extracted_text")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_before", F.sum(ln).over(w) - ln)
+    )
+    keep = F.lit(True)
+    if max_turns is not None:
+        keep = keep & (F.col("_rn") <= max_turns)
+    if max_doc_chars is not None:
+        # greedy prefix: a turn enters while the budget is not yet
+        # exhausted BEFORE it — the first turn (running total 0) always
+        # fits, so every conversation yields a document
+        keep = keep & (F.col("_before") < max_doc_chars)
+
+    # collect_list skips NULL elements: only kept turns are gathered,
+    # so the per-group array is bounded by the cap
+    kept_struct = F.when(keep, F.struct("turn_idx", "extracted_text"))
     assembled = F.concat_ws(
         " ",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "extracted_text"))),
+            F.array_sort(F.collect_list(kept_struct)),
             lambda s: s["extracted_text"],
         ),
     )
-    # string_agg semantics: a conversation with zero non-null texts yields
-    # NULL, not '' (concat_ws alone would give '')
-    doc_text = F.when(F.count("extracted_text") > 0, assembled)
-    return extracted.groupBy("conv_id").agg(
-        doc_text.alias("doc_text"),
-        F.count("*").alias("n_turns"),
+    n_nonnull_kept = F.count(F.when(keep, F.col("extracted_text")))
+    n_kept = F.sum(keep.cast("long"))
+    return rows.groupBy("conv_id").agg(
+        F.when(n_nonnull_kept > 0, assembled).alias("doc_text"),
+        F.max("_rn").cast("long").alias("n_turns"),
+        n_kept.alias("n_turns_kept"),
+        (F.sum(keep.cast("long")) < F.max("_rn")).alias("truncated"),
     )
 
 

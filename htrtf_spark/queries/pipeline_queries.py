@@ -129,9 +129,61 @@ FROM extracted GROUP BY conv_id
 """
 
 
+# --------------------------------------------------------------------- q98
+# Whale-document cap (VERDICT r4 #7): document assembly with a
+# deterministic prefix cap — at most MAX_TURNS turns, stopping before
+# the turn at which the running char total has already reached
+# MAX_DOC_CHARS — applied BEFORE the collect so per-task memory is
+# bounded by the cap, not by the largest conversation. n_turns stays
+# the TOTAL turn count so truncation is observable (provenance rule).
+
+_Q98_MAX_TURNS = 6
+_Q98_MAX_CHARS = 300
+
+
+def q98_conversation_documents_capped(spark, sf_dir):
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    tr = events_as_transcripts(spark, sf_dir)
+    return conversation_documents(
+        extract_turns(tr),
+        max_turns=_Q98_MAX_TURNS,
+        max_doc_chars=_Q98_MAX_CHARS,
+    )
+
+
+_Q98_SQL = f"""
+WITH {_EXTRACTED_CTE},
+r AS (
+  SELECT conv_id, turn_idx, extracted_text,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         SUM(COALESCE(LENGTH(extracted_text), 0)) OVER w
+           - COALESCE(LENGTH(extracted_text), 0) AS chars_before
+  FROM extracted
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), flagged AS (
+  SELECT *,
+         (rn <= {_Q98_MAX_TURNS} AND chars_before < {_Q98_MAX_CHARS}) AS keep
+  FROM r
+)
+SELECT conv_id,
+       string_agg(CASE WHEN keep THEN extracted_text END, ' '
+                  ORDER BY turn_idx) AS doc_text,
+       MAX(rn) AS n_turns,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) < MAX(rn)
+         AS truncated
+FROM flagged GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "q48_keyword_spotting": (q48_keyword_spotting, _Q48_SQL),
     "q49_conversation_stats_salted": (q49_conversation_stats_salted, _Q49_SQL),
     "q50_ordered_extract": (q50_ordered_extract, _Q50_SQL),
     "q62_conversation_documents": (q62_conversation_documents, _Q62_SQL),
+    "q98_conversation_documents_capped": (
+        q98_conversation_documents_capped,
+        _Q98_SQL,
+    ),
 }

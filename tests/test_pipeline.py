@@ -220,3 +220,92 @@ def test_build_training_set_with_sampling_and_packing(spark, tmp_path):
         for r in rs:
             assert r["pack_seq"] == cum // 50
             cum += r["n_tokens"]
+
+
+def test_conversation_documents_whale_cap(spark):
+    """VERDICT r4 #7: whale-document cap — deterministic prefix by
+    turn order under a turn-count and char-budget cap, applied before
+    the collect; totals stay observable; generous caps reproduce the
+    uncapped document exactly."""
+    import pytest
+
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    rows = (
+        # whale: 100 turns of 10 chars each
+        [("whale", i, "x" * 10, None) for i in range(100)]
+        # small conv with a null (rejected) turn in the middle
+        + [("s", 0, "aa", None), ("s", 1, None, "rej"), ("s", 2, "bb", None)]
+        # conv whose FIRST turn alone exceeds the char budget
+        + [("big1", 0, "y" * 500, None), ("big1", 1, "tail", None)]
+    )
+    ex = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, extracted_text string, reject_reason string",
+    )
+
+    got = {
+        r["conv_id"]: r
+        for r in conversation_documents(
+            ex, max_turns=50, max_doc_chars=45
+        ).collect()
+    }
+    # whale: char budget bites first — turns kept while chars-before <
+    # 45 → turns 0..4 (before-totals 0,10,20,30,40), doc = 5 * 10 chars
+    w = got["whale"]
+    assert w["n_turns"] == 100 and w["n_turns_kept"] == 5 and w["truncated"]
+    assert w["doc_text"] == " ".join(["x" * 10] * 5)
+    # small conv fits entirely; null turn counts 0 chars but IS a turn
+    s = got["s"]
+    assert s["n_turns"] == 3 and s["n_turns_kept"] == 3 and not s["truncated"]
+    assert s["doc_text"] == "aa bb"
+    # first turn always kept even when it alone blows the budget
+    b = got["big1"]
+    assert b["n_turns_kept"] == 1 and b["truncated"]
+    assert b["doc_text"] == "y" * 500
+
+    # turn cap alone
+    got_t = {
+        r["conv_id"]: r
+        for r in conversation_documents(ex, max_turns=3).collect()
+    }
+    assert got_t["whale"]["n_turns_kept"] == 3
+    assert got_t["whale"]["doc_text"] == " ".join(["x" * 10] * 3)
+    assert got_t["s"]["n_turns_kept"] == 3 and not got_t["s"]["truncated"]
+
+    # generous caps == uncapped doc_text / n_turns exactly
+    uncapped = {
+        r["conv_id"]: (r["doc_text"], r["n_turns"])
+        for r in conversation_documents(ex).collect()
+    }
+    generous = {
+        r["conv_id"]: (r["doc_text"], r["n_turns"])
+        for r in conversation_documents(
+            ex, max_turns=10_000, max_doc_chars=10_000_000
+        ).collect()
+    }
+    assert generous == uncapped
+
+    with pytest.raises(ValueError):
+        conversation_documents(ex, max_turns=0)
+    with pytest.raises(ValueError):
+        conversation_documents(ex, max_doc_chars=0)
+
+
+def test_conversation_documents_cap_single_shuffle(spark):
+    """The cap must not add a shuffle: window rank and groupBy share
+    the conv_id hash partitioning — exactly one Exchange over the
+    input."""
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    ex = spark.createDataFrame(
+        [("a", 0, "x", None)],
+        "conv_id string, turn_idx int, extracted_text string, reject_reason string",
+    )
+    plan = (
+        conversation_documents(ex, max_turns=2, max_doc_chars=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
