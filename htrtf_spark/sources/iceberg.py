@@ -1158,6 +1158,15 @@ def _commit(
             "added-records": str(
                 sum(m["added_rows_count"] for m in new_manifests)
             ),
+            # spec summary field: lets the streaming source cap
+            # micro-batches by BYTES without opening any manifest
+            "added-files-size": str(
+                sum(
+                    int(f.get("file_size_in_bytes", 0))
+                    for g_files, _c, _s in groups
+                    for f in g_files
+                )
+            ),
             # e.g. replace-kind: compact|overwrite — lets a consumer
             # tell a no-op rewrite from a logical row replacement when
             # both carry operation=replace (streaming/rebaseline.py)
@@ -2027,6 +2036,7 @@ def rewrite_manifests(
                 "replace-kind": "rewrite-manifests",
                 "added-data-files": "0",
                 "added-records": "0",
+                "added-files-size": "0",
                 "rewritten-manifests": str(len(manifests)),
                 "merged-manifests": str(len(new_rows)),
             },

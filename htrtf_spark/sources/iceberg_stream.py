@@ -97,8 +97,11 @@ class IcebergStreamReader(DataSourceStreamReader):
     of recovery) and subsequent batches take only as many snapshots as
     fit N files (always ≥1 so a jumbo commit still drains);
     ``option("maxSnapshotsPerTrigger", K)`` caps snapshots per batch
-    (reference analog: bounded batch slicing, Modules/utils.py:309-350 —
-    never bite more than one batch). The cap lives in ``latestOffset``,
+    and ``option("maxBytesPerTrigger", B)`` caps on the snapshots'
+    added-files-size summaries — the work-denominated cap for corpora
+    whose file sizes vary 100× (reference analog: bounded batch
+    slicing, Modules/utils.py:309-350 — never bite more than one
+    batch). The cap lives in ``latestOffset``,
     which advances from the reader's tracked position — fed by
     initialOffset / partitions / commit, so restarts resume capped from
     the checkpoint (Spark replans the pending batch or commits the last
@@ -119,6 +122,12 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         self.max_files = _int_opt("maxFilesPerTrigger")
         self.max_snapshots = _int_opt("maxSnapshotsPerTrigger")
+        # byte-denominated cap: at web scale file COUNTS are a poor
+        # work proxy (sizes vary 100×) — this caps on the snapshots'
+        # added-files-size summaries instead, no manifest opened.
+        # Snapshots committed before the summary existed count 0 bytes
+        # (the file/snapshot caps still bound them).
+        self.max_bytes = _int_opt("maxBytesPerTrigger")
         self.metrics_dir = opts.get("lagmetricsdir")
         self._pos: dict | None = None  # latest position this run knows
         # startingSequence (the Delta startingVersion analog): a FRESH
@@ -201,13 +210,26 @@ class IcebergStreamReader(DataSourceStreamReader):
         if cur_seq == 0:
             # bootstrap: pin the current snapshot; split its live files
             boot = chain[0]
-            n_files = len(
-                live_data_files(
-                    self.location, snapshot_id=boot["snapshot-id"]
-                )
+            files = live_data_files(
+                self.location, snapshot_id=boot["snapshot-id"]
             )
-            if self.max_files and n_files > self.max_files:
-                ngrp = math.ceil(n_files / self.max_files)
+            n_files = len(files)
+            ngrp = 1
+            if self.max_files:
+                ngrp = max(ngrp, math.ceil(n_files / self.max_files))
+            if self.max_bytes:
+                total = sum(
+                    int(f.get("file_size_in_bytes", 0)) for f in files
+                )
+                # groups are contiguous count-chunks; a bytes cap picks
+                # the group COUNT so the AVERAGE group meets the budget
+                # (exact per-group byte packing would make group
+                # boundaries depend on sizes, breaking offset replay
+                # determinism if a file's recorded size ever changed)
+                ngrp = max(ngrp, math.ceil(total / self.max_bytes))
+            if ngrp > 1:
+                ngrp = min(ngrp, n_files) or 1
+            if ngrp > 1:
                 return {
                     "seq": 0,
                     "boot_sid": int(boot["snapshot-id"]),
@@ -225,18 +247,21 @@ class IcebergStreamReader(DataSourceStreamReader):
             for sn in sorted(chain, key=lambda x: x["sequence-number"])
             if cur_seq < int(sn["sequence-number"]) <= head_seq
         ]
-        last, files_acc, snaps_acc = cur_seq, 0, 0
+        last, files_acc, bytes_acc, snaps_acc = cur_seq, 0, 0, 0
         for sn in cands:
             if sn.get("summary", {}).get("operation") == "replace":
                 last = int(sn["sequence-number"])
                 continue
             n = int(sn.get("summary", {}).get("added-data-files", 0))
+            b = int(sn.get("summary", {}).get("added-files-size", 0))
             if snaps_acc > 0 and (
                 (self.max_snapshots and snaps_acc >= self.max_snapshots)
                 or (self.max_files and files_acc + n > self.max_files)
+                or (self.max_bytes and bytes_acc + b > self.max_bytes)
             ):
                 break
             files_acc += n
+            bytes_acc += b
             snaps_acc += 1
             last = int(sn["sequence-number"])
         return {"seq": last}

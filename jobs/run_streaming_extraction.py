@@ -28,6 +28,7 @@ def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
                 available_now: bool = True,
                 max_files_per_trigger: int | None = None,
                 max_snapshots_per_trigger: int | None = None,
+                max_bytes_per_trigger: int | None = None,
                 lag_metrics_dir: str | None = None,
                 starting_sequence: int | None = None):
     """Admission control: at 10^12-turn scale pass
@@ -55,6 +56,10 @@ def build_query(spark, source_loc: str, dest_loc: str, checkpoint: str,
     if max_snapshots_per_trigger:
         reader = reader.option(
             "maxSnapshotsPerTrigger", str(max_snapshots_per_trigger)
+        )
+    if max_bytes_per_trigger:
+        reader = reader.option(
+            "maxBytesPerTrigger", str(max_bytes_per_trigger)
         )
     if lag_metrics_dir:
         reader = reader.option("lagMetricsDir", lag_metrics_dir)

@@ -887,3 +887,66 @@ def test_stream_admission_offset_state_machine(spark, tmp_path):
     assert sorted(got) == sorted(want)
     # 3 append snapshots, cap 1 -> 3 data-bearing hops (replace free)
     assert len(hops) == 3
+
+
+def test_stream_admission_bytes_cap(spark, tmp_path):
+    """maxBytesPerTrigger: byte-denominated admission control from the
+    snapshots' added-files-size summaries (no manifest opened at offset
+    time). A 1-byte cap degenerates to one file per bootstrap group
+    (group count clamped at the file count) and one commit per batch
+    afterwards — the progress guarantee holds under the tightest cap."""
+    import json
+    import os
+
+    from htrtf_spark.sources import iceberg as I
+    from htrtf_spark.sources import iceberg_stream
+
+    iceberg_stream.register(spark)
+    loc, out, ckpt, mdir = (
+        str(tmp_path / d) for d in ("tbl", "out", "ckpt", "metrics")
+    )
+    I.write_iceberg_table(_mk_turns(spark, 8).repartition(4), loc)
+
+    def drain():
+        q = (
+            spark.readStream.format("htrtf_iceberg")
+            .option("location", loc)
+            .option("maxBytesPerTrigger", "1")
+            .option("lagMetricsDir", mdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 8  # exactly once
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(mdir, "batch_lag.jsonl"))
+    ]
+    boot = [r for r in rows if r["files"] > 0]
+    assert [r["files"] for r in boot] == [1, 1, 1, 1]
+    assert all(r["bytes"] > 0 for r in boot)
+
+    # each commit exceeds the cap on its own: one batch per commit,
+    # never merged, never stalled
+    I.append_iceberg_table(_mk_turns(spark, 2, "-a").repartition(1), loc)
+    I.append_iceberg_table(_mk_turns(spark, 2, "-b").repartition(1), loc)
+    drain()
+    assert spark.read.parquet(out).count() == 12
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(mdir, "batch_lag.jsonl"))
+    ]
+    tail = [r for r in rows if r["files"] > 0][4:]
+    assert len(tail) == 2 and all(r["files"] == 1 for r in tail)
+    assert [r["seq_lag"] for r in tail] == [1, 0]
+
+    # the summaries the cap reads are populated on every data commit
+    meta = I.current_metadata(loc)
+    for s in meta["snapshots"]:
+        assert int(s["summary"]["added-files-size"]) > 0
