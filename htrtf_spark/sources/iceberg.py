@@ -2064,6 +2064,83 @@ def rewrite_manifests(
             continue  # racing commit: its manifest must be in the merge too
 
 
+def maintain_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    compact_min_delete_files: int | None = 1,
+    compact_max_avg_file_bytes: int | None = None,
+    rewrite_min_manifests: int = 8,
+    expire_keep_last: int | None = None,
+    orphan_grace_seconds: float | None = None,
+) -> dict:
+    """One maintenance pass — the cron-cadence production entry that
+    keeps a continuously-ingested table healthy (the OPTIMIZE+VACUUM
+    combo of native lakehouses), composing the four existing ops under
+    explicit thresholds. Returns a report of what ran.
+
+    Order matters and is fixed:
+
+    1. **compact** (``compact_iceberg_table``) when the live snapshot
+       carries ≥ ``compact_min_delete_files`` delete files (merge the
+       deletes away), or when the mean live data-file size has fallen
+       under ``compact_max_avg_file_bytes`` (small-file compaction).
+       Pass None to disable a trigger.
+    2. **rewrite manifests** (``rewrite_manifests``) when the current
+       manifest list holds > ``rewrite_min_manifests`` manifests —
+       skipped when compaction just ran (its replace snapshot already
+       carries one fresh manifest per spec).
+    3. **expire** (``expire_snapshots``) to ``expire_keep_last``
+       ancestors, when set. Leave None on tables with incremental or
+       streaming consumers whose lag can exceed the retention — an
+       expired marker forces those consumers through the re-baseline
+       escape hatch (streaming/rebaseline.py).
+    4. **orphan reap** (``remove_orphan_files``) with
+       ``orphan_grace_seconds``, when set.
+
+    Metadata decisions are driver-side and cheap (one metadata read +
+    one manifest-list read); only compaction touches data files."""
+    report: dict = {
+        "compacted": False,
+        "rewrote_manifests": None,
+        "expired": [],
+        "orphans_removed": 0,
+    }
+    meta = current_metadata(location)
+    if meta.get("current-snapshot-id") is None:
+        return report
+
+    n_deletes = len(live_delete_files(location))
+    compact = bool(
+        compact_min_delete_files is not None
+        and n_deletes >= compact_min_delete_files
+        and n_deletes > 0
+    )
+    if not compact and compact_max_avg_file_bytes is not None:
+        data = live_data_files(location)
+        if data:
+            avg = sum(
+                int(f.get("file_size_in_bytes", 0)) for f in data
+            ) / len(data)
+            compact = avg < compact_max_avg_file_bytes
+    if compact:
+        compact_iceberg_table(spark, location)
+        report["compacted"] = True
+    else:
+        snap = _find_snapshot(meta, meta["current-snapshot-id"])
+        _, _, manifests = avro_read(snap["manifest-list"])
+        if len(manifests) > rewrite_min_manifests:
+            report["rewrote_manifests"] = rewrite_manifests(location)
+    if expire_keep_last is not None:
+        report["expired"] = expire_snapshots(
+            location, keep_last=expire_keep_last
+        )
+    if orphan_grace_seconds is not None:
+        report["orphans_removed"] = len(
+            remove_orphan_files(location, grace_seconds=orphan_grace_seconds)
+        )
+    return report
+
+
 def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` ANCESTORS of the current
     snapshot from the table metadata and DELETE the data/delete/manifest

@@ -2059,3 +2059,65 @@ def test_rewrite_manifests_time_travel_then_expire(
     assert all(os.path.exists(p) for p in data_files)
     got = I.read_iceberg_table(spark, loc)
     assert got.count() == 6
+
+
+def test_maintain_iceberg_table_policy(spark, transcripts_df, tmp_path):
+    """One-call maintenance: compacts only when deletes (or small
+    files) warrant it, rewrites manifests only past the threshold,
+    expires/reaps only when asked — and the table reads identically
+    throughout."""
+    loc = str(tmp_path / "mnt")
+    I.write_iceberg_table(transcripts_df, loc)
+
+    # healthy young table: nothing fires
+    r = I.maintain_iceberg_table(spark, loc)
+    assert r == {
+        "compacted": False,
+        "rewrote_manifests": None,
+        "expired": [],
+        "orphans_removed": 0,
+    }
+
+    # accumulate appends past the manifest threshold: rewrite fires
+    for i in range(3):
+        I.append_iceberg_table(
+            transcripts_df.withColumn(
+                "conv_id", F.concat(F.lit(f"m{i}-"), F.col("conv_id"))
+            ),
+            loc,
+        )
+    expect = _collect(I.read_iceberg_table(spark, loc))
+    r = I.maintain_iceberg_table(spark, loc, rewrite_min_manifests=2)
+    assert not r["compacted"] and r["rewrote_manifests"] is not None
+    assert len(_current_manifests(loc)[1]) == 1
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect
+
+    # a delete makes the next pass compact (and therefore skip the
+    # manifest rewrite — the replace snapshot is already consolidated)
+    I.delete_iceberg_rows(
+        spark.createDataFrame([("conv-a",)], "conv_id string"),
+        loc, ["conv_id"],
+    )
+    expect = _collect(
+        I.read_iceberg_table(spark, loc)
+    )
+    r = I.maintain_iceberg_table(spark, loc, rewrite_min_manifests=2)
+    assert r["compacted"] and r["rewrote_manifests"] is None
+    assert I.live_delete_files(loc) == []
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect
+
+    # expire + orphan reap fire only when configured
+    r = I.maintain_iceberg_table(
+        spark, loc, expire_keep_last=1, orphan_grace_seconds=0.0
+    )
+    assert not r["compacted"] and len(r["expired"]) > 0
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect
+
+    # small-file trigger: average live file far below the threshold
+    r = I.maintain_iceberg_table(
+        spark, loc,
+        compact_min_delete_files=None,
+        compact_max_avg_file_bytes=10**9,
+    )
+    assert r["compacted"]
+    assert _collect(I.read_iceberg_table(spark, loc)) == expect
