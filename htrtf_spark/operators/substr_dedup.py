@@ -2,18 +2,23 @@
 Lee et al. 2022, "Deduplicating Training Data Makes Language Models
 Better") over any (id, text) DataFrame.
 
-Semantics: a character span is *duplicated* when every length-``min_len``
-window inside it occurs >= 2 times across the corpus (in another
-document, or at another position of the same document). This is exactly
-the set of substrings a suffix array surfaces with match length >=
-``min_len`` — re-expressed Spark-first as a fixed-window fingerprint
-shuffle instead of a monolithic suffix sort:
+Semantics: a character is *duplicated* when it lies inside at least one
+length-``min_len`` window that occurs >= 2 times across the corpus (in
+another document, or at another position of the same document); maximal
+runs of duplicated characters form the spans — the union of the hit
+windows' coverage, so spans are disjoint by construction. This is the
+character set a suffix array surfaces with match length >= ``min_len``
+(Lee et al. remove exactly these regions) — re-expressed Spark-first as
+a fixed-window fingerprint shuffle instead of a monolithic suffix sort:
 
 1. every document emits its length-L character windows (pos, gram);
 2. one shuffle partitions windows by gram; windows whose gram occurs
    >= 2 times are *hits* (a window-count, no groupBy+join back);
-3. per document, consecutive hit positions merge into maximal spans
-   (gaps-and-islands: pos - row_number is constant on a run).
+3. per document, hit windows whose [pos, pos+L) intervals overlap or
+   touch merge into MAXIMAL DISJOINT spans (interval merge: a new span
+   starts when pos - previous_pos > L — plain gaps-and-islands on
+   consecutive positions would emit OVERLAPPING spans whenever hit
+   positions skip fewer than L characters, e.g. hits at 0 and 2).
 
 Step 2's shuffle moves L bytes per input character — the exact
 algorithm's inherent cost. ``prefilter_hash=True`` (default) first
@@ -47,17 +52,26 @@ DEFAULT_MIN_LEN = 50
 
 def _windows(df: DataFrame, id_col: str, text_col: str, L: int) -> DataFrame:
     """(id, pos, g): every length-L character window of every document
-    long enough to hold one. Narrow (no shuffle); generated JVM-side."""
+    long enough to hold one. Narrow (no shuffle); generated JVM-side.
+
+    The exploded collection is the INTEGER position sequence (~8
+    bytes/element), with the gram substring computed per generated row
+    in the pipelined projection — exploding a pre-built gram array
+    would materialize O(doc_len × L) bytes per document inside one
+    Generate operator (a 100 MB whale at L=50 → gigabytes in one
+    task), which is exactly the per-executor residency this module
+    promises not to have."""
     return (
         df.where(F.length(text_col) >= L)
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, length({text_col}) - {L}),"
-                    f" i -> substring({text_col}, i + 1, {L}))"
-                )
-            ).alias("pos", "g"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - L)
+            ).alias("pos"),
+        )
+        .select(
+            "id", "pos", F.expr(f"substring(_t, pos + 1, {L})").alias("g")
         )
     )
 
@@ -95,9 +109,19 @@ def repeated_substring_spans(
         .select("id", "pos")
     )
 
+    # interval merge, not consecutive-position islands: hit intervals
+    # [pos, pos+L) overlap-or-touch exactly when the position gap is
+    # <= L, so a new span starts on a gap > L — output spans are
+    # maximal AND disjoint (the invariant strip_repeated_spans relies
+    # on; consecutive-position grouping broke it for near-offset hits)
     run = Window.partitionBy("id").orderBy("pos")
+    runf = run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_span = (
+        F.lag("pos").over(run).isNull()
+        | (F.col("pos") - F.lag("pos").over(run) > F.lit(L))
+    )
     return (
-        hits.withColumn("grp", F.col("pos") - F.row_number().over(run))
+        hits.withColumn("grp", F.sum(new_span.cast("long")).over(runf))
         .groupBy("id", "grp")
         .agg(
             F.min("pos").alias("span_start"),

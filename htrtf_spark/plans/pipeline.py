@@ -162,12 +162,19 @@ def conversation_documents(
     if max_doc_chars is not None and max_doc_chars < 1:
         raise ValueError(f"max_doc_chars must be >= 1, got {max_doc_chars}")
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # deterministic tiebreak for duplicate turn_idx (same convention as
+    # with_turn_rank / q50: md5 of the text — ASCII hex, so Spark and
+    # SQL engines order it identically) and an explicit ROWS frame so
+    # the running total never lumps tied peers together (RANGE default)
+    w = Window.partitionBy("conv_id").orderBy(
+        "turn_idx", F.md5(F.coalesce("extracted_text", F.lit("")))
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ln = F.coalesce(F.length("extracted_text"), F.lit(0)).cast("long")
     rows = (
         extracted.select("conv_id", "turn_idx", "extracted_text")
         .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_before", F.sum(ln).over(w) - ln)
+        .withColumn("_before", F.sum(ln).over(wf) - ln)
     )
     keep = F.lit(True)
     if max_turns is not None:
@@ -179,8 +186,16 @@ def conversation_documents(
         keep = keep & (F.col("_before") < max_doc_chars)
 
     # collect_list skips NULL elements: only kept turns are gathered,
-    # so the per-group array is bounded by the cap
-    kept_struct = F.when(keep, F.struct("turn_idx", "extracted_text"))
+    # so the per-group array is bounded by the cap; the md5 key makes
+    # the assembled order identical to the window's tiebreak order
+    kept_struct = F.when(
+        keep,
+        F.struct(
+            "turn_idx",
+            F.md5(F.coalesce("extracted_text", F.lit(""))).alias("_tb"),
+            "extracted_text",
+        ),
+    )
     assembled = F.concat_ws(
         " ",
         F.transform(

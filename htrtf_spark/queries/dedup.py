@@ -694,9 +694,20 @@ hits AS (
   ) WHERE n >= 2
 ),
 isl AS (
+  -- interval merge (NOT consecutive-position islands): hit intervals
+  -- [pos, pos+L) overlap-or-touch when the gap is <= L, so a new span
+  -- starts on a gap > L -- spans come out maximal and disjoint
   SELECT doc_id, pos,
-         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM hits
+         SUM(CASE WHEN prev_pos IS NULL
+                       OR pos - prev_pos > {_SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+    FROM hits
+  )
 ),
 spans AS (
   SELECT doc_id, MIN(pos) AS span_start,

@@ -2117,7 +2117,10 @@ def maintain_iceberg_table(
     )
     if not compact and compact_max_avg_file_bytes is not None:
         data = live_data_files(location)
-        if data:
+        # >1 files: compaction can only help by REDUCING file count; a
+        # single small file would trigger a full-table rewrite on every
+        # pass forever (the trigger could never self-clear)
+        if len(data) > 1:
             avg = sum(
                 int(f.get("file_size_in_bytes", 0)) for f in data
             ) / len(data)

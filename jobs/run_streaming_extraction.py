@@ -84,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="drain everything committed so far, then exit")
     p.add_argument("--timeout-sec", type=int, default=0,
                    help="await at most this long (0 = forever)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="admission control: split the bootstrap into "
+                        "ceil(M/N) checkpointed file groups; cap later "
+                        "batches at snapshots-that-fit-N-files")
+    p.add_argument("--max-snapshots-per-trigger", type=int, default=None,
+                   help="admission control: at most N snapshots per batch")
+    p.add_argument("--max-bytes-per-trigger", type=int, default=None,
+                   help="admission control: cap batches on the snapshots' "
+                        "added-files-size byte totals")
+    p.add_argument("--lag-metrics-dir", default=None,
+                   help="write per-batch files/bytes/sequence-lag JSONL here")
     p.add_argument("--auto-rebaseline", action="store_true",
                    help="before starting, detect an upstream rollback "
                         "past the checkpoint's position and recover by "
@@ -125,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     q = build_query(
         spark, args.source, args.dest, args.checkpoint,
         available_now=args.available_now,
+        max_files_per_trigger=args.max_files_per_trigger,
+        max_snapshots_per_trigger=args.max_snapshots_per_trigger,
+        max_bytes_per_trigger=args.max_bytes_per_trigger,
+        lag_metrics_dir=args.lag_metrics_dir,
         starting_sequence=starting_sequence,
     )
     if args.timeout_sec:

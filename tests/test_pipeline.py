@@ -309,3 +309,38 @@ def test_conversation_documents_cap_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_conversation_documents_cap_duplicate_turn_idx_deterministic(spark):
+    """Review fix: duplicate turn_idx at the cap boundary resolves by
+    the md5-of-text tiebreak (q50's convention) — the kept set and the
+    assembled order are identical across partitionings and match an
+    independent Python restatement."""
+    import hashlib
+
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    rows = [
+        ("d", 0, "zz", None),
+        ("d", 0, "aa", None),
+        ("d", 1, "bb", None),
+    ]
+    ex = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, extracted_text string, reject_reason string",
+    )
+    # python restatement of the rule: order by (turn_idx, md5(text)),
+    # keep the first max_turns
+    ordered = sorted(
+        [(t, x) for _c, t, x, _r in rows],
+        key=lambda p: (p[0], hashlib.md5(p[1].encode()).hexdigest()),
+    )
+    want_doc = " ".join(x for _t, x in ordered[:2])
+
+    for parts in (1, 7):
+        got = conversation_documents(
+            ex.repartition(parts), max_turns=2
+        ).collect()[0]
+        assert got["doc_text"] == want_doc
+        assert got["n_turns"] == 3 and got["n_turns_kept"] == 2
+        assert got["truncated"]

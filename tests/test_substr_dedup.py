@@ -16,7 +16,9 @@ from htrtf_spark.operators.substr_dedup import (
 
 def _brute_spans(docs: dict[int, str], L: int) -> set[tuple]:
     """Independent scan: count every L-gram over all (doc, pos), mark
-    repeated positions, merge consecutive runs into maximal spans."""
+    repeated positions, and merge the hit windows' [p, p+L) coverage
+    into maximal disjoint spans (a new span starts when the position
+    gap exceeds L — overlapping/touching intervals merge)."""
     from collections import Counter
 
     counts = Counter(
@@ -29,7 +31,7 @@ def _brute_spans(docs: dict[int, str], L: int) -> set[tuple]:
         hit = [i for i in range(len(t) - L + 1) if counts[t[i : i + L]] >= 2]
         run: list[int] = []
         for p in hit + [None]:
-            if run and (p is None or p != run[-1] + 1):
+            if run and (p is None or p - run[-1] > L):
                 spans.add((d, run[0], run[-1] + L, run[-1] + L - run[0]))
                 run = []
             if p is not None:
@@ -146,3 +148,43 @@ def test_span_at_document_start_and_end(spark):
     }
     assert stripped[1] == " middle filler one"
     assert stripped[2] == "tail filler two "
+
+
+def test_near_offset_hits_merge_into_one_disjoint_span(spark):
+    """Review fix (r5): hits at positions 0 and 2 (gap < L, position 1
+    NOT duplicated) must merge into ONE maximal span [0, L+2) — the old
+    consecutive-position islands emitted OVERLAPPING spans [0,L) and
+    [2,L+2), which broke the apply stage and the q97 oracle."""
+    Lx = 10
+    base = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"  # 40 unique chars
+    a = base
+    b = base[0:Lx]        # duplicates A's window at pos 0
+    c = base[2 : Lx + 2]  # duplicates A's window at pos 2
+    docs = {0: a, 1: b, 2: c}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id int, text string"
+    )
+    spans = repeated_substring_spans(df, "doc_id", "text", min_len=Lx)
+    got = {
+        (r["id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in spans.collect()
+    }
+    # A's window at pos 1 occurs once in the corpus (only inside A)
+    grams = [t[i : i + Lx] for t in docs.values() for i in range(len(t) - Lx + 1)]
+    assert grams.count(a[1 : 1 + Lx]) == 1
+    assert got == _brute_spans(docs, Lx)
+    assert (0, 0, Lx + 2, Lx + 2) in got  # single merged span in A
+    # spans are disjoint per document (the strip invariant)
+    per_doc: dict[int, list] = {}
+    for d, s, e, _l in got:
+        per_doc.setdefault(d, []).append((s, e))
+    for ivs in per_doc.values():
+        ivs.sort()
+        assert all(b1 >= e0 for (_s0, e0), (b1, _e1) in zip(ivs, ivs[1:]))
+    # apply stage removes exactly the merged coverage
+    out = {
+        r["doc_id"]: (r["text"], r["removed_chars"])
+        for r in strip_repeated_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out[0] == (a[Lx + 2 :], Lx + 2)
+    assert out[1] == ("", Lx) and out[2] == ("", Lx)
