@@ -201,3 +201,67 @@ LEFT JOIN topb tb USING (doc_id)
 """
 
 QUERIES["q95_repetition_stats"] = (q95_repetition_stats, _Q95_SQL)
+
+
+# --------------------------------------------------------------------- q99
+# PII redaction (operators/pii.py): the masking stage of the hygiene
+# tier. The gate SEEDS deterministic PII into every document from
+# doc_id (the synthetic corpus contains none organically), then
+# redacts — the oracle restates both the seeding and the redaction via
+# pii_sql(), so the pattern list can never drift between engines.
+
+
+def q99_pii_redaction(spark, sf_dir):
+    from htrtf_spark.operators.pii import redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" or +4915123456789 now"),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded, "text")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("redacted_text"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_phone_intl",
+        "n_redactions",
+    )
+
+
+def _q99_sql() -> str:
+    from htrtf_spark.operators.pii import pii_sql
+
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)"
+        " || ' or +4915123456789 now'"
+    )
+    p = pii_sql(seeded)
+    counts = p["counts"]
+    total = " + ".join(counts[k] for k in counts)
+    return f"""
+SELECT doc_id,
+       {p['masked']} AS redacted_text,
+       {counts['email']} AS n_email,
+       {counts['ipv4']} AS n_ipv4,
+       {counts['phone']} AS n_phone,
+       {counts['phone_intl']} AS n_phone_intl,
+       CAST({total} AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+QUERIES["q99_pii_redaction"] = (q99_pii_redaction, _q99_sql())

@@ -1071,3 +1071,62 @@ def test_incremental_dedup_refuses_asymmetric_cap(spark, docs, tmp_path):
         corpus_index=idx, corpus_fps=fps, max_doc_freq=None,
     )
     assert out.count() == 6
+
+
+def test_pii_redaction_semantics(spark):
+    """PII masking: emails/IPv4/phones replaced by typed markers,
+    counts from the original text, clean text untouched, markers never
+    re-match later patterns."""
+    from htrtf_spark.operators.pii import redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d%x+1@sub.example.co.uk and b@x.io end"),
+        (2, "v4 10.0.255.7 twice 192.168.1.1, not 1.2.3 or 300a"),
+        (3, "call 555-123-4567 or +4915123456789 but not 12-34"),
+        (4, "no pii here at all"),
+        (5, "combo a@b.com 1.2.3.4 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r for r in redact_pii(df, "text").collect()}
+
+    assert got[1]["text"] == "mail <EMAIL> and <EMAIL> end"
+    assert got[1]["n_email"] == 2 and got[1]["n_redactions"] == 2
+    assert got[2]["text"] == "v4 <IP> twice <IP>, not 1.2.3 or 300a"
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["text"] == "call <PHONE> or <PHONE> but not 12-34"
+    assert got[3]["n_phone"] == 1 and got[3]["n_phone_intl"] == 1
+    assert got[4]["text"] == "no pii here at all"
+    assert got[4]["n_redactions"] == 0
+    assert got[5]["text"] == "combo <EMAIL> <IP> <PHONE>"
+    assert got[5]["n_redactions"] == 3
+
+
+def test_pii_sql_restatement_matches(spark):
+    """pii_sql's DuckDB restatement produces byte-identical masking and
+    counts for the same rows (the q99 drift guard, checked directly)."""
+    import duckdb
+
+    from htrtf_spark.operators.pii import pii_sql, redact_pii
+
+    rows = [
+        (1, "x a@b.com y 10.0.0.1 z 555-123-4567 w +49151234567890"),
+        (2, "clean"),
+        (3, "edge a@b.co 255.255.255.255+4911111111111 t"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    want = {
+        r["id"]: (r["text"], r["n_redactions"])
+        for r in redact_pii(df, "text").collect()
+    }
+    p = pii_sql("text")
+    total = " + ".join(p["counts"].values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    got = {
+        i: (m, int(n))
+        for i, m, n in con.execute(
+            f"SELECT id, {p['masked']}, {total} FROM tt"
+        ).fetchall()
+    }
+    assert got == want
