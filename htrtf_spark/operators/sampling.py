@@ -146,3 +146,108 @@ def pack_documents(
         "id",
         "n_tokens",
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    source_col: str,
+    tau: float = 0.5,
+    target_frac_bp: int = 5000,
+) -> DataFrame:
+    """Per-source acceptance rates for temperature-based mixture
+    sampling — the data-dependent sibling of ``stratified_sample``:
+    instead of a literal rate table, the mixture weights are computed
+    FROM the corpus as ``w_s = n_s^tau`` (tau < 1 upweights small
+    sources, the multinomial temperature scheme of multilingual /
+    multi-source pre-training), renormalized to a total document budget
+    ``T = N * target_frac_bp / 10000``.
+
+    Returns one row per source: (source, n_s, w_s, rate_bp) where
+    ``rate_bp = min(10000, floor(T*w_s / (W*n_s) * 10000))``.
+
+    Engine-parity design (the rate table must be recomputable bit-exactly
+    by a SQL oracle): the only libm call, ``pow(n_s, tau)``, is
+    immediately quantized to an integer micro-weight
+    ``w_s = floor(pow * 1e6)``; everything after is exact BIGINT
+    arithmetic plus one correctly-rounded double division, so Java and
+    C float stacks cannot diverge (a pow ULP difference flips the result
+    only if it straddles a 1e-6 grid line — ~1e-10 per source).
+
+    Scale shape: ONE map-side-combined count over the corpus (shuffle
+    volume = #sources × #tasks rows); everything downstream — including
+    the N/W totals, computed as a global window over the aggregated
+    table rather than a second aggregation, so the corpus is scanned
+    exactly once here (``counts.agg(...)`` re-derived from lineage
+    would scan it twice) — operates on the tiny per-source table.
+    BIGINT products ``T*w_s`` / ``W*n_s`` hold to ~10^12 docs at the
+    default grids; beyond that, widen to DECIMAL(38,0).
+    """
+    from pyspark.sql import Window
+
+    if not (0 <= int(target_frac_bp) <= 10000):
+        raise ValueError("target_frac_bp must be 0..10000")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    # single-partition global window: fine BECAUSE it runs on the
+    # post-aggregation table (#sources rows), never on the corpus
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_s = (
+        F.floor(F.pow(F.col("n_s").cast("double"), F.lit(float(tau))) * 1000000)
+        .cast("long")
+        .alias("w_s")
+    )
+    target = F.expr(f"n_total * {int(target_frac_bp)} div 10000")
+    rate = F.least(
+        F.lit(10000).cast("long"),
+        F.floor(
+            (target * F.col("w_s")).cast("double")
+            / (F.col("w_total") * F.col("n_s")).cast("double")
+            * 10000.0
+        ).cast("long"),
+    )
+    return (
+        counts.select("source", "n_s", w_s)
+        .withColumn("n_total", F.sum("n_s").over(w_all))
+        .withColumn("w_total", F.sum("w_s").over(w_all))
+        .select("source", "n_s", "w_s", rate.alias("rate_bp"))
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    tau: float = 0.5,
+    target_frac_bp: int = 5000,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample ``df`` down to a temperature-``tau`` source mixture with a
+    ``target_frac_bp/10000`` overall budget: rates from
+    ``temperature_mixture_rates``, membership by the same deterministic
+    md5 bucket as ``stratified_sample`` (reproducible under retries and
+    engine changes; independent of the split/sample hashes by seed).
+
+    Plan shape: tiny rate table broadcast-joined onto the corpus, then
+    one narrow filter — the corpus is scanned twice (count + filter) but
+    never shuffled. Emits (key, source, rate_bp); rate_bp kept for
+    mixture audits."""
+    rates = temperature_mixture_rates(df, source_col, tau, target_frac_bp)
+    bucket = sample_bucket_bp(F.col(key_col), seed)
+    # rename the rate table's key: the corpus may itself have a column
+    # named "source" (it usually does), and an ambiguous reference here
+    # would be a resolution error
+    r = rates.select(
+        F.col("source").alias("_mix_source"), "rate_bp"
+    )
+    return (
+        df.join(F.broadcast(r), df[source_col] == F.col("_mix_source"))
+        .filter(bucket < F.col("rate_bp"))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("_mix_source").alias("source"),
+            "rate_bp",
+        )
+    )

@@ -60,6 +60,7 @@ _RUN_FIRST = [
     "q97_substring_dedup_apply",
     "q98_conversation_documents_capped",
     "q99_pii_redaction",
+    "q100_temperature_mixture",
     # stale driver rows: these 46 were last recorded in CORRECTNESS_r03
     # against round-3 code; re-record against current code (VERDICT r4 #2)
     "q01_pricing_summary",

@@ -348,3 +348,60 @@ GROUP BY 1, 2
 
 
 QUERIES["q89_pack_documents_bpe"] = (q89_pack_documents_bpe, _q89_sql())
+
+
+# --------------------------------------------------------------------- q100
+# Temperature-based mixture sampling — the data-dependent mixture
+# primitive (w_s = n_s^tau renormalized to a document budget; tau<1
+# upweights small sources, the multinomial temperature scheme of
+# multilingual pre-training). Unlike q85 the rate table is COMPUTED
+# from the corpus, so the oracle re-derives it: same integer-quantized
+# micro-weights, same integer target, same single double division —
+# then recomputes the exact md5-bucket member set.
+
+_Q100_TAU = 0.5
+_Q100_TF_BP = 5000
+_Q100_SEED = 7
+
+
+def q100_temperature_mixture(spark, sf_dir):
+    from htrtf_spark.operators.sampling import temperature_mixture_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mixture_sample(
+        d,
+        "source",
+        "doc_id",
+        tau=_Q100_TAU,
+        target_frac_bp=_Q100_TF_BP,
+        seed=_Q100_SEED,
+    )
+
+
+_Q100_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_s) AS n_total,
+         SUM(CAST(FLOOR(POWER(CAST(n_s AS DOUBLE), {_Q100_TAU}) * 1000000)
+             AS BIGINT)) AS w_total
+  FROM counts
+),
+rates AS (
+  SELECT source,
+         CAST(LEAST(10000, CAST(FLOOR(
+           CAST((n_total * {_Q100_TF_BP} // 10000)
+                * CAST(FLOOR(POWER(CAST(n_s AS DOUBLE), {_Q100_TAU}) * 1000000)
+                  AS BIGINT) AS DOUBLE)
+           / CAST(w_total * n_s AS DOUBLE) * 10000.0) AS BIGINT))
+         AS BIGINT) AS rate_bp
+  FROM counts, tot
+)
+SELECT d.doc_id AS key, d.source, r.rate_bp
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5('{_Q100_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000 < r.rate_bp
+"""
+
+QUERIES["q100_temperature_mixture"] = (q100_temperature_mixture, _Q100_SQL)

@@ -1130,3 +1130,84 @@ def test_pii_sql_restatement_matches(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_temperature_mixture_rates_and_sample(spark):
+    """tau<1 upweights small sources (rate_small > rate_large when both
+    uncapped); tau=1 reproduces proportional sampling (every source gets
+    ~target_frac); the member set is deterministic under repartitioning;
+    and the realized per-source counts track n_s * rate_bp / 10000."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+
+    n_a, n_b = 900, 100
+    rows = [(i, "a" if i < n_a else "b") for i in range(n_a + n_b)]
+    d = spark.createDataFrame(rows, "doc_id long, src string")
+
+    rates = {
+        r["source"]: r["rate_bp"]
+        for r in temperature_mixture_rates(
+            d, "src", tau=0.5, target_frac_bp=5000
+        ).collect()
+    }
+    # sqrt weighting: w_a=30, w_b=10 (×1e6), T=500 →
+    # rate_a = floor(500*30/(40*900)*1e4) = 4166, rate_b = min(1e4, 12500)
+    assert rates == {"a": 4166, "b": 10000}
+
+    # tau=1: proportional — both sources get ~the global target fraction
+    prop = {
+        r["source"]: r["rate_bp"]
+        for r in temperature_mixture_rates(
+            d, "src", tau=1.0, target_frac_bp=5000
+        ).collect()
+    }
+    assert prop == {"a": 5000, "b": 5000}
+
+    got = temperature_mixture_sample(
+        d, "src", "doc_id", tau=0.5, target_frac_bp=5000, seed=7
+    )
+    keys = {(r["key"], r["source"], r["rate_bp"]) for r in got.collect()}
+    again = {
+        (r["key"], r["source"], r["rate_bp"])
+        for r in temperature_mixture_sample(
+            d.repartition(13), "src", "doc_id", tau=0.5, target_frac_bp=5000, seed=7
+        ).collect()
+    }
+    assert keys == again and len(keys) > 0
+    # realized counts within 4 sigma of binomial expectation
+    from collections import Counter
+
+    c = Counter(s for (_k, s, _r) in keys)
+    for src, n_s in (("a", n_a), ("b", n_b)):
+        p = rates[src] / 10000.0
+        mu, sd = n_s * p, max(1.0, (n_s * p * (1 - p)) ** 0.5)
+        assert abs(c[src] - mu) <= 4 * sd, (src, c[src], mu)
+
+    # cross-engine: DuckDB recomputes the identical member set from the
+    # same quantized-rate arithmetic (the q100 oracle, parameterized)
+    pdf = d.toPandas().rename(columns={"src": "source"})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.execute(
+        """
+        WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_s) AS n_total,
+                       SUM(CAST(FLOOR(POWER(CAST(n_s AS DOUBLE), 0.5)*1000000) AS BIGINT)) AS w_total
+                FROM counts),
+        rates AS (SELECT source,
+                         CAST(LEAST(10000, CAST(FLOOR(
+                           CAST((n_total * 5000 // 10000)
+                                * CAST(FLOOR(POWER(CAST(n_s AS DOUBLE), 0.5)*1000000) AS BIGINT) AS DOUBLE)
+                           / CAST(w_total * n_s AS DOUBLE) * 10000.0) AS BIGINT)) AS BIGINT) AS rate_bp
+                  FROM counts, tot)
+        SELECT d.doc_id AS key, d.source, r.rate_bp
+        FROM documents d JOIN rates r USING (source)
+        WHERE ('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < r.rate_bp
+        """
+    ).fetchall()
+    assert keys == {(k, s, r) for (k, s, r) in oracle}
