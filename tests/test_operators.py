@@ -1211,3 +1211,25 @@ def test_temperature_mixture_rates_and_sample(spark):
         """
     ).fetchall()
     assert keys == {(k, s, r) for (k, s, r) in oracle}
+
+
+def test_temperature_mixture_plan_shape(spark):
+    """The corpus is scanned exactly twice (count pass + filter pass),
+    the rate table reaches the corpus via a broadcast hash join, and the
+    totals come from the post-aggregation window — a third lineage
+    recomputation of the count (the crossJoin-of-aggregates antipattern)
+    must not reappear."""
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, src string")
+
+    from htrtf_spark.operators.sampling import temperature_mixture_sample
+
+    plan = (
+        temperature_mixture_sample(d, "src", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # one source scan per pass (createDataFrame plans as Scan ExistingRDD)
+    assert plan.count("Scan ExistingRDD") == 2
