@@ -11,9 +11,22 @@ character set a suffix array surfaces with match length >= ``min_len``
 (Lee et al. remove exactly these regions) — re-expressed Spark-first as
 a fixed-window fingerprint shuffle instead of a monolithic suffix sort:
 
-1. every document emits its length-L character windows (pos, gram);
+1. every document emits its length-L character windows (pos, gram),
+   generated in bounded CHUNKS so no per-row array scales with whole-
+   document length (a 100 MB whale yields ~1.5k outer chunk rows, each
+   owning <= ``chunk_chars`` positions — never one 10^8-element array);
 2. one shuffle partitions windows by gram; windows whose gram occurs
-   >= 2 times are *hits* (a window-count, no groupBy+join back);
+   >= 2 times are *hits* (a window-count, no groupBy+join back).
+   BOILERPLATE ROUTING (``max_gram_freq``, ON by default): grams whose
+   occurrence count exceeds the cap — license headers, templates,
+   repeated 10^6-10^9 times across a web corpus — would buffer their
+   entire occurrence set inside ONE window task (the classic straggler).
+   They are counted with a map-side-combined groupBy instead (heavy
+   keys partially aggregate to ~one row per task, no single-task
+   buffering) and routed around the window: count > cap >= 1 implies
+   count >= 2, so every heavy-gram position is DEFINITIONALLY a hit —
+   output is provably identical with the cap on or off
+   (pytest-asserted), only the plan shape changes;
 3. per document, hit windows whose [pos, pos+L) intervals overlap or
    touch merge into MAXIMAL DISJOINT spans (interval merge: a new span
    starts when pos - previous_pos > L — plain gaps-and-islands on
@@ -29,13 +42,15 @@ different-gram collision is discarded by the exact phase (false
 negatives are impossible — equal grams hash equal). Output is identical
 either way (pytest-asserted).
 
-At 100 TB: windows are O(total chars) rows but the plan is two narrow
-map stages + hash shuffles with AQE-sized partitions — no driver state,
-no per-executor corpus residency, no suffix array that must fit one
-machine. The per-gram window count only ever materializes one gram
-bucket per task; skew (one gram repeated 10^9 times) is boilerplate by
-definition and can be pre-capped the same way the n-gram inverted index
-caps stop shingles (operators/dedup.py).
+At 100 TB: windows are O(total chars) rows but the plan is narrow map
+stages + hash shuffles with AQE-sized partitions — no driver state, no
+per-executor corpus residency, no suffix array that must fit one
+machine. Window-stage buffering is bounded by ``max_gram_freq`` rows
+per key (heavy keys never reach a window), per-row arrays are bounded
+by ``chunk_chars``, and the heavy routing costs one extra narrow window
+generation plus one 8-byte map-side-combined count shuffle — paid only
+while the cap is on, and the cap's effect is observable through
+``repeated_gram_stats`` (the ``stop_shingle_stats`` sibling).
 
 Reference analog: the reference has no substring dedup; this fills the
 corpus-hygiene tier between exact-document (operators/dedup.py:170) and
@@ -49,30 +64,130 @@ from pyspark.sql import functions as F
 
 DEFAULT_MIN_LEN = 50
 
+# Window-generation chunk: one outer row owns at most this many window
+# positions, so the largest per-row array is chunk_chars ints (~512 KB)
+# and the largest carried substring is chunk_chars + L - 1 chars — both
+# constants, regardless of document size. Outer chunk count is
+# doc_len / chunk_chars (a 100 MB whale -> ~1.5k rows), so neither level
+# of the two-level generate scales a per-row allocation with the whale.
+DEFAULT_CHUNK_CHARS = 65536
 
-def _windows(df: DataFrame, id_col: str, text_col: str, L: int) -> DataFrame:
+# Occurrence cap above which a gram (or its 8-byte hash class) is
+# boilerplate: counted via map-side-combined groupBy and routed around
+# the per-key window (positions emitted as hits directly — count > cap
+# implies count >= 2). Bounds window-task buffering to cap rows per key.
+# Pass max_gram_freq=None to disable explicitly (output identical).
+DEFAULT_MAX_GRAM_FREQ = 100_000
+
+# Heavy-key lists up to this size are inlined as isin literals; beyond
+# it the broadcast semi/anti joins take over (same semantics) — the
+# same two-regime shape as operators/dedup.py STOP_LIST_INLINE_MAX.
+HEAVY_LIST_INLINE_MAX = 10_000
+
+
+def _windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    L: int,
+    chunk: int = DEFAULT_CHUNK_CHARS,
+) -> DataFrame:
     """(id, pos, g): every length-L character window of every document
-    long enough to hold one. Narrow (no shuffle); generated JVM-side.
+    long enough to hold one. Narrow (no shuffle); generated JVM-side in
+    two bounded explodes:
 
-    The exploded collection is the INTEGER position sequence (~8
-    bytes/element), with the gram substring computed per generated row
-    in the pipelined projection — exploding a pre-built gram array
-    would materialize O(doc_len × L) bytes per document inside one
-    Generate operator (a 100 MB whale at L=50 → gigabytes in one
-    task), which is exactly the per-executor residency this module
-    promises not to have."""
+    - outer: chunk start offsets 0, C, 2C, ... <= len-L — an array of
+      O(doc_len / C) longs (a 100 MB doc at C=64Ki -> ~1.5k elements);
+    - inner: positions within one chunk — at most C ints, over a
+      carried chunk substring of C + L - 1 chars.
+
+    No generated array or carried string scales with WHOLE-document
+    length (a single F.sequence(0, len-L) would put ~10^8 longs of one
+    whale into one Generate row — exactly the per-task residency this
+    module promises not to have)."""
     return (
         df.where(F.length(text_col) >= L)
         .select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("_t"),
             F.explode(
-                F.sequence(F.lit(0), F.length(text_col) - L)
-            ).alias("pos"),
+                F.sequence(
+                    F.lit(0), F.length(text_col) - L, F.lit(int(chunk))
+                )
+            ).alias("_c0"),
         )
         .select(
-            "id", "pos", F.expr(f"substring(_t, pos + 1, {L})").alias("g")
+            "id",
+            "_c0",
+            F.least(
+                F.lit(int(chunk) - 1), F.length("_t") - L - F.col("_c0")
+            ).alias("_hi"),
+            F.expr(f"substring(_t, _c0 + 1, {int(chunk) + L - 1})").alias(
+                "_ct"
+            ),
         )
+        .select(
+            "id",
+            "_c0",
+            "_ct",
+            F.explode(F.sequence(F.lit(0), F.col("_hi"))).alias("_p"),
+        )
+        .select(
+            "id",
+            (F.col("_c0") + F.col("_p")).alias("pos"),
+            F.expr(f"substring(_ct, _p + 1, {L})").alias("g"),
+        )
+    )
+
+
+def _heavy_keys(rows: DataFrame, key: str, cap: int) -> list | DataFrame | None:
+    """Keys whose occurrence count exceeds ``cap``, computed with a
+    map-side-combined groupBy (a key repeated 10^9 times partially
+    aggregates to ~one row per task — no single-task buffering, unlike
+    a window). Returns None (no heavy keys), a literal list (inline
+    regime), or the keys DataFrame (broadcast regime)."""
+    heavy = (
+        rows.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(key)
+    )
+    head = heavy.head(HEAVY_LIST_INLINE_MAX + 1)
+    if not head:
+        return None
+    if len(head) <= HEAVY_LIST_INLINE_MAX:
+        return [r[key] for r in head]
+    return heavy
+
+
+def _split_heavy(rows: DataFrame, key: str, cap: int):
+    """(light, heavy) split of ``rows`` by the key's occurrence count —
+    heavy = count > cap. Both regimes keep the heavy side cheap: an
+    inlined isin literal, or a broadcast semi/anti join whose build
+    side is the bounded-small heavy-key frame."""
+    keys = _heavy_keys(rows, key, cap)
+    if keys is None:
+        return rows, None
+    if isinstance(keys, list):
+        return (
+            rows.filter(~F.col(key).isin(keys)),
+            rows.filter(F.col(key).isin(keys)),
+        )
+    return (
+        rows.join(F.broadcast(keys), key, "left_anti"),
+        rows.join(F.broadcast(keys), key, "left_semi"),
+    )
+
+
+def _window_hits(rows: DataFrame, key: str) -> DataFrame:
+    """Rows of keys occurring >= 2 times, via a per-key window count
+    (one shuffle). Only ever fed key classes bounded by the cap."""
+    return (
+        rows.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
+        .where(F.col("_n") >= 2)
+        .drop("_n")
     )
 
 
@@ -82,32 +197,76 @@ def repeated_substring_spans(
     text_col: str = "text",
     min_len: int = DEFAULT_MIN_LEN,
     prefilter_hash: bool = True,
+    max_gram_freq: int | None = DEFAULT_MAX_GRAM_FREQ,
+    chunk_chars: int = DEFAULT_CHUNK_CHARS,
 ) -> DataFrame:
     """Maximal duplicated character spans, as
     (id, span_start, span_end, span_len) with [span_start, span_end)
     0-based character offsets into the document text. See module
-    docstring for semantics and the scale shape."""
+    docstring for semantics and the scale shape.
+
+    ``max_gram_freq`` routes boilerplate grams around the per-key
+    windows (output provably identical; bounds window buffering to the
+    cap). ``chunk_chars`` bounds per-row generated arrays (output
+    independent of it; tune only if L approaches the chunk size)."""
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    grams = _windows(df, id_col, text_col, L)
-
-    if prefilter_hash:
-        # phase 1: shuffle 8-byte fingerprints, keep candidate windows
-        cand = (
-            grams.withColumn("h", F.xxhash64("g"))
-            .withColumn("n", F.count("*").over(Window.partitionBy("h")))
-            .where(F.col("n") >= 2)
-            .drop("h", "n")
+    if max_gram_freq is not None and int(max_gram_freq) < 1:
+        raise ValueError(
+            f"max_gram_freq must be >= 1 or None, got {max_gram_freq}"
         )
+    if int(chunk_chars) < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    grams = _windows(df, id_col, text_col, L, chunk=int(chunk_chars))
+
+    heavy_rows = None
+    if prefilter_hash:
+        hashed = grams.withColumn("_h", F.xxhash64("g"))
+        if max_gram_freq is not None:
+            # heavy HASH classes: count > cap >= 1 means count >= 2, so
+            # they are candidates by definition — skip the hash window
+            # (they would straggle it); the exact phase below still
+            # separates true repeats from hash collisions.
+            light, heavy_rows = _split_heavy(hashed, "_h", int(max_gram_freq))
+        else:
+            light = hashed
+        # phase 1: shuffle 8-byte fingerprints, keep candidate windows
+        cand = _window_hits(light, "_h").drop("_h")
     else:
         cand = grams
-    # exact phase: count over the REAL gram (collision-proof)
-    hits = (
-        cand.withColumn("n", F.count("*").over(Window.partitionBy("g")))
-        .where(F.col("n") >= 2)
-        .select("id", "pos")
-    )
+
+    if max_gram_freq is not None and prefilter_hash:
+        # light hash classes have count <= cap, so every gram inside
+        # them also has count <= cap — the exact-phase window is
+        # cap-bounded BY CONSTRUCTION and needs no second split.
+        hits = _window_hits(cand, "g").select("id", "pos")
+        if heavy_rows is not None:
+            # exact check for the heavy-hash rows WITHOUT a window: the
+            # distinct grams inside heavy hash classes are boilerplate-
+            # few by construction, so their exact >=2 counts broadcast
+            # (a collision artifact occurring once is dropped here).
+            gcounts = (
+                heavy_rows.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("_gn"))
+                .filter(F.col("_gn") >= 2)
+                .select("g")
+            )
+            heavy_hits = heavy_rows.join(
+                F.broadcast(gcounts), "g", "left_semi"
+            ).select("id", "pos")
+            hits = hits.unionByName(heavy_hits)
+    elif max_gram_freq is not None:
+        # no hash prefilter: split on the gram itself — grams above the
+        # cap are hits by definition (count > cap >= 1 implies >= 2)
+        # and route around the gram window; the rest window-count.
+        light_cand, heavy_cand = _split_heavy(cand, "g", int(max_gram_freq))
+        hits = _window_hits(light_cand, "g").select("id", "pos")
+        if heavy_cand is not None:
+            hits = hits.unionByName(heavy_cand.select("id", "pos"))
+    else:
+        # exact phase: count over the REAL gram (collision-proof)
+        hits = _window_hits(cand, "g").select("id", "pos")
 
     # interval merge, not consecutive-position islands: hit intervals
     # [pos, pos+L) overlap-or-touch exactly when the position gap is
@@ -133,6 +292,34 @@ def repeated_substring_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
+    )
+
+
+def repeated_gram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = DEFAULT_MIN_LEN,
+    max_gram_freq: int = DEFAULT_MAX_GRAM_FREQ,
+    chunk_chars: int = DEFAULT_CHUNK_CHARS,
+) -> DataFrame:
+    """Lineage row for the boilerplate cap (the ``stop_shingle_stats``
+    sibling, operators/dedup.py): (n_grams_distinct, n_heavy_grams,
+    n_heavy_positions, max_freq) — how many gram classes the cap routes
+    around the window and how skewed the gram frequency distribution
+    is. One map-side-combined aggregate over the window table."""
+    grams = _windows(df, id_col, text_col, int(min_len), int(chunk_chars))
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    cap = int(max_gram_freq)
+    return freq.agg(
+        F.count(F.lit(1)).alias("n_grams_distinct"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias(
+            "n_heavy_grams"
+        ),
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(0)).alias(
+            "n_heavy_positions"
+        ),
+        F.max("n").alias("max_freq"),
     )
 
 

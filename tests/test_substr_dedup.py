@@ -188,3 +188,106 @@ def test_near_offset_hits_merge_into_one_disjoint_span(spark):
     }
     assert out[0] == (a[Lx + 2 :], Lx + 2)
     assert out[1] == ("", Lx) and out[2] == ("", Lx)
+
+
+def test_heavy_gram_cap_output_identity(spark):
+    """VERDICT r5 #1: grams above max_gram_freq route around the
+    per-key window (groupBy count + broadcast/inline membership) —
+    output must be IDENTICAL with the cap on, off, tiny, and under
+    both prefilter regimes, on an adversarial corpus where one gram
+    dominates (boilerplate repeated far above the cap)."""
+    Lx = 12
+    boiler = "BOILERPLATE!"  # exactly L chars -> one gram per planting
+    assert len(boiler) == Lx
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = {}
+    # 40 docs, each planting the boilerplate gram 5x (200 occurrences)
+    # amid unique soup; a second, rarer repeat sits just under the cap
+    rare = "qqrareREPEAT"  # also L chars
+    assert len(rare) == Lx
+    for d in range(40):
+        soup = "".join(rng.choice(alpha) for _ in range(30))
+        docs[d] = (boiler + soup[:7] + boiler) * 2 + soup + boiler
+    docs[100] = "unique " + "".join(rng.choice(alpha) for _ in range(50))
+    docs[101] = rare + " filler " + rare  # 2 occurrences: a hit, not heavy
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+
+    want = sorted(
+        map(tuple, repeated_substring_spans(
+            df, "doc_id", "text", Lx, prefilter_hash=False,
+            max_gram_freq=None,
+        ).collect())
+    )
+    assert want == sorted(_brute_spans(docs, Lx))
+    for prefilter in (True, False):
+        for cap in (1, 3, 100_000):
+            got = sorted(
+                map(tuple, repeated_substring_spans(
+                    df, "doc_id", "text", Lx,
+                    prefilter_hash=prefilter, max_gram_freq=cap,
+                ).collect())
+            )
+            assert got == want, f"prefilter={prefilter} cap={cap}"
+
+
+def test_chunked_windows_output_identity(spark):
+    """ADVICE r5 (medium): window generation is chunked so no per-row
+    array scales with document length. Output must be independent of
+    chunk_chars, including chunks smaller than L, equal to L, and
+    non-divisible remainders."""
+    docs = _mk_docs()
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    want = sorted(
+        map(tuple, repeated_substring_spans(
+            df, "doc_id", "text", L, chunk_chars=1 << 20
+        ).collect())
+    )
+    assert want == sorted(_brute_spans(docs, L))
+    for chunk in (1, 7, L, L + 1, 64):
+        got = sorted(
+            map(tuple, repeated_substring_spans(
+                df, "doc_id", "text", L, chunk_chars=chunk
+            ).collect())
+        )
+        assert got == want, f"chunk_chars={chunk}"
+
+
+def test_repeated_gram_stats(spark):
+    """Cap observability (the stop_shingle_stats sibling): distinct
+    gram count, heavy count/positions, and max frequency match a
+    brute-force count at a cap that the boilerplate gram exceeds."""
+    from collections import Counter
+
+    from htrtf_spark.operators.substr_dedup import repeated_gram_stats
+
+    Lx = 12
+    docs = {
+        0: "BOILERPLATE!" * 6,               # gram at many offsets
+        1: "BOILERPLATE!" + " unique one",
+        2: "totally different text here....",
+    }
+    counts = Counter(
+        t[i : i + Lx]
+        for t in docs.values()
+        for i in range(len(t) - Lx + 1)
+    )
+    cap = 3
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    row = repeated_gram_stats(
+        df, "doc_id", "text", min_len=Lx, max_gram_freq=cap
+    ).collect()[0]
+    assert row["n_grams_distinct"] == len(counts)
+    assert row["n_heavy_grams"] == sum(1 for v in counts.values() if v > cap)
+    assert row["n_heavy_positions"] == sum(
+        v for v in counts.values() if v > cap
+    )
+    assert row["max_freq"] == max(counts.values())
+
+
+def test_cap_validation(spark):
+    df = spark.createDataFrame([(1, "x" * 60)], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repeated_substring_spans(df, max_gram_freq=0)
+    with pytest.raises(ValueError):
+        repeated_substring_spans(df, chunk_chars=0)
