@@ -1,22 +1,35 @@
 """PII redaction — the masking stage every production training-data
 pipeline runs before text reaches a model (emails, IPv4 addresses,
-phone numbers → typed placeholder tokens), plus per-kind match counts
-for audit/lineage.
+SSNs, phone numbers in their common written forms, Luhn-validated
+credit-card numbers → typed placeholder tokens), plus per-kind match
+counts for audit/lineage.
 
 Engine-portable by construction: every pattern uses only the syntax
 subset shared by Java regex (Spark's ``regexp_replace``/
 ``regexp_count``) and RE2 (DuckDB, Go, etc.) — ASCII character
 classes, non-capturing groups, bounded quantifiers, ``\\b`` word
-boundaries; NO lookaround, NO backreferences (RE2 has neither), and
-replacement markers free of ``$``/``\\`` (special in Java
-replacements). That is what lets the driver gate (q99) hash-compare
-the redaction against a DuckDB restatement byte-for-byte.
+boundaries; NO lookaround, NO backreferences (RE2 has neither).
+Replacement strings are escaped for each engine's replacement
+metacharacters (``$``/``\\`` in Java, ``\\`` in RE2, quotes in SQL),
+so custom (pattern, replacement) tuples are safe verbatim — though the
+built-in markers deliberately contain no digits or ``@`` so later
+patterns can never match inside an earlier replacement.
+
+Credit cards are NOT a pure-regex kind: the digit shape (13-19 digits,
+optional single space/dash separators) only nominates CANDIDATES, and
+the Luhn checksum — a JVM-side ``aggregate`` over the candidate's
+digits, still zero Python — decides which get masked, so
+"4111 1111 1111 1111" redacts while a random 16-digit number passes
+through. Masking folds the valid candidate strings over the text with
+all-occurrence ``replace`` (both engines fold identically, which is
+what lets the q99 oracle hash-match byte-for-byte).
 
 Scale shape: one narrow projection — per-row regex work JVM-side
 inside whole-stage codegen, no shuffle, no UDF; counts come from the
 ORIGINAL text (order-independent), masking applies the patterns in
-list order (markers contain no digits/@ so later patterns can never
-match inside an earlier replacement).
+list order, credit cards last (phone/SSN forms cannot match inside a
+card's uniform digit grouping, but a 13+-digit international phone
+number must be typed as a phone, not Luhn-gambled as a card).
 
 Reference analog: none (the reference predates LLM hygiene); this
 fills the redaction slot of the corpus-hygiene tier next to
@@ -26,7 +39,7 @@ family (operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: (kind, pattern, replacement) — applied in order; patterns restricted
@@ -43,8 +56,28 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
         "<IP>",
     ),
     (
+        "ssn",
+        r"\b\d{3}-\d{2}-\d{4}\b",
+        "<SSN>",
+    ),
+    (
         "phone",
         r"\b\d{3}-\d{3}-\d{4}\b",
+        "<PHONE>",
+    ),
+    (
+        "phone_paren",
+        r"\(\d{3}\) ?\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
+    (
+        "phone_dot",
+        r"\b\d{3}\.\d{3}\.\d{4}\b",
+        "<PHONE>",
+    ),
+    (
+        "phone_space",
+        r"\b\d{3} \d{3} \d{4}\b",
         "<PHONE>",
     ),
     (
@@ -54,24 +87,105 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ),
 ]
 
+#: Credit-card CANDIDATE shape: 13-19 digits, each optionally followed
+#: by one space or dash (uniform or no grouping both match). Candidates
+#: are masked only if the Luhn checksum holds — see luhn-fold below.
+CC_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+CC_MARKER = "<CC>"
+
+
+def _escape_java_replacement(rep: str) -> str:
+    """Java ``Matcher.replaceAll`` treats ``\\`` and ``$`` (group refs)
+    specially in the replacement — escape both so custom replacement
+    strings are taken literally (ADVICE r5)."""
+    return rep.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _escape_re2_replacement(rep: str) -> str:
+    """RE2 rewrite strings treat ``\\`` (group refs) specially."""
+    return rep.replace("\\", "\\\\")
+
+
+def _sq(s: str) -> str:
+    """Single-quote escape for SQL string literals (ADVICE r5: a quote
+    in a custom pattern/replacement must not break the oracle SQL)."""
+    return s.replace("'", "''")
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum over a candidate string's digits — pure Catalyst
+    (``aggregate`` over the reversed digit array with an (index, sum)
+    struct accumulator), no UDF. True iff 13-19 digits and the mod-10
+    check holds."""
+    ds = F.regexp_replace(cand, F.lit("[^0-9]"), F.lit(""))
+    chars = F.split(F.reverse(ds), "")
+
+    def step(acc, ch):
+        d = ch.cast("int")
+        doubled = d * 2
+        contrib = F.when(
+            acc["i"] % 2 == 1,
+            F.when(doubled > 9, doubled - 9).otherwise(doubled),
+        ).otherwise(d)
+        return F.struct(
+            (acc["i"] + 1).alias("i"), (acc["s"] + contrib).alias("s")
+        )
+
+    total = F.aggregate(
+        chars,
+        F.struct(F.lit(0).alias("i"), F.lit(0).alias("s")),
+        step,
+        lambda acc: acc["s"],
+    )
+    n = F.length(ds)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def _cc_valid(text: Column) -> Column:
+    """Array of Luhn-valid credit-card candidate strings in ``text``
+    (leftmost non-overlapping matches, invalid checksums dropped)."""
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(CC_PATTERN), F.lit(0)), _luhn_ok
+    )
+
+
+def _cc_mask(text: Column, marker: str = CC_MARKER) -> Column:
+    """Fold the valid candidates over ``text`` with all-occurrence
+    literal ``replace`` — replaces every occurrence of each valid
+    candidate string (a duplicate candidate folds idempotently). Both
+    engines fold in the same candidate order, so the q99 oracle
+    reproduces the output byte-for-byte."""
+    return F.aggregate(
+        _cc_valid(text),
+        text,
+        lambda acc, m: F.replace(acc, m, F.lit(marker)),
+    )
+
 
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
     patterns: list[tuple[str, str, str]] | None = None,
+    redact_cc: bool = True,
 ) -> DataFrame:
     """Replace ``text_col`` with the redacted text and append one
     ``n_<kind>`` count column per pattern (matches in the ORIGINAL
-    text) plus ``n_redactions`` (their sum). Pure Catalyst expressions
-    — no shuffle, no Python in the row path."""
+    text) plus ``n_cc`` (Luhn-valid card candidates) and
+    ``n_redactions`` (their sum). Pure Catalyst expressions — no
+    shuffle, no Python in the row path. Credit-card masking runs after
+    the pattern chain (see module docstring for the ordering why);
+    pass ``redact_cc=False`` to skip it."""
     pats = PII_PATTERNS if patterns is None else patterns
     masked = F.col(text_col)
     for _kind, pat, rep in pats:
-        masked = F.regexp_replace(masked, pat, rep)
+        masked = F.regexp_replace(masked, pat, _escape_java_replacement(rep))
     counts = {
         kind: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
         for kind, pat, _rep in pats
     }
+    if redact_cc:
+        masked = _cc_mask(masked)
+        counts["cc"] = F.size(_cc_valid(F.col(text_col))).cast("long")
     total = None
     for c in counts.values():
         total = c if total is None else total + c
@@ -86,21 +200,54 @@ def redact_pii(
     )
 
 
-def pii_sql(text_expr: str, patterns: list[tuple[str, str, str]] | None = None) -> dict:
+def _luhn_sql(cand: str) -> str:
+    """DuckDB restatement of ``_luhn_ok`` over the SQL expression
+    ``cand`` (digit strip → reversed-index list comprehension →
+    list_sum mod 10)."""
+    ds = f"regexp_replace({cand}, '[^0-9]', '', 'g')"
+    d = f"CAST(substring(reverse({ds}), i, 1) AS INT)"
+    return (
+        f"length({ds}) BETWEEN 13 AND 19 AND "
+        f"list_sum([CASE WHEN (i-1)%2 = 1 THEN "
+        f"CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END "
+        f"ELSE {d} END "
+        f"for i in generate_series(1, length({ds}))]) % 10 = 0"
+    )
+
+
+def pii_sql(
+    text_expr: str,
+    patterns: list[tuple[str, str, str]] | None = None,
+    redact_cc: bool = True,
+) -> dict:
     """The DuckDB restatement of ``redact_pii`` over ``text_expr``:
     returns {"masked": sql, "counts": {kind: sql}} — the same pattern
-    list rendered as RE2 calls, used by the q99 oracle so operator and
-    oracle can never drift apart."""
+    list rendered as RE2 calls plus the Luhn candidate fold, used by
+    the q99 oracle so operator and oracle can never drift apart."""
     pats = PII_PATTERNS if patterns is None else patterns
     masked = text_expr
     for _kind, pat, rep in pats:
-        p = pat.replace("'", "''")
-        masked = f"regexp_replace({masked}, '{p}', '{rep}', 'g')"
+        masked = (
+            f"regexp_replace({masked}, '{_sq(pat)}', "
+            f"'{_sq(_escape_re2_replacement(rep))}', 'g')"
+        )
     counts = {
         kind: (
             "CAST(len(regexp_extract_all("
-            f"{text_expr}, '{pat.replace(chr(39), chr(39) * 2)}')) AS BIGINT)"
+            f"{text_expr}, '{_sq(pat)}')) AS BIGINT)"
         )
         for kind, pat, _rep in pats
     }
+    if redact_cc:
+        def valid(src: str) -> str:
+            return (
+                f"list_filter(regexp_extract_all({src}, '{_sq(CC_PATTERN)}'), "
+                f"s -> {_luhn_sql('s')})"
+            )
+
+        masked = (
+            f"list_reduce(list_prepend({masked}, {valid(masked)}), "
+            f"(acc, m) -> replace(acc, m, '{CC_MARKER}'))"
+        )
+        counts["cc"] = f"CAST(len({valid(text_expr)}) AS BIGINT)"
     return {"masked": masked, "counts": counts}

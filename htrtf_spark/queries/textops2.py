@@ -225,7 +225,15 @@ def q99_pii_redaction(spark, sf_dir):
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".7 call 555-867-530"),
             (F.col("doc_id") % 10).cast("string"),
-            F.lit(" or +4915123456789 now"),
+            F.lit(" or +4915123456789 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" tel (202) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" alt 303.555."),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            # Luhn-VALID card (must mask) + Luhn-INVALID candidate
+            # (same digit shape, must pass through untouched)
+            F.lit(" card 4111 1111 1111 1111 ref 1234 5678 9012 3456 ok"),
         ).alias("text"),
     )
     out = redact_pii(seeded, "text")
@@ -234,8 +242,11 @@ def q99_pii_redaction(spark, sf_dir):
         F.col("text").alias("redacted_text"),
         "n_email",
         "n_ipv4",
+        "n_ssn",
         "n_phone",
+        "n_phone_paren",
         "n_phone_intl",
+        "n_cc",
         "n_redactions",
     )
 
@@ -247,7 +258,13 @@ def _q99_sql() -> str:
         "text || ' contact user' || CAST(doc_id AS VARCHAR)"
         " || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
         " || '.7 call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)"
-        " || ' or +4915123456789 now'"
+        " || ' or +4915123456789 ssn 123-45-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' tel (202) 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' alt 303.555.'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' card 4111 1111 1111 1111 ref 1234 5678 9012 3456 ok'"
     )
     p = pii_sql(seeded)
     counts = p["counts"]
@@ -257,8 +274,11 @@ SELECT doc_id,
        {p['masked']} AS redacted_text,
        {counts['email']} AS n_email,
        {counts['ipv4']} AS n_ipv4,
+       {counts['ssn']} AS n_ssn,
        {counts['phone']} AS n_phone,
+       {counts['phone_paren']} AS n_phone_paren,
        {counts['phone_intl']} AS n_phone_intl,
+       {counts['cc']} AS n_cc,
        CAST({total} AS BIGINT) AS n_redactions
 FROM documents
 """

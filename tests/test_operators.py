@@ -1101,9 +1101,72 @@ def test_pii_redaction_semantics(spark):
     assert got[5]["n_redactions"] == 3
 
 
+def test_pii_phone_forms_ssn_and_luhn_cc(spark):
+    """Round-6 breadth: paren/dot/space phone forms, SSN, and credit
+    cards — candidates by digit shape, masked only when the Luhn
+    checksum holds (JVM-side aggregate, no UDF)."""
+    from htrtf_spark.operators.pii import redact_pii
+
+    rows = [
+        (1, "tel (555) 123-4567 and (555)123.4567 end"),
+        (2, "dot 555.123.4567 spaced 555 123 4567 done"),
+        (3, "ssn 123-45-6789 but not 123-456-789 or 12-34-5678"),
+        (4, "card 4111 1111 1111 1111 pays"),
+        (5, "fake 1234 5678 9012 3456 stays"),          # Luhn-invalid
+        (6, "amex 378282246310005 and visa 4111-1111-1111-1111!"),
+        (7, "plain 4111111111111111 run 12345678901234567890 too"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r for r in redact_pii(df, "text").collect()}
+
+    assert got[1]["text"] == "tel <PHONE> and <PHONE> end"
+    assert got[1]["n_phone_paren"] == 2
+    assert got[2]["text"] == "dot <PHONE> spaced <PHONE> done"
+    assert got[2]["n_phone_dot"] == 1 and got[2]["n_phone_space"] == 1
+    assert got[3]["text"] == "ssn <SSN> but not 123-456-789 or 12-34-5678"
+    assert got[3]["n_ssn"] == 1
+    assert got[4]["text"] == "card <CC> pays" and got[4]["n_cc"] == 1
+    assert got[5]["text"] == "fake 1234 5678 9012 3456 stays"
+    assert got[5]["n_cc"] == 0 and got[5]["n_redactions"] == 0
+    assert got[6]["text"] == "amex <CC> and visa <CC>!"
+    assert got[6]["n_cc"] == 2
+    # 16 plain digits Luhn-valid masks; a 20-digit run greedily
+    # candidates its 19-digit prefix, which fails Luhn here and stays
+    assert got[7]["text"].startswith("plain <CC> run ")
+    assert got[7]["n_cc"] == 1
+
+
+def test_pii_custom_replacement_escaping(spark):
+    """ADVICE r5: custom replacements containing $ / \\ / quotes are
+    taken literally on BOTH engines (no Java group-ref explosion, no
+    SQL injection in the oracle restatement)."""
+    import duckdb
+
+    from htrtf_spark.operators.pii import pii_sql, redact_pii
+
+    pats = [("money", r"\bsecret\b", "[$1 \\ it's]")]
+    rows = [(1, "a secret here"), (2, "no match")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    want = {
+        r["id"]: r["text"]
+        for r in redact_pii(df, "text", patterns=pats, redact_cc=False)
+        .collect()
+    }
+    assert want[1] == "a [$1 \\ it's] here" and want[2] == "no match"
+    p = pii_sql("text", patterns=pats, redact_cc=False)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    got = dict(con.execute(f"SELECT id, {p['masked']} FROM tt").fetchall())
+    assert got == want
+
+
 def test_pii_sql_restatement_matches(spark):
     """pii_sql's DuckDB restatement produces byte-identical masking and
-    counts for the same rows (the q99 drift guard, checked directly)."""
+    counts for the same rows (the q99 drift guard, checked directly) —
+    including adversarial rows: masked-inside-masked adjacency,
+    overlapping kinds (intl phone that is also a 13-digit candidate,
+    SSN touching a phone), Luhn accept/reject, mixed separators."""
     import duckdb
 
     from htrtf_spark.operators.pii import pii_sql, redact_pii
@@ -1112,6 +1175,12 @@ def test_pii_sql_restatement_matches(spark):
         (1, "x a@b.com y 10.0.0.1 z 555-123-4567 w +49151234567890"),
         (2, "clean"),
         (3, "edge a@b.co 255.255.255.255+4911111111111 t"),
+        (4, "ssn 123-45-6789 tel (202) 555-0142 card 4111 1111 1111 1111"),
+        (5, "adjacent 555-123-4567123-45-6789 and 4111-1111-1111-1111x"),
+        (6, "cards 4111111111111111 378282246310005 1234 5678 9012 3456"),
+        (7, "intl-as-cc +4111111111111 vs bare 4111111111111 thirteen"),
+        (8, "a@b.io4111 1111 1111 1111 touching email then digits"),
+        (9, "mixed 4111 1111-1111 1111 sep and 555 123 4567 spaced"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     want = {
