@@ -223,6 +223,7 @@ def temperature_mixture_sample(
     tau: float = 0.5,
     target_frac_bp: int = 5000,
     seed: int = 42,
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Sample ``df`` down to a temperature-``tau`` source mixture with a
     ``target_frac_bp/10000`` overall budget: rates from
@@ -232,9 +233,17 @@ def temperature_mixture_sample(
 
     Plan shape: tiny rate table broadcast-joined onto the corpus, then
     one narrow filter — the corpus is scanned twice (count + filter) but
-    never shuffled. Emits (key, source, rate_bp); rate_bp kept for
-    mixture audits."""
-    rates = temperature_mixture_rates(df, source_col, tau, target_frac_bp)
+    never shuffled. Pass a precomputed ``rates`` DataFrame (any frame
+    with ``source``/``rate_bp`` columns — a prior tick's
+    ``temperature_mixture_rates`` output, or ``last_mixture_rates``
+    read back from a lineage property) to make the production loop
+    ONE-scan: counts change slowly tick-over-tick, so reusing the last
+    tick's rate table trades an O(corpus) count for a bounded mixture
+    drift the next recompute corrects. ``tau``/``target_frac_bp`` are
+    ignored when ``rates`` is given. Emits (key, source, rate_bp);
+    rate_bp kept for mixture audits."""
+    if rates is None:
+        rates = temperature_mixture_rates(df, source_col, tau, target_frac_bp)
     bucket = sample_bucket_bp(F.col(key_col), seed)
     # rename the rate table's key: the corpus may itself have a column
     # named "source" (it usually does), and an ambiguous reference here
@@ -251,3 +260,67 @@ def temperature_mixture_sample(
             "rate_bp",
         )
     )
+
+
+# ------------------------------------------------------------ lineage
+# The rate table IS the mixture's provenance: which sources existed,
+# their counts, and the acceptance rate each was sampled at. Persist it
+# as a table property next to the tick metrics (plans/incremental.py
+# TICK_METRICS_PROP convention) so every produced corpus can answer
+# "what mixture was this?" and the next tick can reuse the rates for a
+# one-scan sample (``temperature_mixture_sample(rates=...)``).
+
+MIXTURE_RATES_PROP = "htrtf.mixture.last-rates"
+
+_RATES_DDL = "source string, n_s long, w_s long, rate_bp long"
+
+
+def record_mixture_rates(
+    dest_loc: str,
+    rates: DataFrame,
+    tau: float,
+    target_frac_bp: int,
+) -> dict:
+    """Persist a ``temperature_mixture_rates`` table (plus the knobs
+    that produced it) as a JSON property of the destination Iceberg
+    table — one bounded-small driver collect (#sources rows), committed
+    through the same metadata path as tick metrics. Returns the stored
+    payload."""
+    import json
+
+    from htrtf_spark.sources.iceberg import set_table_properties
+
+    rows = rates.select("source", "n_s", "w_s", "rate_bp").collect()
+    payload = {
+        "tau": float(tau),
+        "target_frac_bp": int(target_frac_bp),
+        "rates": sorted(
+            [r["source"], int(r["n_s"]), int(r["w_s"]), int(r["rate_bp"])]
+            for r in rows
+        ),
+    }
+    set_table_properties(dest_loc, {MIXTURE_RATES_PROP: json.dumps(payload)})
+    return payload
+
+
+def last_mixture_rates(spark, dest_loc: str):
+    """Read back the last persisted mixture-rate lineage as
+    (rates DataFrame, {"tau", "target_frac_bp"}), or None if never
+    recorded — the ``rates=`` input for a one-scan production tick."""
+    import json
+
+    from htrtf_spark.sources.iceberg import current_metadata
+
+    raw = current_metadata(dest_loc).get("properties", {}).get(
+        MIXTURE_RATES_PROP
+    )
+    if not raw:
+        return None
+    payload = json.loads(raw)
+    df = spark.createDataFrame(
+        [tuple(r) for r in payload["rates"]], _RATES_DDL
+    )
+    return df, {
+        "tau": payload["tau"],
+        "target_frac_bp": payload["target_frac_bp"],
+    }

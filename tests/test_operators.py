@@ -1302,3 +1302,53 @@ def test_temperature_mixture_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     # one source scan per pass (createDataFrame plans as Scan ExistingRDD)
     assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_mixture_rates_reuse_and_lineage(spark, tmp_path):
+    """VERDICT r5 #4: a precomputed rates table makes the sample
+    one-scan and must select the IDENTICAL member set as the two-scan
+    path; the rate table round-trips through the Iceberg lineage
+    property (record_mixture_rates / last_mixture_rates)."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.sampling import (
+        last_mixture_rates,
+        record_mixture_rates,
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+    from htrtf_spark.sources.iceberg import write_iceberg_table
+
+    rows = [(i, "a" if i < 900 else ("b" if i < 980 else "c"))
+            for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, src string")
+    two_scan = sorted(
+        map(tuple, temperature_mixture_sample(
+            d, "src", "doc_id", tau=0.5, target_frac_bp=4000
+        ).collect())
+    )
+    rates = temperature_mixture_rates(d, "src", 0.5, 4000)
+    one_scan = sorted(
+        map(tuple, temperature_mixture_sample(
+            d, "src", "doc_id", rates=rates
+        ).collect())
+    )
+    assert one_scan == two_scan and len(one_scan) > 0
+
+    # lineage round-trip through a real Iceberg table property
+    loc = str(tmp_path / "mix_dest")
+    write_iceberg_table(d.limit(1), loc)
+    payload = record_mixture_rates(loc, rates, tau=0.5, target_frac_bp=4000)
+    assert payload["tau"] == 0.5 and len(payload["rates"]) == 3
+    back, knobs = last_mixture_rates(spark, loc)
+    assert knobs == {"tau": 0.5, "target_frac_bp": 4000}
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, rates.collect())
+    )
+    # and the read-back table drives the same member set
+    replay = sorted(
+        map(tuple, temperature_mixture_sample(
+            d, "src", "doc_id", rates=back
+        ).collect())
+    )
+    assert replay == two_scan
