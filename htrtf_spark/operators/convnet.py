@@ -83,6 +83,71 @@ def load_params(spark: SparkSession, path: str) -> dict:
     return params
 
 
+def seed_params(
+    prior: dict,
+    init: dict,
+    scopes: list[str],
+) -> tuple[dict, dict]:
+    """Transfer-learning seeding (the Structure_006_TL analog,
+    /root/reference/Projects/Parzival/Structure_006_TL/Structure_006_TL.py:173-178:
+    a scoped variable-subset Saver restores "BLSTM[12345]" + "conv"
+    variables from a prior run while the rest initialize fresh).
+
+    Spark-first form over the parquet named-tensor table: start from
+    ``init`` (the fresh-initialized parameter dict) and overwrite every
+    tensor whose NAME matches any ``scopes`` glob (fnmatch syntax —
+    ``conv*``, ``bilstm[12345]/*`` — the same character-class shapes the
+    reference passes as TF scope regexes) with the prior run's value.
+    Tensors only in the prior, or matching no scope, stay untouched —
+    exactly the subset-restore contract. A scope hit with a SHAPE
+    mismatch is a config error and raises (the reference would fail
+    inside tf.assign; we fail with a named error before compute).
+
+    Returns (params, report) where report lists copied / fresh /
+    ignored-prior names for lineage. Callers then broadcast ``params``
+    to the decode stages like any other loaded weight table."""
+    from fnmatch import fnmatchcase
+
+    def in_scope(name: str) -> bool:
+        return any(fnmatchcase(name, pat) for pat in scopes)
+
+    out = dict(init)
+    copied: list[str] = []
+    for name, arr in sorted(prior.items()):
+        if not in_scope(name):
+            continue
+        if name not in init:
+            continue  # prior has a scoped tensor the new arch lacks
+        if tuple(init[name].shape) != tuple(arr.shape):
+            raise ValueError(
+                f"transfer scope hit {name!r}: prior shape "
+                f"{tuple(arr.shape)} != target shape "
+                f"{tuple(init[name].shape)}"
+            )
+        out[name] = arr
+        copied.append(name)
+    report = {
+        "copied": copied,
+        "fresh": sorted(n for n in init if n not in copied),
+        "ignored_prior": sorted(
+            n for n in prior
+            if n not in copied and (not in_scope(n) or n not in init)
+        ),
+    }
+    return out, report
+
+
+def seed_params_from(
+    spark: SparkSession,
+    prior_path: str,
+    init: dict,
+    scopes: list[str],
+) -> tuple[dict, dict]:
+    """``seed_params`` with the prior read from a parquet named-tensor
+    table (S7 scan — one small driver collect, weights are KB-MB)."""
+    return seed_params(load_params(spark, prior_path), init, scopes)
+
+
 def validate_params(params: dict, spec=None, in_channels: int = 1) -> None:
     """Abort-before-compute check that every layer's tensors exist with
     the declared shapes (the reference fails inside tf.assign otherwise;

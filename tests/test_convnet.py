@@ -215,3 +215,57 @@ def test_aachen_mapping_rejects_mismatched_gates():
 
     with _pytest.raises(ValueError, match="gate widths"):
         aachen.map_aachen_params(ext)
+
+
+def test_seed_params_scoped_transfer(spark, tmp_path):
+    """TL analog (SURVEY §3.4 / Structure_006_TL.py:173-178): tensors
+    matching the scope globs are copied value-exact from the prior run;
+    everything else keeps its fresh init; shape mismatches raise."""
+    import numpy as np
+    import pytest
+
+    from htrtf_spark.operators.convnet import (
+        seed_params,
+        seed_params_from,
+        write_params,
+    )
+    from htrtf_spark.operators.rnn import synth_net_params
+
+    prior = synth_net_params(seed=1)
+    init = synth_net_params(seed=2)
+    scopes = ["conv*", "bilstm[123]/*"]
+    params, report = seed_params(prior, init, scopes)
+
+    assert set(params) == set(init)
+    for name in params:
+        if name.startswith("conv") or any(
+            name.startswith(f"bilstm{i}/") for i in (1, 2, 3)
+        ):
+            assert np.array_equal(params[name], prior[name]), name
+            assert name in report["copied"]
+        else:
+            assert np.array_equal(params[name], init[name]), name
+            assert name in report["fresh"]
+    assert any(n.startswith("bilstm4/") for n in report["fresh"])
+    assert any(n.startswith("logits/") for n in report["fresh"])
+
+    # round-trip through the parquet named-tensor table
+    path = str(tmp_path / "prior_params")
+    write_params(spark, prior, path)
+    params2, report2 = seed_params_from(spark, path, init, scopes)
+    assert report2["copied"] == report["copied"]
+    for name in report["copied"]:
+        assert np.allclose(params2[name], prior[name])
+
+    # a scoped tensor with a different shape is a config error
+    bad = dict(init)
+    bad["conv1/kernel"] = np.zeros((1, 1, 1, 1), dtype=np.float32)
+    with pytest.raises(ValueError, match="conv1/kernel"):
+        seed_params(prior, bad, ["conv*"])
+
+    # prior-only scoped tensors are ignored, not injected
+    prior2 = dict(prior)
+    prior2["conv9/kernel"] = np.zeros((3, 3, 1, 1), dtype=np.float32)
+    params3, report3 = seed_params(prior2, init, ["conv*"])
+    assert "conv9/kernel" not in params3
+    assert "conv9/kernel" in report3["ignored_prior"]
