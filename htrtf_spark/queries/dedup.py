@@ -678,15 +678,23 @@ def q96_repeated_substring_spans(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
-_SPANS_CTE = f"""
+def substr_spans_cte(
+    rel: str = "documents",
+    text_col: str = "text",
+    L: int = _SUBSTR_L,
+) -> str:
+    """The grams/hits/isl/spans CTE chain of the substring-dedup oracle,
+    parameterized by source relation (must expose doc_id) and text
+    column — shared by q96/q97 and the composed-pipeline gate (q101)."""
+    return f"""
 grams AS (
   SELECT doc_id,
          unnest([{{'pos': i - 1,
-                   'g': substring(text, i, {_SUBSTR_L})}}
+                   'g': substring({text_col}, i, {L})}}
                  for i in generate_series(
-                     1, length(text) - {_SUBSTR_L} + 1)],
+                     1, length({text_col}) - {L} + 1)],
                 recursive := true)
-  FROM documents WHERE length(text) >= {_SUBSTR_L}
+  FROM {rel} WHERE length({text_col}) >= {L}
 ),
 hits AS (
   SELECT doc_id, pos FROM (
@@ -699,7 +707,7 @@ isl AS (
   -- starts on a gap > L -- spans come out maximal and disjoint
   SELECT doc_id, pos,
          SUM(CASE WHEN prev_pos IS NULL
-                       OR pos - prev_pos > {_SUBSTR_L}
+                       OR pos - prev_pos > {L}
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
@@ -711,13 +719,47 @@ isl AS (
 ),
 spans AS (
   SELECT doc_id, MIN(pos) AS span_start,
-         MAX(pos) + {_SUBSTR_L} AS span_end
+         MAX(pos) + {L} AS span_end
   FROM isl GROUP BY doc_id, grp
 )
 """
 
+
+def substr_strip_cte(
+    rel: str = "documents", text_col: str = "text"
+) -> str:
+    """The segs/pieces/cleaned CTE chain that cuts the ``spans`` CTE's
+    intervals out of ``rel.text_col`` (the strip_repeated_spans
+    restatement); the caller selects
+    ``COALESCE(cleaned.kept_text, {rel}.{text_col})``."""
+    return f"""
+segs AS (
+  SELECT doc_id, span_start, span_end,
+         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 0) AS prev_e
+  FROM spans
+),
+pieces AS (
+  SELECT s.doc_id, s.span_start AS ord,
+         substring(d.{text_col}, s.prev_e + 1,
+                   s.span_start - s.prev_e) AS seg
+  FROM segs s JOIN {rel} d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 2147483647 AS ord,
+         substring(d.{text_col}, m.max_e + 1,
+                   length(d.{text_col}) - m.max_e) AS seg
+  FROM (SELECT doc_id, MAX(span_end) AS max_e FROM spans GROUP BY doc_id) m
+  JOIN {rel} d USING (doc_id)
+),
+cleaned_strip AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS kept_text
+  FROM pieces GROUP BY doc_id
+)
+"""
+
+
 _Q96_SQL = f"""
-WITH {_SPANS_CTE}
+WITH {substr_spans_cte()}
 SELECT doc_id, span_start, span_end,
        span_end - span_start AS span_len
 FROM spans
@@ -750,32 +792,13 @@ def q97_substring_dedup_apply(spark, sf_dir):
 
 
 _Q97_SQL = f"""
-WITH {_SPANS_CTE},
-segs AS (
-  SELECT doc_id, span_start, span_end,
-         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
-                                      ORDER BY span_start), 0) AS prev_e
-  FROM spans
-),
-pieces AS (
-  SELECT s.doc_id, s.span_start AS ord,
-         substring(d.text, s.prev_e + 1, s.span_start - s.prev_e) AS seg
-  FROM segs s JOIN documents d USING (doc_id)
-  UNION ALL
-  SELECT m.doc_id, 2147483647 AS ord,
-         substring(d.text, m.max_e + 1, length(d.text) - m.max_e) AS seg
-  FROM (SELECT doc_id, MAX(span_end) AS max_e FROM spans GROUP BY doc_id) m
-  JOIN documents d USING (doc_id)
-),
-cleaned AS (
-  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS kept_text
-  FROM pieces GROUP BY doc_id
-)
+WITH {substr_spans_cte()},
+{substr_strip_cte()}
 SELECT d.doc_id,
        COALESCE(c.kept_text, d.text) AS kept_text,
        length(d.text) - length(COALESCE(c.kept_text, d.text))
          AS removed_chars
-FROM documents d LEFT JOIN cleaned c USING (doc_id)
+FROM documents d LEFT JOIN cleaned_strip c USING (doc_id)
 """
 
 QUERIES["q97_substring_dedup_apply"] = (

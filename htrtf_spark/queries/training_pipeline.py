@@ -24,13 +24,12 @@ MIN_TOKENS = 25
 MAX_STOP_RATIO_BP = 8000
 
 
-def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """documents(id, text) → deduplicated quality corpus
-    (id, n_tokens, stop_ratio_bp, fp). One declarative plan:
-    narrow extraction → narrow quality projection → one shuffle for the
-    dedup window — Catalyst fuses the first two into the scan."""
-    from htrtf_spark.queries.textops import _STOPWORDS
-
+def _extract_clean(docs, id_col: str, text_col: str):
+    """Shared first stage of the composed pipelines: documents run
+    through the SAME mapInPandas extraction stage the library ships
+    (each document as a one-turn pseudo-conversation), rejected rows
+    dropped — yields (_id, clean_text). Narrow; Catalyst fuses it into
+    the scan."""
     pseudo = docs.select(
         F.col(id_col).alias("_id"),
         F.concat(F.lit("doc-"), F.lpad(F.col(id_col).cast("string"), 8, "0")).alias("conv_id"),
@@ -43,11 +42,23 @@ def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
     ).withColumn(
         "_id", F.split_part(F.col("conv_id"), F.lit("-"), F.lit(2)).cast("long")
     )
-    toks = F.filter(F.split("extracted_text", " "), lambda x: x != F.lit(""))
+    return extracted.filter(F.col("reject_reason").isNull()).select(
+        "_id", F.col("extracted_text").alias("clean_text")
+    )
+
+
+def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """documents(id, text) → deduplicated quality corpus
+    (id, n_tokens, stop_ratio_bp, fp). One declarative plan:
+    narrow extraction → narrow quality projection → one shuffle for the
+    dedup window — Catalyst fuses the first two into the scan."""
+    from htrtf_spark.queries.textops import _STOPWORDS
+
+    toks = F.filter(F.split("clean_text", " "), lambda x: x != F.lit(""))
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    quality = extracted.filter(F.col("reject_reason").isNull()).select(
+    quality = _extract_clean(docs, id_col, text_col).select(
         "_id",
-        F.col("extracted_text").alias("clean_text"),
+        "clean_text",
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
             "n_stop"
@@ -79,6 +90,128 @@ def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 def q77_training_corpus(spark, sf_dir):
     return training_corpus(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ q101
+# The round-6 composition: extraction → EXACT REPEATED-SUBSTRING STRIP
+# (Lee et al. 2022, operators/substr_dedup.py) → quality filter →
+# keep-first exact dedup — the full hygiene chain a production corpus
+# runs, restated end-to-end in SQL. Stripping runs BETWEEN extraction
+# and quality because boilerplate inflates token counts and depresses
+# stop ratios: quality must judge the text that will actually train.
+
+_STRIP_L = 50  # same knob as q96/q97 (queries/dedup.py _SUBSTR_L)
+
+
+def training_corpus_stripped(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    min_len: int = _STRIP_L,
+):
+    """documents(id, text) → extraction → strip repeated substrings →
+    quality filter → keep-first dedup. Output adds ``removed_chars``
+    (per-document strip audit) to the ``training_corpus`` schema.
+
+    Plan shape: the extraction stays narrow and feeds BOTH the span
+    computation (gram shuffles, operators/substr_dedup.py's bounded
+    plan) and the strip join; quality is a narrow projection over the
+    stripped text; dedup is one fingerprint-window shuffle."""
+    from htrtf_spark.operators.substr_dedup import (
+        repeated_substring_spans,
+        strip_repeated_spans,
+    )
+    from htrtf_spark.queries.textops import _STOPWORDS
+
+    cleaned = _extract_clean(docs, id_col, text_col)
+    spans = repeated_substring_spans(
+        cleaned, "_id", "clean_text", min_len=min_len
+    )
+    stripped = strip_repeated_spans(cleaned, spans, "_id", "clean_text")
+    toks = F.filter(F.split("clean_text", " "), lambda x: x != F.lit(""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    quality = stripped.select(
+        "_id",
+        "clean_text",
+        "removed_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    kept = quality.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens")).cast("long")
+            <= MAX_STOP_RATIO_BP
+        )
+    )
+    fp = F.md5("clean_text")
+    w = Window.partitionBy(fp)
+    return (
+        kept.withColumn("fp", fp)
+        .withColumn("_keep", F.min("_id").over(w))
+        .filter(F.col("_id") == F.col("_keep"))
+        .select(
+            F.col("_id").alias("doc_id"),
+            "n_tokens",
+            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens"))
+            .cast("long")
+            .alias("stop_ratio_bp"),
+            F.col("removed_chars").cast("long").alias("removed_chars"),
+            "fp",
+        )
+    )
+
+
+def q101_training_corpus_stripped(spark, sf_dir):
+    return training_corpus_stripped(t(spark, sf_dir, "documents"))
+
+
+def _q101_sql() -> str:
+    from htrtf_spark.queries.dedup import substr_spans_cte, substr_strip_cte
+    from htrtf_spark.queries.textops import _STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, clean_text FROM (
+    SELECT doc_id, {clean_sql("text")} AS clean_text FROM documents
+  ) WHERE clean_text <> ''
+),
+{substr_spans_cte("cleaned", "clean_text", _STRIP_L)},
+{substr_strip_cte("cleaned", "clean_text")},
+stripped AS (
+  SELECT d.doc_id,
+         COALESCE(c.kept_text, d.clean_text) AS clean_text,
+         length(d.clean_text) - length(COALESCE(c.kept_text, d.clean_text))
+           AS removed_chars
+  FROM cleaned d LEFT JOIN cleaned_strip c USING (doc_id)
+),
+quality AS (
+  SELECT doc_id, clean_text, removed_chars,
+         len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+             AS n_tokens,
+         len(list_filter(string_split(clean_text, ' '),
+             x -> x IN ({stoplist}))) AS n_stop
+  FROM stripped
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE n_tokens >= {MIN_TOKENS}
+    AND CAST(ROUND(10000.0 * n_stop / n_tokens) AS BIGINT)
+        <= {MAX_STOP_RATIO_BP}
+),
+ranked AS (
+  SELECT doc_id, n_tokens, n_stop, removed_chars,
+         md5(clean_text) AS fp,
+         MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keep
+  FROM kept
+)
+SELECT doc_id, n_tokens,
+       CAST(ROUND(10000.0 * n_stop / n_tokens) AS BIGINT) AS stop_ratio_bp,
+       CAST(removed_chars AS BIGINT) AS removed_chars,
+       fp
+FROM ranked WHERE doc_id = keep
+"""
 
 
 def _q77_sql() -> str:
@@ -118,6 +251,10 @@ FROM ranked WHERE doc_id = keep
 
 QUERIES = {
     "q77_training_corpus": (q77_training_corpus, _q77_sql()),
+    "q101_training_corpus_stripped": (
+        q101_training_corpus_stripped,
+        _q101_sql(),
+    ),
 }
 
 

@@ -344,3 +344,51 @@ def test_conversation_documents_cap_duplicate_turn_idx_deterministic(spark):
         assert got["doc_text"] == want_doc
         assert got["n_turns"] == 3 and got["n_turns_kept"] == 2
         assert got["truncated"]
+
+
+def test_training_corpus_stripped_composition(spark):
+    """q101 composition: extraction → repeated-substring strip →
+    quality → keep-first dedup. A partially-boilerplated document
+    survives with removed_chars > 0 and its token stats computed on
+    the STRIPPED text; a fully-duplicated document strips to empty and
+    is dropped by quality; clean documents match training_corpus."""
+    import random
+
+    from htrtf_spark.queries.training_pipeline import (
+        MIN_TOKENS,
+        training_corpus,
+        training_corpus_stripped,
+    )
+
+    rng = random.Random(3)
+    words = ["alpha", "bravo", "delta", "echo", "golf", "hotel", "kilo",
+             "lima", "mike", "nova", "oscar", "papa"]
+
+    def soup(n, r):
+        return " ".join(r.choice(words) for _ in range(n))
+
+    boiler = "this license header is repeated verbatim across the corpus " * 2
+    docs = {
+        # partial boilerplate + unique tail long enough to keep quality
+        1: boiler + soup(MIN_TOKENS + 10, random.Random(11)),
+        2: boiler + soup(MIN_TOKENS + 10, random.Random(12)),
+        # fully duplicated pair: strips to (almost) nothing
+        3: boiler,
+        4: boiler,
+        # clean doc, no repeats
+        5: soup(MIN_TOKENS + 10, random.Random(15)),
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in training_corpus_stripped(
+        df, min_len=40
+    ).collect()}
+
+    assert set(got) == {1, 2, 5}
+    assert got[1]["removed_chars"] > 0 and got[2]["removed_chars"] > 0
+    assert got[5]["removed_chars"] == 0
+    # token stats are over the stripped text: doc 1's count reflects
+    # only its unique tail, matching a corpus-without-boilerplate run
+    base = {r["doc_id"]: r for r in training_corpus(df).collect()}
+    assert base[1]["n_tokens"] > got[1]["n_tokens"] >= MIN_TOKENS
+    # and the fingerprint is over the stripped text (differs from raw)
+    assert got[1]["fp"] != base[1]["fp"]
