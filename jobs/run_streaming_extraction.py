@@ -95,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
                         "added-files-size byte totals")
     p.add_argument("--lag-metrics-dir", default=None,
                    help="write per-batch files/bytes/sequence-lag JSONL here")
+    p.add_argument("--alert-lag-growth", type=int, default=3,
+                   help="with --lag-metrics-dir: alert when seq_lag grew "
+                        "over this many consecutive batches (the "
+                        "under-provisioned-cap signal)")
+    p.add_argument("--alert-max-lag", type=int, default=None,
+                   help="with --lag-metrics-dir: alert when the latest "
+                        "seq_lag exceeds this absolute freshness budget")
+    p.add_argument("--fail-on-lag-alert", action="store_true",
+                   help="exit 3 when a lag SLO alert fires (lets a cron "
+                        "scheduler page instead of silently falling "
+                        "behind)")
     p.add_argument("--auto-rebaseline", action="store_true",
                    help="before starting, detect an upstream rollback "
                         "past the checkpoint's position and recover by "
@@ -149,6 +160,23 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
     if owned:
         spark.stop()
+
+    if args.lag_metrics_dir:
+        from htrtf_spark.streaming.lag_slo import (
+            check_lag_slo,
+            record_lag_alerts,
+        )
+
+        slo = check_lag_slo(
+            args.lag_metrics_dir,
+            growth_batches=args.alert_lag_growth,
+            max_seq_lag=args.alert_max_lag,
+        )
+        if not slo["ok"]:
+            record_lag_alerts(args.lag_metrics_dir, slo)
+            print(f"LAG SLO ALERT: {slo}")
+            if args.fail_on_lag_alert:
+                return 3
     return 0
 
 

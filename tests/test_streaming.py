@@ -950,3 +950,111 @@ def test_stream_admission_bytes_cap(spark, tmp_path):
     meta = I.current_metadata(loc)
     for s in meta["snapshots"]:
         assert int(s["summary"]["added-files-size"]) > 0
+
+
+def test_lag_slo_checker_unit(tmp_path):
+    """check_lag_slo over synthetic lag lineage: trailing-growth streak
+    fires at exactly growth_batches; a drain step resets the streak;
+    the absolute ceiling fires independently; empty lineage is ok."""
+    import json
+    import os
+
+    from htrtf_spark.streaming.lag_slo import (
+        check_lag_slo,
+        read_lag_rows,
+        record_lag_alerts,
+    )
+
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+
+    def write(lags):
+        with open(os.path.join(mdir, "batch_lag.jsonl"), "w") as f:
+            for x in lags:
+                f.write(json.dumps({"seq_lag": x, "files": 1}) + "\n")
+
+    assert check_lag_slo(mdir)["ok"]  # no rows yet
+
+    write([5, 4, 3, 0])  # healthy capped drain
+    r = check_lag_slo(mdir, growth_batches=3)
+    assert r["ok"] and r["growth_streak"] == 0 and r["last_seq_lag"] == 0
+
+    write([0, 1, 2, 3])  # three consecutive increases
+    r = check_lag_slo(mdir, growth_batches=3)
+    assert not r["ok"] and r["alerts"][0]["kind"] == "lag_growth"
+    assert r["alerts"][0]["lags"] == [0, 1, 2, 3]
+
+    # no-op rows (start == end: restart replans, idle polls) must not
+    # break up a genuine falling-behind run of WORK batches
+    with open(os.path.join(mdir, "batch_lag.jsonl"), "w") as f:
+        for lag, s, e in [(0, 0, 1), (2, 1, 1), (1, 1, 2), (3, 2, 2),
+                          (2, 2, 3), (4, 3, 3), (3, 3, 4)]:
+            f.write(json.dumps({
+                "seq_lag": lag, "files": int(s != e),
+                "start": {"seq": s}, "end": {"seq": e},
+            }) + "\n")
+    r = check_lag_slo(mdir, growth_batches=3)
+    assert not r["ok"] and r["alerts"][0]["kind"] == "lag_growth"
+    assert r["alerts"][0]["lags"] == [0, 1, 2, 3]
+
+    write([0, 1, 2, 2, 3])  # plateau resets the trailing streak
+    assert check_lag_slo(mdir, growth_batches=3)["ok"]
+    assert check_lag_slo(mdir, growth_batches=1)["ok"] is False
+
+    write([0, 1, 0, 7])  # ceiling independent of growth
+    r = check_lag_slo(mdir, growth_batches=3, max_seq_lag=5)
+    assert not r["ok"] and r["alerts"][0]["kind"] == "lag_ceiling"
+    path = record_lag_alerts(mdir, r)
+    assert path and len(open(path).read().splitlines()) == 1
+    assert len(read_lag_rows(mdir)) == 4
+
+
+def test_lag_slo_under_provisioned_trigger_cap(spark, tmp_path):
+    """VERDICT r5 #7: a deliberately under-provisioned admission cap —
+    one snapshot consumed per tick while upstream appends two — makes
+    seq_lag grow tick over tick; the SLO checker fires lag_growth, and
+    a full (uncapped) drain brings it back to ok."""
+    from htrtf_spark.sources import iceberg as I
+    from htrtf_spark.sources import iceberg_stream
+    from htrtf_spark.streaming.lag_slo import check_lag_slo
+
+    iceberg_stream.register(spark)
+    loc, out, ckpt, mdir = (
+        str(tmp_path / d) for d in ("tbl", "out", "ckpt", "metrics")
+    )
+    I.write_iceberg_table(_mk_turns(spark, 2), loc)
+
+    def tick(capped: bool):
+        reader = (
+            spark.readStream.format("htrtf_iceberg")
+            .option("location", loc)
+            .option("lagMetricsDir", mdir)
+        )
+        if capped:
+            reader = reader.option("maxSnapshotsPerTrigger", "1")
+        w = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        # capped ticks run exactly ONE micro-batch (the cron shape a
+        # too-small cap starves); the catch-up drain runs availableNow
+        w = w.trigger(once=True) if capped else w.trigger(availableNow=True)
+        q = w.start()
+        q.processAllAvailable()
+        q.stop()
+
+    tick(capped=True)  # bootstrap: consumes the initial snapshot
+    for i in range(3):  # each tick: +2 commits upstream, -1 consumed
+        I.append_iceberg_table(_mk_turns(spark, 1, f"-a{i}"), loc)
+        I.append_iceberg_table(_mk_turns(spark, 1, f"-b{i}"), loc)
+        tick(capped=True)
+    r = check_lag_slo(mdir, growth_batches=3)
+    assert not r["ok"] and r["alerts"][0]["kind"] == "lag_growth"
+    assert r["last_seq_lag"] >= 3
+
+    tick(capped=False)  # full drain catches up
+    r = check_lag_slo(mdir, growth_batches=3)
+    assert r["ok"] and r["last_seq_lag"] == 0
+    assert spark.read.parquet(out).count() == 8  # exactly once overall
