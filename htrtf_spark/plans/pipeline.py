@@ -162,12 +162,15 @@ def conversation_documents(
     if max_doc_chars is not None and max_doc_chars < 1:
         raise ValueError(f"max_doc_chars must be >= 1, got {max_doc_chars}")
 
-    # deterministic tiebreak for duplicate turn_idx (same convention as
-    # with_turn_rank / q50: md5 of the text — ASCII hex, so Spark and
-    # SQL engines order it identically) and an explicit ROWS frame so
-    # the running total never lumps tied peers together (RANGE default)
+    # deterministic tiebreak for duplicate turn_idx: the RAW text —
+    # the SAME secondary key the uncapped path's array_sort uses, so a
+    # cap that never binds (huge max_turns/max_doc_chars) reproduces
+    # the historical uncapped doc_text byte-for-byte (ADVICE r5; an
+    # earlier md5 tiebreak could reorder tied turns relative to q62).
+    # Explicit ROWS frame so the running total never lumps tied peers
+    # together (RANGE default).
     w = Window.partitionBy("conv_id").orderBy(
-        "turn_idx", F.md5(F.coalesce("extracted_text", F.lit("")))
+        "turn_idx", F.coalesce("extracted_text", F.lit(""))
     )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ln = F.coalesce(F.length("extracted_text"), F.lit(0)).cast("long")
@@ -186,13 +189,13 @@ def conversation_documents(
         keep = keep & (F.col("_before") < max_doc_chars)
 
     # collect_list skips NULL elements: only kept turns are gathered,
-    # so the per-group array is bounded by the cap; the md5 key makes
-    # the assembled order identical to the window's tiebreak order
+    # so the per-group array is bounded by the cap; the coalesced-text
+    # key makes the assembled order identical to the window's tiebreak
     kept_struct = F.when(
         keep,
         F.struct(
             "turn_idx",
-            F.md5(F.coalesce("extracted_text", F.lit(""))).alias("_tb"),
+            F.coalesce("extracted_text", F.lit("")).alias("_tb"),
             "extracted_text",
         ),
     )

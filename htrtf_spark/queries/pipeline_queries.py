@@ -162,7 +162,7 @@ r AS (
            - COALESCE(LENGTH(extracted_text), 0) AS chars_before
   FROM extracted
   WINDOW w AS (PARTITION BY conv_id
-               ORDER BY turn_idx, md5(COALESCE(extracted_text, '')))
+               ORDER BY turn_idx, COALESCE(extracted_text, ''))
 ), flagged AS (
   SELECT *,
          (rn <= {_Q98_MAX_TURNS} AND chars_before < {_Q98_MAX_CHARS}) AS keep
@@ -170,7 +170,7 @@ r AS (
 )
 SELECT conv_id,
        string_agg(CASE WHEN keep THEN extracted_text END, ' '
-                  ORDER BY turn_idx, md5(COALESCE(extracted_text, '')))
+                  ORDER BY turn_idx, COALESCE(extracted_text, ''))
          AS doc_text,
        MAX(rn) AS n_turns,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_kept,

@@ -1852,12 +1852,20 @@ def _merge_manifest_summaries(
         lo_b = hi_b = None
         lo_v = hi_v = None
         contains_null = False
-        contains_nan: bool | None = None
+        # three-valued OR (ADVICE r5): any True wins (conservatively
+        # "may contain NaN" regardless of unknowns); otherwise ANY
+        # None row poisons the merge to None (unknown) — False is only
+        # claimable when EVERY source row affirmatively recorded False,
+        # mirroring the bounds/partitions poisoning rule above.
+        contains_nan: bool | None = False
         for r in rows:
             s = r["partitions"][i]
             contains_null = contains_null or s["contains_null"]
-            if s.get("contains_nan") is not None:
-                contains_nan = bool(contains_nan) or s["contains_nan"]
+            v = s.get("contains_nan")
+            if v:
+                contains_nan = True
+            elif v is None and contains_nan is False:
+                contains_nan = None
             for key, better in (("lower_bound", "lo"), ("upper_bound", "hi")):
                 b = s.get(key)
                 if b is None:

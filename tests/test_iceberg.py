@@ -2121,3 +2121,36 @@ def test_maintain_iceberg_table_policy(spark, transcripts_df, tmp_path):
     )
     assert r["compacted"]
     assert _collect(I.read_iceberg_table(spark, loc)) == expect
+
+
+def test_merge_manifest_summaries_contains_nan_three_valued():
+    """ADVICE r5: merging contains_nan must not narrow unknown to
+    known — any None row poisons the merge to None unless some row is
+    affirmatively True (which stays True regardless of unknowns);
+    False is claimable only when every row recorded False."""
+    from htrtf_spark.sources.iceberg import _merge_manifest_summaries
+
+    spec_fields = [{
+        "source-id": 1, "field-id": 1000, "name": "p", "transform": "identity",
+    }]
+    schema = {"fields": [{"id": 1, "name": "p", "type": "long"}]}
+
+    def row(nan):
+        return {"partitions": [{
+            "contains_null": False, "contains_nan": nan,
+            "lower_bound": None, "upper_bound": None,
+        }]}
+
+    def merged_nan(nans):
+        out = _merge_manifest_summaries(
+            [row(n) for n in nans], spec_fields, schema
+        )
+        return out[0]["contains_nan"]
+
+    assert merged_nan([False, False]) is False
+    assert merged_nan([None, False]) is None      # unknown poisons
+    assert merged_nan([False, None]) is None      # order-independent
+    assert merged_nan([None, None]) is None
+    assert merged_nan([None, True]) is True       # True beats unknown
+    assert merged_nan([True, None]) is True
+    assert merged_nan([False, True]) is True

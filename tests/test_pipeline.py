@@ -312,12 +312,12 @@ def test_conversation_documents_cap_single_shuffle(spark):
 
 
 def test_conversation_documents_cap_duplicate_turn_idx_deterministic(spark):
-    """Review fix: duplicate turn_idx at the cap boundary resolves by
-    the md5-of-text tiebreak (q50's convention) — the kept set and the
-    assembled order are identical across partitionings and match an
-    independent Python restatement."""
-    import hashlib
-
+    """Duplicate turn_idx at the cap boundary resolves by the RAW-text
+    tiebreak — the SAME secondary key the uncapped array_sort uses
+    (ADVICE r5: an md5 tiebreak could reorder tied turns relative to
+    the uncapped q62 output) — and the kept set and assembled order are
+    identical across partitionings and match an independent Python
+    restatement."""
     from htrtf_spark.plans.pipeline import conversation_documents
 
     rows = [
@@ -329,11 +329,11 @@ def test_conversation_documents_cap_duplicate_turn_idx_deterministic(spark):
         rows,
         "conv_id string, turn_idx int, extracted_text string, reject_reason string",
     )
-    # python restatement of the rule: order by (turn_idx, md5(text)),
+    # python restatement of the rule: order by (turn_idx, text),
     # keep the first max_turns
     ordered = sorted(
         [(t, x) for _c, t, x, _r in rows],
-        key=lambda p: (p[0], hashlib.md5(p[1].encode()).hexdigest()),
+        key=lambda p: (p[0], p[1]),
     )
     want_doc = " ".join(x for _t, x in ordered[:2])
 
@@ -392,3 +392,37 @@ def test_training_corpus_stripped_composition(spark):
     assert base[1]["n_tokens"] > got[1]["n_tokens"] >= MIN_TOKENS
     # and the fingerprint is over the stripped text (differs from raw)
     assert got[1]["fp"] != base[1]["fp"]
+
+
+def test_conversation_documents_nonbinding_cap_matches_uncapped(spark):
+    """ADVICE r5: enabling a cap that never binds must reproduce the
+    uncapped doc_text byte-for-byte — including conversations with
+    duplicate turn_idx values, where the tiebreak order is what shows."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.plans.pipeline import conversation_documents
+
+    rows = [
+        ("a", 0, "zz", None),
+        ("a", 0, "aa", None),
+        ("a", 1, "mm", None),
+        ("b", 5, "only", None),
+        ("c", 1, None, "empty_after_clean"),
+        ("c", 1, "kept", None),
+    ]
+    ex = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, extracted_text string, reject_reason string",
+    )
+    want = {
+        r["conv_id"]: (r["doc_text"], r["n_turns"])
+        for r in conversation_documents(ex).collect()
+    }
+    got = {
+        r["conv_id"]: (r["doc_text"], r["n_turns"])
+        for r in conversation_documents(
+            ex, max_turns=10_000, max_doc_chars=10_000_000
+        ).collect()
+    }
+    assert got == want
+    assert want["a"][0] == "aa zz mm"  # raw-text tiebreak within turn 0
