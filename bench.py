@@ -33,6 +33,15 @@ HEADLINE = [
     "q31_extract_documents",
     "q32_extract_events",
     "q62_conversation_documents",
+    # round-6 additions: the substring-dedup shuffle (heaviest new
+    # operator), the PII regex chain + Luhn fold (codegen-bound narrow
+    # stage), the two-scan mixture sampler, and the composed
+    # extract→strip→quality→dedup pipeline (first-measurement baselines)
+    "q96_repeated_substring_spans",
+    "q97_substring_dedup_apply",
+    "q99_pii_redaction",
+    "q100_temperature_mixture",
+    "q101_training_corpus_stripped",
 ]
 
 

@@ -54,64 +54,68 @@ _MODULES = [
 # FIRST so every operator accumulates a driver-verified row; newly
 # added queries are prioritized the same way each round.
 _RUN_FIRST = [
-    # new this round (round 5): no driver row exists yet
-    # (new gates are prepended here as they land this round)
-    "q96_repeated_substring_spans",
-    "q97_substring_dedup_apply",
-    "q98_conversation_documents_capped",
-    "q99_pii_redaction",
-    "q100_temperature_mixture",
-    # stale driver rows: these 46 were last recorded in CORRECTNESS_r03
-    # against round-3 code; re-record against current code (VERDICT r4 #2)
-    "q01_pricing_summary",
-    "q02_order_filter",
-    "q03_top_revenue_orders",
-    "q04_customers_with_urgent_orders",
-    "q05_customers_without_orders",
-    "q06_revenue_per_nation",
-    "q07_global_stats",
-    "q08_event_type_counts",
-    "q09_argmax_per_segment",
-    "q10_top3_events_per_user",
-    "q11_running_totals",
-    "q18_charset_clean",
-    "q19_token_stats",
-    "q20_quality_score",
-    "q21_langid",
-    "q22_fingerprint",
-    "q23_distinct_vocab",
-    "q24_exact_dedup",
-    "q25_trigram_jaccard_pairs",
-    "q26_minhash_lsh_candidates",
-    "q27_minhash_neardup_verified",
-    "q28_cosine_topk",
-    "q29_near_pairs",
-    "q36_simhash_pairs",
-    "q37_quality_features",
-    "q38_bpe_tokens",
-    "q39_rolling_fingerprints",
-    "q46_asof_click_view",
-    "q47_approx_distinct_sanity",
-    "q51_event_gaps",
-    "q52_order_value_quartiles",
-    "q53_grouping_sets",
-    "q54_last_nonclick_carry",
-    "q55_term_df_topk",
-    "q56_kmeans_step",
-    "q57_minhash_estimate",
-    "q60_approx_percentile_sanity",
-    "q61_null_semantics",
-    "q63_dedup_keep_first",
-    "q64_corpus_cer",
-    "q65_text_density",
-    "q67_iceberg_extract",
-    "q74_iceberg_dedup_apply",
-    "q80_extract_spans",
-    "q81_extract_dom_spans",
+    # new this round (round 6): no driver row exists yet
+    "q101_training_corpus_stripped",
+    # only remaining r3-vintage driver row (VERDICT r5 #3: lead with it)
     "q85_stratified_sample",
-    # (round-4 gates q82-q95/q83b all have green r4 driver rows; kept
-    # out so the list stays within the driver's ~50-row recording
-    # budget -- the r4+r5 union then covers all 96 on round-4/5 code)
+    # the 50 gates without an r5 driver row (their latest rows are r4);
+    # re-record against round-6 code so the r5+r6 union covers the full
+    # registry with nothing older than round 5
+    "q12_sessionize",
+    "q15_string_math_funcs",
+    "q16_levenshtein",
+    "q17_derived_key_rollup",
+    "q30_label_vector_stats",
+    "q31_extract_documents",
+    "q32_extract_events",
+    "q33_ctc_roundtrip",
+    "q34_extract_synthetic",
+    "q35_extraction_metrics",
+    "q40_lsh_ann_topk",
+    "q41_ivf_ann_topk",
+    "q42_multimodal_features",
+    "q43_cube_rollup",
+    "q44_pivot_status_by_priority",
+    "q45_median_order_value",
+    "q48_keyword_spotting",
+    "q49_conversation_stats_salted",
+    "q50_ordered_extract",
+    "q58_batch_cosine_topk",
+    "q59_sql_function_extract",
+    "q62_conversation_documents",
+    "q66_beam_decode",
+    "q68_event_time_eviction",
+    "q69_augment_deterministic",
+    "q70_augment_randomized",
+    "q71_conv_featurize",
+    "q72_net_decode",
+    "q73_mdlstm_features",
+    "q75_video_frame_sample",
+    "q76_audio_framing",
+    "q77_training_corpus",
+    "q78_neardup_clusters",
+    "q79_hash_split",
+    "q82_iceberg_day_partitioned",
+    "q83_incremental_dedup",
+    "q83b_incremental_dedup_persisted",
+    "q84_iceberg_incremental",
+    "q86_pack_documents",
+    "q87_iceberg_stats_pruned_window",
+    "q88_bpe_token_counts",
+    "q89_pack_documents_bpe",
+    "q90_incremental_stats_window",
+    "q91_streaming_source_extract",
+    "q92_layout_segmentation",
+    "q93_benchmark_contamination",
+    "q94_semantic_dedup",
+    "q95_repetition_stats",
+    # least-stale tail (untouched trivial relational gates with green
+    # r4 rows): listed last so a ~50-row driver budget drops these two,
+    # not anything touched this round
+    "q13_hourly_rollup",
+    "q14_brand_set_ops",
+    # (the 50 gates recorded in CORRECTNESS_r05 are kept out so the
+    # list stays within the driver's ~50-row recording budget)
 ]
 
 
