@@ -25,11 +25,14 @@ all-occurrence ``replace`` (both engines fold identically, which is
 what lets the q99 oracle hash-match byte-for-byte).
 
 Scale shape: one narrow projection — per-row regex work JVM-side
-inside whole-stage codegen, no shuffle, no UDF; counts come from the
-ORIGINAL text (order-independent), masking applies the patterns in
-list order, credit cards last (phone/SSN forms cannot match inside a
-card's uniform digit grouping, but a 13+-digit international phone
-number must be typed as a phone, not Luhn-gambled as a card).
+inside whole-stage codegen, no shuffle, no UDF; per-kind pattern
+counts come from the ORIGINAL text (order-independent), masking
+applies the patterns in list order, credit cards last (phone/SSN
+forms cannot match inside a card's uniform digit grouping, but a
+13+-digit international phone number must be typed as a phone, not
+Luhn-gambled as a card). ``n_cc`` alone counts over the
+pattern-masked text — the candidates the card fold actually masks —
+so a Luhn-valid intl phone never double-counts as a card.
 
 Reference analog: none (the reference predates LLM hygiene); this
 fills the redaction slot of the corpus-hygiene tier next to
@@ -150,15 +153,27 @@ def _cc_valid(text: Column) -> Column:
 
 
 def _cc_mask(text: Column, marker: str = CC_MARKER) -> Column:
-    """Fold the valid candidates over ``text`` with all-occurrence
-    literal ``replace`` — replaces every occurrence of each valid
-    candidate string (a duplicate candidate folds idempotently). Both
-    engines fold in the same candidate order, so the q99 oracle
-    reproduces the output byte-for-byte."""
+    """Fold the valid candidates over ``text``, replacing each
+    candidate's \\b-BOUNDED occurrences (a duplicate candidate folds
+    idempotently). The word boundaries matter: a Luhn-INVALID digit run
+    can contain a valid candidate as an inner substring
+    ("34111111111111111" contains "4111111111111111"), and a literal
+    all-occurrence replace would garble the invalid run the module
+    contract says passes through untouched — inner positions have word
+    characters on both sides, so the bounded pattern skips them.
+    Candidates are digits/space/dash only (no regex metacharacters),
+    so the candidate string itself is literal-safe inside the pattern.
+    Both engines fold in the same candidate order with the same RE2∩
+    Java pattern, so the q99 oracle reproduces the output
+    byte-for-byte."""
     return F.aggregate(
         _cc_valid(text),
         text,
-        lambda acc, m: F.replace(acc, m, F.lit(marker)),
+        lambda acc, m: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), m, F.lit(r"\b")),
+            F.lit(marker),
+        ),
     )
 
 
@@ -184,8 +199,13 @@ def redact_pii(
         for kind, pat, _rep in pats
     }
     if redact_cc:
+        # n_cc counts the candidates the fold ACTUALLY masks — i.e.
+        # over the pattern-masked text, not the original: a Luhn-valid
+        # 13-15-digit international phone number is typed (and counted)
+        # as a phone by the chain above and must not double-count as a
+        # card redaction that never produced a <CC> marker.
+        counts["cc"] = F.size(_cc_valid(masked)).cast("long")
         masked = _cc_mask(masked)
-        counts["cc"] = F.size(_cc_valid(F.col(text_col))).cast("long")
     total = None
     for c in counts.values():
         total = c if total is None else total + c
@@ -245,9 +265,11 @@ def pii_sql(
                 f"s -> {_luhn_sql('s')})"
             )
 
+        # same \b-bounded fold and actually-masked count as redact_pii
+        counts["cc"] = f"CAST(len({valid(masked)}) AS BIGINT)"
         masked = (
             f"list_reduce(list_prepend({masked}, {valid(masked)}), "
-            f"(acc, m) -> replace(acc, m, '{CC_MARKER}'))"
+            f"(acc, m) -> regexp_replace(acc, '\\b' || m || '\\b', "
+            f"'{CC_MARKER}', 'g'))"
         )
-        counts["cc"] = f"CAST(len({valid(text_expr)}) AS BIGINT)"
     return {"masked": masked, "counts": counts}

@@ -224,6 +224,7 @@ def temperature_mixture_sample(
     target_frac_bp: int = 5000,
     seed: int = 42,
     rates: DataFrame | None = None,
+    missing_rate_bp: int = 10000,
 ) -> DataFrame:
     """Sample ``df`` down to a temperature-``tau`` source mixture with a
     ``target_frac_bp/10000`` overall budget: rates from
@@ -240,8 +241,23 @@ def temperature_mixture_sample(
     ONE-scan: counts change slowly tick-over-tick, so reusing the last
     tick's rate table trades an O(corpus) count for a bounded mixture
     drift the next recompute corrects. ``tau``/``target_frac_bp`` are
-    ignored when ``rates`` is given. Emits (key, source, rate_bp);
-    rate_bp kept for mixture audits."""
+    ignored when ``rates`` is given.
+
+    A source ABSENT from a reused rate table (it landed after the
+    rates were computed) samples at ``missing_rate_bp`` — default
+    10000 (keep all), matching the tau<1 upweighting intuition that a
+    brand-new (small) source gets the highest rate, and never a silent
+    drop (review r6: an inner join here made new sources vanish for
+    the whole tick with no audit trail). Pass 0 to defer new sources
+    to the next rate recompute instead. Rows whose ``source_col`` is
+    NULL always sample at ``missing_rate_bp`` too (a NULL stratum has
+    no rate row — pre-coalesce the column if NULL is a real source).
+
+    Emits (key, source, rate_bp); rate_bp kept for mixture audits —
+    missing-source rows carry ``missing_rate_bp`` so they are visible
+    there."""
+    if not (0 <= int(missing_rate_bp) <= 10000):
+        raise ValueError("missing_rate_bp must be 0..10000")
     if rates is None:
         rates = temperature_mixture_rates(df, source_col, tau, target_frac_bp)
     bucket = sample_bucket_bp(F.col(key_col), seed)
@@ -251,13 +267,16 @@ def temperature_mixture_sample(
     r = rates.select(
         F.col("source").alias("_mix_source"), "rate_bp"
     )
+    rate = F.coalesce(F.col("rate_bp"), F.lit(int(missing_rate_bp)))
     return (
-        df.join(F.broadcast(r), df[source_col] == F.col("_mix_source"))
-        .filter(bucket < F.col("rate_bp"))
+        df.join(
+            F.broadcast(r), df[source_col] == F.col("_mix_source"), "left"
+        )
+        .filter(bucket < rate)
         .select(
             F.col(key_col).alias("key"),
-            F.col("_mix_source").alias("source"),
-            "rate_bp",
+            F.coalesce(F.col("_mix_source"), df[source_col]).alias("source"),
+            rate.alias("rate_bp"),
         )
     )
 
@@ -294,9 +313,15 @@ def record_mixture_rates(
     payload = {
         "tau": float(tau),
         "target_frac_bp": int(target_frac_bp),
+        # None-safe sort key: a NULL-source stratum (groupBy emits one
+        # when the corpus has NULL sources) must not crash the lineage
+        # commit after the tick's work already succeeded (review r6)
         "rates": sorted(
-            [r["source"], int(r["n_s"]), int(r["w_s"]), int(r["rate_bp"])]
-            for r in rows
+            (
+                [r["source"], int(r["n_s"]), int(r["w_s"]), int(r["rate_bp"])]
+                for r in rows
+            ),
+            key=lambda x: (x[0] is None, x[0] or "", x[1:]),
         ),
     }
     set_table_properties(dest_loc, {MIXTURE_RATES_PROP: json.dumps(payload)})

@@ -47,18 +47,22 @@ def _extract_clean(docs, id_col: str, text_col: str):
     )
 
 
-def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """documents(id, text) → deduplicated quality corpus
-    (id, n_tokens, stop_ratio_bp, fp). One declarative plan:
-    narrow extraction → narrow quality projection → one shuffle for the
-    dedup window — Catalyst fuses the first two into the scan."""
+def _quality_dedup(cleaned, extra_cols: tuple = ()):
+    """Shared tail of the composed pipelines: token/stop-ratio quality
+    filter + keep-first exact dedup over (_id, clean_text[, extras])
+    rows → (doc_id, n_tokens, stop_ratio_bp, *extras, fp). ONE
+    implementation (review r6: the tail had been copy-pasted between
+    training_corpus and training_corpus_stripped and could drift).
+    ``extra_cols`` are audit-count columns carried through verbatim
+    and emitted as BIGINT before ``fp``."""
     from htrtf_spark.queries.textops import _STOPWORDS
 
     toks = F.filter(F.split("clean_text", " "), lambda x: x != F.lit(""))
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    quality = _extract_clean(docs, id_col, text_col).select(
+    quality = cleaned.select(
         "_id",
         "clean_text",
+        *extra_cols,
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
             "n_stop"
@@ -83,9 +87,18 @@ def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
             F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens"))
             .cast("long")
             .alias("stop_ratio_bp"),
+            *[F.col(c).cast("long").alias(c) for c in extra_cols],
             "fp",
         )
     )
+
+
+def training_corpus(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """documents(id, text) → deduplicated quality corpus
+    (id, n_tokens, stop_ratio_bp, fp). One declarative plan:
+    narrow extraction → narrow quality projection → one shuffle for the
+    dedup window — Catalyst fuses the first two into the scan."""
+    return _quality_dedup(_extract_clean(docs, id_col, text_col))
 
 
 def q77_training_corpus(spark, sf_dir):
@@ -105,61 +118,41 @@ _STRIP_L = 50  # same knob as q96/q97 (queries/dedup.py _SUBSTR_L)
 
 def training_corpus_stripped(
     docs, id_col: str = "doc_id", text_col: str = "text",
-    min_len: int = _STRIP_L,
+    min_len: int = _STRIP_L, persist: bool = True,
 ):
     """documents(id, text) → extraction → strip repeated substrings →
     quality filter → keep-first dedup. Output adds ``removed_chars``
     (per-document strip audit) to the ``training_corpus`` schema.
 
-    Plan shape: the extraction stays narrow and feeds BOTH the span
-    computation (gram shuffles, operators/substr_dedup.py's bounded
-    plan) and the strip join; quality is a narrow projection over the
-    stripped text; dedup is one fingerprint-window shuffle."""
+    Plan shape: the extraction is narrow but feeds MULTIPLE consumers
+    — the substring operator's heavy-gram detection pass, its window
+    chain, and the strip join — so by default the extracted corpus is
+    persisted (MEMORY_AND_DISK, registered with the dedup cache
+    registry for release_caches()) instead of re-running the
+    mapInPandas stage once per consumer (review r6; the memory notes'
+    recompute-heavy-narrow-transform antipattern). At warehouse scale
+    the production form materializes extraction to a table first
+    (jobs/build_training_set.py) and ``persist=False`` composes over
+    that; quality is a narrow projection over the stripped text; dedup
+    is one fingerprint-window shuffle."""
+    from htrtf_spark.operators.dedup import _register_cache
     from htrtf_spark.operators.substr_dedup import (
         repeated_substring_spans,
         strip_repeated_spans,
     )
-    from htrtf_spark.queries.textops import _STOPWORDS
 
     cleaned = _extract_clean(docs, id_col, text_col)
+    if persist:
+        from pyspark import StorageLevel
+
+        cleaned = _register_cache(
+            cleaned.persist(StorageLevel.MEMORY_AND_DISK)
+        )
     spans = repeated_substring_spans(
         cleaned, "_id", "clean_text", min_len=min_len
     )
     stripped = strip_repeated_spans(cleaned, spans, "_id", "clean_text")
-    toks = F.filter(F.split("clean_text", " "), lambda x: x != F.lit(""))
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    quality = stripped.select(
-        "_id",
-        "clean_text",
-        "removed_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
-            "n_stop"
-        ),
-    )
-    kept = quality.filter(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (
-            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens")).cast("long")
-            <= MAX_STOP_RATIO_BP
-        )
-    )
-    fp = F.md5("clean_text")
-    w = Window.partitionBy(fp)
-    return (
-        kept.withColumn("fp", fp)
-        .withColumn("_keep", F.min("_id").over(w))
-        .filter(F.col("_id") == F.col("_keep"))
-        .select(
-            F.col("_id").alias("doc_id"),
-            "n_tokens",
-            F.round(F.col("n_stop") * 10000.0 / F.col("n_tokens"))
-            .cast("long")
-            .alias("stop_ratio_bp"),
-            F.col("removed_chars").cast("long").alias("removed_chars"),
-            "fp",
-        )
-    )
+    return _quality_dedup(stripped, extra_cols=("removed_chars",))
 
 
 def q101_training_corpus_stripped(spark, sf_dir):

@@ -1352,3 +1352,103 @@ def test_mixture_rates_reuse_and_lineage(spark, tmp_path):
         ).collect())
     )
     assert replay == two_scan
+
+
+def test_pii_cc_fold_review_fixes(spark):
+    """Round-6 review fixes: (a) a Luhn-INVALID digit run containing a
+    valid candidate as an inner substring passes through untouched
+    (\\b-bounded fold); (b) a Luhn-valid intl phone number is typed as
+    a phone and NOT double-counted as a card; both byte-identical on
+    the DuckDB restatement."""
+    import duckdb
+
+    from htrtf_spark.operators.pii import pii_sql, redact_pii
+
+    rows = [
+        # 17-digit run (Luhn-invalid) CONTAINS the valid 16-digit visa
+        (1, "ref 34111111111111111 pay 4111111111111111 ok"),
+        # 4222222222222 is the Luhn-valid 13-digit Visa test number:
+        # phone_intl must own it; n_cc must be 0
+        (2, "call +4222222222222 now"),
+        # bare (no +) stays a card
+        (3, "bare 4222222222222 card"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    assert got[1]["text"] == "ref 34111111111111111 pay <CC> ok"
+    assert got[1]["n_cc"] == 1
+    assert got[2]["text"] == "call <PHONE> now"
+    assert got[2]["n_phone_intl"] == 1 and got[2]["n_cc"] == 0
+    assert got[2]["n_redactions"] == 1
+    assert got[3]["text"] == "bare <CC> card" and got[3]["n_cc"] == 1
+
+    p = pii_sql("text")
+    total = " + ".join(p["counts"].values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    want = {
+        r["id"]: (r["text"], r["n_cc"], r["n_redactions"])
+        for r in redact_pii(df, "text").collect()
+    }
+    sql_got = {
+        i: (m, int(c), int(n))
+        for i, m, c, n in con.execute(
+            f"SELECT id, {p['masked']}, {p['counts']['cc']}, {total} FROM tt"
+        ).fetchall()
+    }
+    assert sql_got == want
+
+
+def test_mixture_sample_missing_source_and_null_lineage(spark, tmp_path):
+    """Review r6: a source that landed AFTER the reused rate table was
+    computed samples at missing_rate_bp (default keep-all) instead of
+    silently vanishing; missing_rate_bp=0 defers it; NULL sources in
+    the corpus don't crash the lineage commit."""
+    from htrtf_spark.operators.sampling import (
+        record_mixture_rates,
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+    from htrtf_spark.sources.iceberg import write_iceberg_table
+
+    old = spark.createDataFrame(
+        [(i, "a") for i in range(200)] + [(i + 200, "b") for i in range(50)],
+        "doc_id long, src string",
+    )
+    rates = temperature_mixture_rates(old, "src", 0.5, 5000)
+    grown = old.union(
+        spark.createDataFrame(
+            [(i + 1000, "c") for i in range(30)], "doc_id long, src string"
+        )
+    )
+    kept = temperature_mixture_sample(grown, "src", "doc_id", rates=rates)
+    from pyspark.sql import functions as F
+
+    by_src = {
+        r["source"]: r["cnt"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_src.get("c") == 30  # keep-all default, visible in output
+    c_rates = {r["rate_bp"] for r in kept.filter("source = 'c'").collect()}
+    assert c_rates == {10000}
+    dropped = temperature_mixture_sample(
+        grown, "src", "doc_id", rates=rates, missing_rate_bp=0
+    )
+    assert dropped.filter("source = 'c'").count() == 0
+    # the known sources sample identically with or without the stranger
+    base = sorted(map(tuple, temperature_mixture_sample(
+        old, "src", "doc_id", rates=rates).collect()))
+    known = sorted(map(tuple, kept.filter("source <> 'c'").collect()))
+    assert known == base
+
+    # NULL-source corpus: rates contain a None stratum; lineage commit
+    # must not TypeError on the sort
+    nullish = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, src string"
+    )
+    nrates = temperature_mixture_rates(nullish, "src", 0.5, 10000)
+    loc = str(tmp_path / "null_dest")
+    write_iceberg_table(nullish.limit(1), loc)
+    payload = record_mixture_rates(loc, nrates, 0.5, 10000)
+    assert any(r[0] is None for r in payload["rates"])
