@@ -225,6 +225,7 @@ def temperature_mixture_sample(
     seed: int = 42,
     rates: DataFrame | None = None,
     missing_rate_bp: int = 10000,
+    keep_columns: bool = False,
 ) -> DataFrame:
     """Sample ``df`` down to a temperature-``tau`` source mixture with a
     ``target_frac_bp/10000`` overall budget: rates from
@@ -255,7 +256,9 @@ def temperature_mixture_sample(
 
     Emits (key, source, rate_bp); rate_bp kept for mixture audits —
     missing-source rows carry ``missing_rate_bp`` so they are visible
-    there."""
+    there. ``keep_columns=True`` returns the INPUT columns plus
+    ``rate_bp`` instead (the job-pipeline shape: filter rows in place,
+    keep the audit rate)."""
     if not (0 <= int(missing_rate_bp) <= 10000):
         raise ValueError("missing_rate_bp must be 0..10000")
     if rates is None:
@@ -268,16 +271,17 @@ def temperature_mixture_sample(
         F.col("source").alias("_mix_source"), "rate_bp"
     )
     rate = F.coalesce(F.col("rate_bp"), F.lit(int(missing_rate_bp)))
-    return (
-        df.join(
-            F.broadcast(r), df[source_col] == F.col("_mix_source"), "left"
+    joined = df.join(
+        F.broadcast(r), df[source_col] == F.col("_mix_source"), "left"
+    ).filter(bucket < rate)
+    if keep_columns:
+        return joined.select(
+            *[df[c] for c in df.columns], rate.alias("rate_bp")
         )
-        .filter(bucket < rate)
-        .select(
-            F.col(key_col).alias("key"),
-            F.coalesce(F.col("_mix_source"), df[source_col]).alias("source"),
-            rate.alias("rate_bp"),
-        )
+    return joined.select(
+        F.col(key_col).alias("key"),
+        F.coalesce(F.col("_mix_source"), df[source_col]).alias("source"),
+        rate.alias("rate_bp"),
     )
 
 

@@ -27,9 +27,22 @@ def build_training_set(
     partition_by: list[str] | None = None,
     sample_rates_bp: dict[str, int] | None = None,
     pack_tokens: int | None = None,
+    mixture_tau: float | None = None,
+    mixture_target_bp: int = 5000,
+    reuse_mixture_rates: bool = False,
 ) -> dict:
     """Library form (the job body; importable for tests): returns the
-    lineage summary dict."""
+    lineage summary dict.
+
+    Mixture options (mutually exclusive with ``sample_rates_bp``):
+    ``mixture_tau`` turns on temperature-based mixture sampling over
+    the extraction ``mode`` column (rates computed FROM the corpus,
+    operators/sampling.py); the rate table used is persisted onto the
+    output table (``record_mixture_rates``) so every produced corpus
+    records what mixture it was, and ``reuse_mixture_rates=True`` makes
+    the NEXT run one-scan by sampling with the previously recorded
+    rates (new modes keep-all by default; counts drift one tick,
+    corrected at the next recompute)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -70,6 +83,12 @@ def build_training_set(
         .filter(key == F.col("_keep"))
         .drop("_keep", "n_stop")
     )
+    if sample_rates_bp and mixture_tau is not None:
+        raise ValueError(
+            "sample_rates_bp and mixture_tau are mutually exclusive "
+            "(literal rates vs corpus-derived temperature rates)"
+        )
+    mixture_summary = None
     if sample_rates_bp:
         # deterministic training-mixture downsampling per extraction
         # mode (content-hash membership — reproducible, auditable)
@@ -85,6 +104,41 @@ def build_training_set(
             default_bp=10000,  # modes not named are kept (spec names
             # only what it downsamples; explicit 0 drops)
         ).drop("_key")
+    elif mixture_tau is not None:
+        from htrtf_spark.operators.sampling import (
+            last_mixture_rates,
+            temperature_mixture_rates,
+            temperature_mixture_sample,
+        )
+        from htrtf_spark.sources.iceberg import table_exists
+
+        keyed = deduped.withColumn(
+            "_key", F.concat_ws("#", "conv_id", F.col("turn_idx"))
+        )
+        rates = None
+        reused = False
+        if reuse_mixture_rates and table_exists(output):
+            # read the PREVIOUS run's recorded rates before this run's
+            # write touches the table — the one-scan production tick
+            got = last_mixture_rates(spark, output)
+            if got is not None:
+                rates, _knobs = got
+                reused = True
+        if rates is None:
+            rates = temperature_mixture_rates(
+                keyed, "mode", mixture_tau, mixture_target_bp
+            )
+        # the tiny rate table is re-read for the lineage record below;
+        # cache it so the corpus count behind it runs once
+        rates = rates.cache()
+        deduped = temperature_mixture_sample(
+            keyed, "mode", "_key", rates=rates, keep_columns=True
+        ).drop("_key")
+        mixture_summary = {
+            "tau": float(mixture_tau),
+            "target_frac_bp": int(mixture_target_bp),
+            "reused_rates": reused,
+        }
     if pack_tokens:
         # assign each kept turn to a fixed-token training sequence
         from htrtf_spark.operators.sampling import pack_documents
@@ -102,7 +156,27 @@ def build_training_set(
         deduped = keyed.join(packed, "_pid").drop("_pid")
     out = deduped.cache()
     n_out = out.count()
-    write_iceberg_table(out, output, partition_by=partition_by)
+    from htrtf_spark.sources.iceberg import (
+        overwrite_iceberg_table,
+        table_exists,
+    )
+
+    if table_exists(output):
+        # repeated builds into the same table (the mixture-reuse tick
+        # shape) replace the visible rows in ONE snapshot; history
+        # stays time-travelable until expire
+        overwrite_iceberg_table(out, output, partition_by=partition_by)
+    else:
+        write_iceberg_table(out, output, partition_by=partition_by)
+    if mixture_summary is not None:
+        # rate-table lineage ON the produced table (after the write so
+        # the property lands on the new table state)
+        from htrtf_spark.operators.sampling import record_mixture_rates
+
+        record_mixture_rates(
+            output, rates, mixture_tau, mixture_target_bp
+        )
+        rates.unpersist()
     summary = {
         "output": output,
         "turns_in": n_turns,
@@ -113,6 +187,7 @@ def build_training_set(
         "partition_by": partition_by or [],
         "sample_rates_bp": sample_rates_bp or {},
         "pack_tokens": pack_tokens,
+        "mixture": mixture_summary,
     }
     # lineage lives NEXT TO the data (north-rule style), not only stdout
     import os
@@ -144,6 +219,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-tokens", type=int, default=None,
                    help="assign turns to fixed-token training sequences "
                         "(adds pack_bucket/pack_seq columns)")
+    p.add_argument("--mixture-tau", type=float, default=None,
+                   help="temperature-based mixture sampling over the "
+                        "extraction mode column (rates computed FROM "
+                        "the corpus as n^tau, recorded on the output "
+                        "table; mutually exclusive with --sample-rates)")
+    p.add_argument("--mixture-target-bp", type=int, default=5000,
+                   help="overall document budget for --mixture-tau in "
+                        "basis points (default 5000 = keep half)")
+    p.add_argument("--reuse-mixture-rates", action="store_true",
+                   help="sample with the rate table recorded by the "
+                        "PREVIOUS run of this output table (one-scan "
+                        "tick; new modes keep-all until the next "
+                        "recompute)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -185,6 +273,9 @@ def main(argv: list[str] | None = None) -> int:
         ),
         sample_rates_bp=rates,
         pack_tokens=args.pack_tokens,
+        mixture_tau=args.mixture_tau,
+        mixture_target_bp=args.mixture_target_bp,
+        reuse_mixture_rates=args.reuse_mixture_rates,
     )
     print(json.dumps(summary))
     spark.stop()

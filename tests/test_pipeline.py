@@ -426,3 +426,64 @@ def test_conversation_documents_nonbinding_cap_matches_uncapped(spark):
     }
     assert got == want
     assert want["a"][0] == "aa zz mm"  # raw-text tiebreak within turn 0
+
+
+def test_build_training_set_mixture_ticks(spark, tmp_path):
+    """Temperature-mixture job path: run 1 computes rates from the
+    corpus and records them ON the output table; run 2 with
+    reuse_mixture_rates samples one-scan with the recorded rates
+    (identical member set for unchanged data) and the table is
+    overwritten in place, with the mixture knobs in the lineage
+    summary."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_training_set import build_training_set
+
+    from htrtf_spark import synth
+    from htrtf_spark.operators.sampling import last_mixture_rates
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+    from htrtf_spark.sources.iceberg import read_iceberg_table
+
+    pdf = synth.synth_pandas(n_convs=40, seed=11)
+    tr = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = str(tmp_path / "mix_set")
+
+    s1 = build_training_set(
+        spark, tr, out, min_tokens=1, max_stop_ratio_bp=10000,
+        mixture_tau=0.5, mixture_target_bp=6000,
+    )
+    assert s1["mixture"] == {
+        "tau": 0.5, "target_frac_bp": 6000, "reused_rates": False,
+    }
+    got = last_mixture_rates(spark, out)
+    assert got is not None
+    rates_df, knobs = got
+    assert knobs == {"tau": 0.5, "target_frac_bp": 6000}
+    first = sorted(
+        map(tuple, read_iceberg_table(spark, out)
+            .select("conv_id", "turn_idx", "rate_bp").collect())
+    )
+    assert first and all(r[2] is not None for r in first)
+
+    # tick 2: same input, reuse the recorded rates - identical members
+    s2 = build_training_set(
+        spark, tr, out, min_tokens=1, max_stop_ratio_bp=10000,
+        mixture_tau=0.5, mixture_target_bp=6000,
+        reuse_mixture_rates=True,
+    )
+    assert s2["mixture"]["reused_rates"] is True
+    second = sorted(
+        map(tuple, read_iceberg_table(spark, out)
+            .select("conv_id", "turn_idx", "rate_bp").collect())
+    )
+    assert second == first
+
+    # literal rates and mixture together are a config error
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_training_set(
+            spark, tr, str(tmp_path / "x"), sample_rates_bp={"plain": 1},
+            mixture_tau=0.5,
+        )
