@@ -214,3 +214,89 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         top_ratio(bigrams).alias("top_bigram_ratio_bp"),
         dup_frac.alias("dup_line_frac_bp"),
     )
+
+
+# ------------------------------------------------------------- URLs
+# Link analysis — the web-pipeline hygiene staple the quality/Gopher
+# rules compose with (a link farm has high link_density_bp; domain
+# frequency drives allowlist/blocklist decisions). Patterns use fully
+# EXPLICIT ASCII character classes (no \s, no \w — those differ between
+# Java, RE2, and Python; memory: '\\s' is not portable), so the same
+# pattern string drives Spark and the DuckDB oracle.
+
+URL_PATTERN = (
+    r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?"
+    r"(?:/[A-Za-z0-9._~%/?#=&+-]*)?"
+)
+#: group 1 = the host, stopping at port / path / query
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(col) -> F.Column:
+    """Array of URL matches (leftmost non-overlapping)."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domain(url_col) -> F.Column:
+    """Lower-cased host of one URL string."""
+    return F.lower(F.regexp_extract(url_col, URL_HOST_PATTERN, 1))
+
+
+def url_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document link profile: (id, n_urls, n_domains,
+    link_density_bp) where link_density_bp = floor(1e4 · urls/tokens)
+    (0 for token-less docs). One narrow projection — no shuffle, no
+    UDF; composes with quality_features/repetition_stats as another
+    hygiene column block."""
+    urls = extract_urls(F.col(text_col))
+    domains = F.array_distinct(F.transform(urls, url_domain))
+    toks = token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(domains).cast("long").alias("n_domains"),
+        F.when(toks > 0, _bp_div(F.size(urls), toks))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("link_density_bp"),
+    )
+
+
+def top_domains(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus-level domain frequency: (domain, doc_freq, n_urls) —
+    doc_freq counts documents containing the domain at least once,
+    n_urls counts every URL occurrence — top-k by (doc_freq, n_urls,
+    domain) totally tie-broken.
+
+    Scale shape: explode only the per-doc DISTINCT domain list for
+    doc_freq and carry the per-doc occurrence count alongside, so the
+    shuffled rows are O(docs × distinct-domains-per-doc), map-side
+    combined into one TakeOrderedAndProject — no global window, no
+    second pass over the text."""
+    urls = extract_urls(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(F.transform(urls, url_domain)),
+                lambda d: F.struct(
+                    d.alias("domain"),
+                    F.size(
+                        F.filter(urls, lambda u: url_domain(u) == d)
+                    ).cast("long").alias("occ"),
+                ),
+            )
+        ).alias("d"),
+    ).select("id", "d.domain", "d.occ")
+    return (
+        per_doc.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("occ").alias("n_urls"),
+        )
+        .orderBy(
+            F.col("doc_freq").desc(), F.col("n_urls").desc(), "domain"
+        )
+        .limit(int(k))
+    )

@@ -56,6 +56,8 @@ _MODULES = [
 _RUN_FIRST = [
     # new this round (round 6): no driver row exists yet
     "q101_training_corpus_stripped",
+    "q102_url_stats",
+    "q103_top_domains",
     # only remaining r3-vintage driver row (VERDICT r5 #3: lead with it)
     "q85_stratified_sample",
     # the 50 gates without an r5 driver row (their latest rows are r4);

@@ -285,3 +285,118 @@ FROM documents
 
 
 QUERIES["q99_pii_redaction"] = (q99_pii_redaction, _q99_sql())
+
+
+# -------------------------------------------------------------- q102/q103
+# URL / domain link analysis (operators/textstats.py URL tier): the
+# gate SEEDS deterministic URLs per document from doc_id (mixed-case
+# hosts exercise the lower(); every 5th doc gets only one URL so
+# counts vary), then profiles links per doc (q102) and ranks domains
+# corpus-wide (q103). Patterns are fully explicit ASCII classes, so
+# the identical pattern string drives both engines.
+
+def _seed_urls(d):
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"),
+            (did % 7).cast("string"),
+            F.lit(".Example.COM/p/"),
+            did.cast("string"),
+            F.when(
+                did % 5 != 0,
+                F.concat(
+                    F.lit(" and http://cdn"),
+                    (did % 3).cast("string"),
+                    F.lit(".example.org:8080/x?q="),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_URL_SEED_SQL = (
+    "text || ' see https://Site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 5 <> 0 THEN"
+    " ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.example.org:8080/x?q=' || CAST(doc_id AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+def q102_url_stats(spark, sf_dir):
+    from htrtf_spark.operators.textstats import url_stats
+
+    return url_stats(
+        _seed_urls(t(spark, sf_dir, "documents")), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _q102_sql() -> str:
+    from htrtf_spark.operators.textstats import URL_HOST_PATTERN, URL_PATTERN
+
+    urls = f"regexp_extract_all(text, '{URL_PATTERN}')"
+    doms = (
+        f"list_distinct(list_transform({urls},"
+        f" u -> lower(regexp_extract(u, '{URL_HOST_PATTERN}', 1))))"
+    )
+    ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, {_URL_SEED_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len({urls}) AS BIGINT) AS n_urls,
+       CAST(len({doms}) AS BIGINT) AS n_domains,
+       CAST(CASE WHEN {ntok} > 0
+                 THEN (len({urls}) * 10000) // {ntok}
+                 ELSE 0 END AS BIGINT) AS link_density_bp
+FROM seeded
+"""
+
+
+QUERIES["q102_url_stats"] = (q102_url_stats, _q102_sql())
+
+_Q103_K = 10
+
+
+def q103_top_domains(spark, sf_dir):
+    from htrtf_spark.operators.textstats import top_domains
+
+    return top_domains(
+        _seed_urls(t(spark, sf_dir, "documents")), "doc_id", "text",
+        k=_Q103_K,
+    )
+
+
+def _q103_sql() -> str:
+    from htrtf_spark.operators.textstats import URL_HOST_PATTERN, URL_PATTERN
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, {_URL_SEED_SQL} AS text FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+  FROM seeded
+),
+d AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{URL_HOST_PATTERN}', 1)) AS domain
+  FROM u
+)
+SELECT domain,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM d GROUP BY domain
+ORDER BY doc_freq DESC, n_urls DESC, domain
+LIMIT {_Q103_K}
+"""
+
+
+QUERIES["q103_top_domains"] = (q103_top_domains, _q103_sql())

@@ -1452,3 +1452,36 @@ def test_mixture_sample_missing_source_and_null_lineage(spark, tmp_path):
     write_iceberg_table(nullish.limit(1), loc)
     payload = record_mixture_rates(loc, nrates, 0.5, 10000)
     assert any(r[0] is None for r in payload["rates"])
+
+
+def test_url_stats_and_top_domains(spark):
+    """URL tier (round 6): per-doc link profile and corpus-level domain
+    ranking — mixed-case hosts fold, ports/paths/queries parse, plain
+    text contributes zero, density is floor-bp over whitespace
+    tokens."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.textstats import top_domains, url_stats
+
+    rows = [
+        (1, "see https://A.Example.COM/p/1 and http://b.org:8080/x?q=2 end"),
+        (2, "twice https://a.example.com/1 https://a.example.com/2 t t t t"),
+        (3, "no links at all here"),
+        (4, ""),
+        (5, "bare http://c.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {r["id"]: r for r in url_stats(df, "doc_id", "text").collect()}
+    assert (st[1]["n_urls"], st[1]["n_domains"]) == (2, 2)
+    assert (st[2]["n_urls"], st[2]["n_domains"]) == (2, 1)
+    assert st[2]["link_density_bp"] == 10000 * 2 // 7
+    assert (st[3]["n_urls"], st[3]["link_density_bp"]) == (0, 0)
+    assert (st[4]["n_urls"], st[4]["link_density_bp"]) == (0, 0)
+    assert st[5]["n_domains"] == 1
+
+    top = [(r["domain"], r["doc_freq"], r["n_urls"])
+           for r in top_domains(df, "doc_id", "text", k=3).collect()]
+    assert top[0] == ("a.example.com", 2, 3)  # mixed case folded in
+    assert len(top) == 3 and {d for d, *_ in top} <= {
+        "a.example.com", "b.org", "c.net"
+    }

@@ -105,3 +105,45 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_substr_spans_cte_fuzz_vs_brute():
+    """The q96/q97/q101 span CTE (queries/dedup.substr_spans_cte) vs an
+    independent Python brute force on randomized corpora with planted
+    cross-doc and intra-doc repeats — direct DuckDB, no Spark, so the
+    oracle itself is hardened, not just its agreement with Spark."""
+    import random
+
+    import duckdb
+
+    from htrtf_spark.queries.dedup import substr_spans_cte
+    from tests.test_substr_dedup import _brute_spans
+
+    rng = random.Random(99)
+    alpha = "abcdef "
+    for trial in range(25):
+        L = rng.choice([3, 5, 8])
+        n_docs = rng.randint(2, 6)
+        docs = {}
+        boiler = "".join(rng.choice(alpha) for _ in range(rng.randint(L, 3 * L)))
+        for d in range(n_docs):
+            body = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+            if rng.random() < 0.7:  # plant the shared run somewhere
+                cut = rng.randint(0, len(body))
+                body = body[:cut] + boiler + body[cut:]
+            if rng.random() < 0.3:  # intra-doc repeat
+                body = body + body[: rng.randint(0, len(body))]
+            docs[d] = body
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", list(docs.items()))
+        got = set(
+            map(tuple, con.execute(
+                f"WITH {substr_spans_cte('documents', 'text', L)} "
+                "SELECT doc_id, span_start, span_end, "
+                "span_end - span_start FROM spans"
+            ).fetchall())
+        )
+        want = _brute_spans(docs, L)
+        assert got == want, f"trial {trial} L={L} docs={docs}"
+        con.close()
