@@ -47,10 +47,12 @@ stages + hash shuffles with AQE-sized partitions — no driver state, no
 per-executor corpus residency, no suffix array that must fit one
 machine. Window-stage buffering is bounded by ``max_gram_freq`` rows
 per key (heavy keys never reach a window), per-row arrays are bounded
-by ``chunk_chars``, and the heavy routing costs one extra narrow window
-generation plus one 8-byte map-side-combined count shuffle — paid only
-while the cap is on, and the cap's effect is observable through
-``repeated_gram_stats`` (the ``stop_shingle_stats`` sibling).
+by ``chunk_chars``, and the heavy-detection pass counts only a
+1-in-``heavy_detect_sample`` position sample (default 64) — detection
+is routing-only (both routes re-check exactness), so the guard's cost
+is a cheap sampled count pass, not a second full generation; the cap's
+effect is observable through ``repeated_gram_stats`` (the
+``stop_shingle_stats`` sibling).
 
 Reference analog: the reference has no substring dedup; this fills the
 corpus-hygiene tier between exact-document (operators/dedup.py:170) and
@@ -140,16 +142,41 @@ def _windows(
     )
 
 
-def _heavy_keys(rows: DataFrame, key: str, cap: int) -> list | DataFrame | None:
-    """Keys whose occurrence count exceeds ``cap``, computed with a
-    map-side-combined groupBy (a key repeated 10^9 times partially
-    aggregates to ~one row per task — no single-task buffering, unlike
-    a window). Returns None (no heavy keys), a literal list (inline
-    regime), or the keys DataFrame (broadcast regime)."""
+# Heavy-key DETECTION samples 1-in-N window positions (hash of
+# (id, pos), deterministic). Detection is routing-only — both routes
+# re-check exactness — so a missed heavy key only slows the window and
+# a false flag only rides the (exact) broadcast route; output is
+# identical for EVERY detection outcome (pytest-asserted). At the
+# default cap=100k a heavy key still lands ~cap/128 sampled hits, so
+# detection is reliable while the counting pass touches 1/64 of the
+# corpus (and Catalyst pushes the sample filter below the gram
+# projection, so skipped positions never cut their substring).
+DEFAULT_HEAVY_SAMPLE = 64
+
+
+def _heavy_keys(
+    rows: DataFrame, key: str, cap: int, sample: int
+) -> list | DataFrame | None:
+    """Keys LIKELY heavier than ``cap``, counted on a deterministic
+    1-in-``sample`` position sample with a map-side-combined groupBy
+    (a key repeated 10^9 times partially aggregates to ~one row per
+    task — no single-task buffering, unlike a window). Returns None
+    (no flagged keys), a literal list (inline regime), or the keys
+    DataFrame (broadcast regime). Detection quality affects only the
+    plan, never the output (see module note above)."""
+    if sample > 1:
+        cand = rows.where(
+            F.pmod(F.xxhash64(F.col("id"), F.col("pos")), F.lit(int(sample)))
+            == 0
+        )
+        threshold = int(cap) // (2 * int(sample))
+    else:
+        cand = rows
+        threshold = int(cap)
     heavy = (
-        rows.groupBy(key)
+        cand.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > cap)
+        .filter(F.col("_n") > threshold)
         .select(key)
     )
     head = heavy.head(HEAVY_LIST_INLINE_MAX + 1)
@@ -160,12 +187,13 @@ def _heavy_keys(rows: DataFrame, key: str, cap: int) -> list | DataFrame | None:
     return heavy
 
 
-def _split_heavy(rows: DataFrame, key: str, cap: int):
-    """(light, heavy) split of ``rows`` by the key's occurrence count —
-    heavy = count > cap. Both regimes keep the heavy side cheap: an
-    inlined isin literal, or a broadcast semi/anti join whose build
-    side is the bounded-small heavy-key frame."""
-    keys = _heavy_keys(rows, key, cap)
+def _split_heavy(rows: DataFrame, key: str, cap: int, sample: int):
+    """(light, heavy) split of ``rows`` by the key's (sampled)
+    occurrence count — heavy ≈ count > cap. Both regimes keep the
+    heavy side cheap: an inlined isin literal, or a broadcast
+    semi/anti join whose build side is the bounded-small flagged-key
+    frame."""
+    keys = _heavy_keys(rows, key, cap, sample)
     if keys is None:
         return rows, None
     if isinstance(keys, list):
@@ -176,6 +204,23 @@ def _split_heavy(rows: DataFrame, key: str, cap: int):
     return (
         rows.join(F.broadcast(keys), key, "left_anti"),
         rows.join(F.broadcast(keys), key, "left_semi"),
+    )
+
+
+def _exact_hits_small(rows: DataFrame) -> DataFrame:
+    """Exact >= 2 check for the (small) flagged route WITHOUT a window:
+    map-side-combined gram counts — distinct flagged grams are few by
+    construction — broadcast back as a semi join. Collision artifacts
+    and sampling false-positives occurring once are dropped here, which
+    is what makes heavy DETECTION routing-only."""
+    gcounts = (
+        rows.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .filter(F.col("_gn") >= 2)
+        .select("g")
+    )
+    return rows.join(F.broadcast(gcounts), "g", "left_semi").select(
+        "id", "pos"
     )
 
 
@@ -199,6 +244,7 @@ def repeated_substring_spans(
     prefilter_hash: bool = True,
     max_gram_freq: int | None = DEFAULT_MAX_GRAM_FREQ,
     chunk_chars: int = DEFAULT_CHUNK_CHARS,
+    heavy_detect_sample: int = DEFAULT_HEAVY_SAMPLE,
 ) -> DataFrame:
     """Maximal duplicated character spans, as
     (id, span_start, span_end, span_len) with [span_start, span_end)
@@ -207,7 +253,10 @@ def repeated_substring_spans(
 
     ``max_gram_freq`` routes boilerplate grams around the per-key
     windows (output provably identical; bounds window buffering to the
-    cap). ``chunk_chars`` bounds per-row generated arrays (output
+    cap). ``heavy_detect_sample`` makes the detection pass count only
+    1-in-N positions (output identical for any value — detection is
+    routing-only, both routes re-check exactness; 1 = count every
+    position). ``chunk_chars`` bounds per-row generated arrays (output
     independent of it; tune only if L approaches the chunk size)."""
     L = int(min_len)
     if L < 1:
@@ -216,6 +265,11 @@ def repeated_substring_spans(
         raise ValueError(
             f"max_gram_freq must be >= 1 or None, got {max_gram_freq}"
         )
+    if int(heavy_detect_sample) < 1:
+        raise ValueError(
+            f"heavy_detect_sample must be >= 1, got {heavy_detect_sample}"
+        )
+    sample = int(heavy_detect_sample)
     if int(chunk_chars) < 1:
         raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
     grams = _windows(df, id_col, text_col, L, chunk=int(chunk_chars))
@@ -228,7 +282,9 @@ def repeated_substring_spans(
             # they are candidates by definition — skip the hash window
             # (they would straggle it); the exact phase below still
             # separates true repeats from hash collisions.
-            light, heavy_rows = _split_heavy(hashed, "_h", int(max_gram_freq))
+            light, heavy_rows = _split_heavy(
+                hashed, "_h", int(max_gram_freq), sample
+            )
         else:
             light = hashed
         # phase 1: shuffle 8-byte fingerprints, keep candidate windows
@@ -237,33 +293,26 @@ def repeated_substring_spans(
         cand = grams
 
     if max_gram_freq is not None and prefilter_hash:
-        # light hash classes have count <= cap, so every gram inside
-        # them also has count <= cap — the exact-phase window is
-        # cap-bounded BY CONSTRUCTION and needs no second split.
+        # unflagged hash classes are (whp) under the cap, so grams
+        # inside them are too — the exact-phase window needs no second
+        # split; a detection miss only raises one window partition,
+        # never changes output.
         hits = _window_hits(cand, "g").select("id", "pos")
         if heavy_rows is not None:
-            # exact check for the heavy-hash rows WITHOUT a window: the
-            # distinct grams inside heavy hash classes are boilerplate-
-            # few by construction, so their exact >=2 counts broadcast
-            # (a collision artifact occurring once is dropped here).
-            gcounts = (
-                heavy_rows.groupBy("g")
-                .agg(F.count(F.lit(1)).alias("_gn"))
-                .filter(F.col("_gn") >= 2)
-                .select("g")
-            )
-            heavy_hits = heavy_rows.join(
-                F.broadcast(gcounts), "g", "left_semi"
-            ).select("id", "pos")
-            hits = hits.unionByName(heavy_hits)
+            # exact check for the flagged-hash rows WITHOUT a window
+            # (_exact_hits_small): collision artifacts and sampling
+            # false-positives occurring once are dropped there.
+            hits = hits.unionByName(_exact_hits_small(heavy_rows))
     elif max_gram_freq is not None:
-        # no hash prefilter: split on the gram itself — grams above the
-        # cap are hits by definition (count > cap >= 1 implies >= 2)
-        # and route around the gram window; the rest window-count.
-        light_cand, heavy_cand = _split_heavy(cand, "g", int(max_gram_freq))
+        # no hash prefilter: split on the gram itself; flagged grams
+        # route around the window through the same exact >= 2 check
+        # (which is what makes sampled detection routing-only here too)
+        light_cand, heavy_cand = _split_heavy(
+            cand, "g", int(max_gram_freq), sample
+        )
         hits = _window_hits(light_cand, "g").select("id", "pos")
         if heavy_cand is not None:
-            hits = hits.unionByName(heavy_cand.select("id", "pos"))
+            hits = hits.unionByName(_exact_hits_small(heavy_cand))
     else:
         # exact phase: count over the REAL gram (collision-proof)
         hits = _window_hits(cand, "g").select("id", "pos")
