@@ -24,6 +24,7 @@ def build_training_set(
     output: str,
     min_tokens: int = 25,
     max_stop_ratio_bp: int = 8000,
+    max_link_density_bp: int | None = None,
     partition_by: list[str] | None = None,
     sample_rates_bp: dict[str, int] | None = None,
     pack_tokens: int | None = None,
@@ -76,6 +77,20 @@ def build_training_set(
             <= max_stop_ratio_bp
         )
     )
+    if max_link_density_bp is not None:
+        # link-farm guard (URL tier, operators/textstats.py): floor-bp
+        # URLs-per-token over the extracted text, token-less rows pass
+        # (nothing to be a link farm of) — same narrow projection as
+        # the other quality rules, no extra pass over the corpus
+        from htrtf_spark.operators.textstats import _bp_div, extract_urls
+
+        n_urls = F.size(extract_urls(F.col("extracted_text")))
+        kept = kept.filter(
+            F.when(
+                F.col("n_tokens") > 0, _bp_div(n_urls, F.col("n_tokens"))
+            ).otherwise(F.lit(0))
+            <= int(max_link_density_bp)
+        )
     w = Window.partitionBy(F.md5("extracted_text"))
     key = F.struct("conv_id", "turn_idx")
     deduped = (
@@ -184,6 +199,7 @@ def build_training_set(
         "dropped": n_turns - n_out,
         "min_tokens": min_tokens,
         "max_stop_ratio_bp": max_stop_ratio_bp,
+        "max_link_density_bp": max_link_density_bp,
         "partition_by": partition_by or [],
         "sample_rates_bp": sample_rates_bp or {},
         "pack_tokens": pack_tokens,
@@ -209,6 +225,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="Iceberg output table dir")
     p.add_argument("--min-tokens", type=int, default=25)
     p.add_argument("--max-stop-ratio-bp", type=int, default=8000)
+    p.add_argument("--max-link-density-bp", type=int, default=None,
+                   help="drop turns whose floor-bp URLs-per-token "
+                        "exceeds this (link-farm guard; off by default)")
     p.add_argument("--partition-by", default=None,
                    help="comma-separated partition terms (identity / "
                         "days(col) / bucket(N,col) / truncate(W,col))")
@@ -268,6 +287,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, tr, args.output,
         min_tokens=args.min_tokens,
         max_stop_ratio_bp=args.max_stop_ratio_bp,
+        max_link_density_bp=args.max_link_density_bp,
         partition_by=(
             args.partition_by.split(",") if args.partition_by else None
         ),

@@ -487,3 +487,43 @@ def test_build_training_set_mixture_ticks(spark, tmp_path):
             spark, tr, str(tmp_path / "x"), sample_rates_bp={"plain": 1},
             mixture_tau=0.5,
         )
+
+
+def test_build_training_set_link_density_guard(spark, tmp_path):
+    """--max-link-density-bp: link-farm turns (high URLs-per-token)
+    drop; prose with an occasional link survives; off by default."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_training_set import build_training_set
+
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.sources.iceberg import read_iceberg_table
+
+    farm = " ".join(f"https://spam{i}.example.com/x" for i in range(10))
+    prose = ("the quick brown fox jumps over the lazy dog again and "
+             "again see https://ok.example.com/ref for details today")
+    rows = [
+        ("farm", 0, "user", farm, None),
+        ("prose", 0, "user", prose, None),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    out1 = str(tmp_path / "no_guard")
+    s1 = build_training_set(
+        spark, tr, out1, min_tokens=1, max_stop_ratio_bp=10000,
+    )
+    assert s1["turns_out"] == 2 and s1["max_link_density_bp"] is None
+
+    out2 = str(tmp_path / "guard")
+    s2 = build_training_set(
+        spark, tr, out2, min_tokens=1, max_stop_ratio_bp=10000,
+        max_link_density_bp=5000,
+    )
+    assert s2["turns_out"] == 1
+    kept = read_iceberg_table(spark, out2).select("conv_id").collect()
+    assert [r["conv_id"] for r in kept] == ["prose"]

@@ -193,3 +193,16 @@ def test_exact_ntile_preserves_all_columns(spark):
 
     c = Counter(b for _e, b in rows.values())
     assert c == {1: 10, 2: 10, 3: 10, 4: 10, 5: 10}
+
+
+def test_q103_top_domains_local_topk(spark):
+    """q103's corpus-wide domain ranking must compile to
+    TakeOrderedAndProject (per-partition local top-k after the
+    map-side-combined domain aggregate), never a global sort of the
+    full domain table (10^8 domains at web scale)."""
+    from htrtf_spark.queries.textops2 import q103_top_domains
+
+    df = q103_top_domains(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ntile" not in plan
