@@ -267,16 +267,23 @@ def temperature_mixture_sample(
     # rename the rate table's key: the corpus may itself have a column
     # named "source" (it usually does), and an ambiguous reference here
     # would be a resolution error
+    # ...and the same for rate_bp: a frame that was ALREADY sampled
+    # with keep_columns=True carries a rate_bp column, and re-sampling
+    # it must not hit an ambiguous reference (review r6)
     r = rates.select(
-        F.col("source").alias("_mix_source"), "rate_bp"
+        F.col("source").alias("_mix_source"),
+        F.col("rate_bp").alias("_mix_rate_bp"),
     )
-    rate = F.coalesce(F.col("rate_bp"), F.lit(int(missing_rate_bp)))
+    rate = F.coalesce(F.col("_mix_rate_bp"), F.lit(int(missing_rate_bp)))
     joined = df.join(
         F.broadcast(r), df[source_col] == F.col("_mix_source"), "left"
     ).filter(bucket < rate)
     if keep_columns:
+        # a pre-existing rate_bp (a prior sampling pass) is superseded
+        # by this pass's rate
         return joined.select(
-            *[df[c] for c in df.columns], rate.alias("rate_bp")
+            *[df[c] for c in df.columns if c != "rate_bp"],
+            rate.alias("rate_bp"),
         )
     return joined.select(
         F.col(key_col).alias("key"),

@@ -164,12 +164,18 @@ def _heavy_keys(
     (no flagged keys), a literal list (inline regime), or the keys
     DataFrame (broadcast regime). Detection quality affects only the
     plan, never the output (see module note above)."""
+    # clamp the sample rate so the flag threshold stays >= 2 sampled
+    # hits (review r6: cap // (2*sample) floors to 0 for cap < 2*sample,
+    # which would flag every singleton with one sampled occurrence and
+    # blow up the "flagged set is bounded-small" broadcast invariant);
+    # small caps therefore fall back toward exact detection
+    sample = max(1, min(int(sample), int(cap) // 4))
     if sample > 1:
         cand = rows.where(
-            F.pmod(F.xxhash64(F.col("id"), F.col("pos")), F.lit(int(sample)))
+            F.pmod(F.xxhash64(F.col("id"), F.col("pos")), F.lit(sample))
             == 0
         )
-        threshold = int(cap) // (2 * int(sample))
+        threshold = int(cap) // (2 * sample)  # >= 2 by the clamp
     else:
         cand = rows
         threshold = int(cap)

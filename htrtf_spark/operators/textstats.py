@@ -224,12 +224,15 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Java, RE2, and Python; memory: '\\s' is not portable), so the same
 # pattern string drives Spark and the DuckDB oracle.
 
+# scheme spelled as explicit case classes (no case-insensitive flag —
+# flag syntax differs across engines; review r6: a lowercase-only
+# scheme let HTTPS:// link farms bypass the density guard entirely)
 URL_PATTERN = (
-    r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?"
+    r"[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.-]+(?::[0-9]+)?"
     r"(?:/[A-Za-z0-9._~%/?#=&+-]*)?"
 )
 #: group 1 = the host, stopping at port / path / query
-URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+URL_HOST_PATTERN = r"[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)"
 
 
 def extract_urls(col) -> F.Column:
@@ -275,15 +278,22 @@ def top_domains(
     combined into one TakeOrderedAndProject — no global window, no
     second pass over the text."""
     urls = extract_urls(F.col(text_col))
+    # extract each URL's domain ONCE (O(U) regex calls), then count
+    # occurrences by plain string equality — the nested form that
+    # re-ran url_domain per (domain, url) pair was O(D·U) regex
+    # executions on exactly the link-farm rows this operator targets
     per_doc = df.select(
         F.col(id_col).alias("id"),
+        F.transform(urls, url_domain).alias("_doms"),
+    ).select(
+        "id",
         F.explode(
             F.transform(
-                F.array_distinct(F.transform(urls, url_domain)),
+                F.array_distinct("_doms"),
                 lambda d: F.struct(
                     d.alias("domain"),
                     F.size(
-                        F.filter(urls, lambda u: url_domain(u) == d)
+                        F.filter("_doms", lambda x: x == d)
                     ).cast("long").alias("occ"),
                 ),
             )

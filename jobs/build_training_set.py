@@ -31,6 +31,7 @@ def build_training_set(
     mixture_tau: float | None = None,
     mixture_target_bp: int = 5000,
     reuse_mixture_rates: bool = False,
+    overwrite: bool = False,
 ) -> dict:
     """Library form (the job body; importable for tests): returns the
     lineage summary dict.
@@ -137,7 +138,24 @@ def build_training_set(
             # write touches the table — the one-scan production tick
             got = last_mixture_rates(spark, output)
             if got is not None:
-                rates, _knobs = got
+                rates, knobs = got
+                # reusing rates recorded under DIFFERENT knobs would
+                # silently ignore the requested mixture and then
+                # misattribute the provenance — fail loudly instead
+                # (review r6); drop --reuse-mixture-rates for one run
+                # to recompute under the new knobs
+                if knobs != {
+                    "tau": float(mixture_tau),
+                    "target_frac_bp": int(mixture_target_bp),
+                }:
+                    raise ValueError(
+                        f"recorded mixture rates were computed with "
+                        f"{knobs}, but this run requests tau="
+                        f"{mixture_tau} target_frac_bp="
+                        f"{mixture_target_bp}; recompute (run once "
+                        f"without reuse_mixture_rates) or match the "
+                        f"recorded knobs"
+                    )
                 reused = True
         if rates is None:
             rates = temperature_mixture_rates(
@@ -177,9 +195,17 @@ def build_training_set(
     )
 
     if table_exists(output):
-        # repeated builds into the same table (the mixture-reuse tick
-        # shape) replace the visible rows in ONE snapshot; history
-        # stays time-travelable until expire
+        # replacing an existing table must be OPTED INTO (review r6:
+        # an unconditional overwrite would let a mistyped --output
+        # silently replace a different production table) — the
+        # mixture-reuse tick shape implies it, anything else needs
+        # --overwrite; the replace is ONE snapshot, history stays
+        # time-travelable until expire
+        if not (overwrite or reuse_mixture_rates):
+            raise FileExistsError(
+                f"Iceberg table already exists at {output}; pass "
+                f"overwrite=True (--overwrite) to replace its rows"
+            )
         overwrite_iceberg_table(out, output, partition_by=partition_by)
     else:
         write_iceberg_table(out, output, partition_by=partition_by)
@@ -246,6 +272,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mixture-target-bp", type=int, default=5000,
                    help="overall document budget for --mixture-tau in "
                         "basis points (default 5000 = keep half)")
+    p.add_argument("--overwrite", action="store_true",
+                   help="allow replacing an existing output table's "
+                        "rows (one snapshot; history time-travelable). "
+                        "Implied by --reuse-mixture-rates ticks.")
     p.add_argument("--reuse-mixture-rates", action="store_true",
                    help="sample with the rate table recorded by the "
                         "PREVIOUS run of this output table (one-scan "
@@ -296,6 +326,7 @@ def main(argv: list[str] | None = None) -> int:
         mixture_tau=args.mixture_tau,
         mixture_target_bp=args.mixture_target_bp,
         reuse_mixture_rates=args.reuse_mixture_rates,
+        overwrite=args.overwrite,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -527,3 +527,65 @@ def test_build_training_set_link_density_guard(spark, tmp_path):
     assert s2["turns_out"] == 1
     kept = read_iceberg_table(spark, out2).select("conv_id").collect()
     assert [r["conv_id"] for r in kept] == ["prose"]
+
+
+def test_build_training_set_review_guards(spark, tmp_path):
+    """Review r6 second pass: (a) an existing output table is only
+    replaced with overwrite=True (or a reuse tick); (b) reusing rates
+    recorded under different mixture knobs raises instead of silently
+    sampling the old mixture; (c) a keep_columns-sampled frame can be
+    re-sampled (no rate_bp ambiguity)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.build_training_set import build_training_set
+
+    from pyspark.sql import functions as F
+
+    from htrtf_spark import synth
+    from htrtf_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+
+    pdf = synth.synth_pandas(n_convs=15, seed=21)
+    tr = spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
+    out = str(tmp_path / "guarded")
+    build_training_set(spark, tr, out, min_tokens=1,
+                       max_stop_ratio_bp=10000, mixture_tau=0.5)
+    with pytest.raises(FileExistsError, match="overwrite"):
+        build_training_set(spark, tr, out, min_tokens=1,
+                           max_stop_ratio_bp=10000)
+    with pytest.raises(ValueError, match="recorded mixture rates"):
+        build_training_set(
+            spark, tr, out, min_tokens=1, max_stop_ratio_bp=10000,
+            mixture_tau=0.7, reuse_mixture_rates=True,
+        )
+    # same output shape (mixture recompute) + explicit overwrite works;
+    # a non-mixture overwrite of a mixture table fails loudly inside
+    # overwrite_iceberg_table's schema check (separately verified above
+    # review pass), so use the matching shape here
+    s = build_training_set(
+        spark, tr, out, min_tokens=1, max_stop_ratio_bp=10000,
+        mixture_tau=0.7, overwrite=True,
+    )
+    assert s["turns_out"] > 0 and s["mixture"]["tau"] == 0.7
+
+    # (c) keep_columns output re-samples without ambiguity
+    d = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)],
+        "doc_id long, src string",
+    )
+    rates = temperature_mixture_rates(d, "src", 0.5, 8000)
+    once = temperature_mixture_sample(
+        d, "src", "doc_id", rates=rates, keep_columns=True
+    )
+    assert once.columns == ["doc_id", "src", "rate_bp"]
+    twice = temperature_mixture_sample(
+        once, "src", "doc_id", rates=rates, keep_columns=True
+    )
+    assert twice.columns == ["doc_id", "src", "rate_bp"]
+    assert twice.count() <= once.count()
