@@ -796,3 +796,93 @@ def benchmark_contamination(
         .agg(F.count("*").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+def strip_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """C4-style corpus-level LINE dedup (Raffel et al. 2020 §2.2 run a
+    three-sentence-span variant; the line form is the common production
+    shape): a non-empty line occurring >= ``min_count`` times across
+    the corpus is removed from every document — except, with
+    ``keep_first`` (default), its canonical first occurrence, the one
+    with the smallest (id, line_idx). Empty lines are never dedup
+    candidates (they are layout, not content). Returns the input
+    columns with ``text_col`` rebuilt plus ``n_lines`` /
+    ``n_lines_removed``.
+
+    Sits between exact-document dedup (whole text equal) and
+    repeated-substring dedup (any >=L-char window): cheaper than
+    substrings, finer than documents — the right tool for boilerplate
+    that is line-structured (nav menus, cookie banners, signatures).
+
+    Scale shape: lines explode narrow; the duplicate-line table is a
+    map-side-combined groupBy on the line (a line repeated 10^9 times
+    partially aggregates per task — no per-key window anywhere); the
+    join back is a hash join on the line keyed by its md5 (AQE splits
+    a skewed probe side); reassembly groups by document, per-task
+    memory bounded by one document like conversation assembly."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "line_idx", "line"
+            ),
+        )
+    )
+    dup = (
+        lines.where(F.length("line") > 0)
+        .groupBy(F.md5("line").alias("_lk"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("id", "line_idx")).alias("_first"),
+        )
+        .where(F.col("_n") >= min_count)
+    )
+    keyed = lines.withColumn(
+        "_lk",
+        F.when(F.length("line") > 0, F.md5("line")),
+    )
+    joined = keyed.join(dup, "_lk", "left")
+    is_dup = F.col("_n").isNotNull()
+    if keep_first:
+        is_canon = (F.col("_first.id") == F.col("id")) & (
+            F.col("_first.line_idx") == F.col("line_idx")
+        )
+        drop = is_dup & ~is_canon
+    else:
+        drop = is_dup
+    kept = (
+        joined.withColumn("_drop", drop)
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct("line_idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("_new_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_lines_removed"),
+        )
+    )
+    joined_back = df.join(kept, df[id_col] == kept["id"], "inner")
+    out_cols = [
+        F.col("_new_text").alias(text_col) if c == text_col else df[c]
+        for c in df.columns
+    ]
+    return joined_back.select(*out_cols, "n_lines", "n_lines_removed")

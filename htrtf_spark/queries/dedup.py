@@ -805,3 +805,68 @@ QUERIES["q97_substring_dedup_apply"] = (
     q97_substring_dedup_apply,
     _Q97_SQL,
 )
+
+
+# -------------------------------------------------------------------- q104
+# C4-style corpus-level line dedup (operators/dedup.strip_duplicated_
+# lines): the gate seeds one of five banner lines per document (each
+# banner class repeats ~N/5 times corpus-wide), so every document loses
+# its banner except the five canonical first occurrences. The oracle
+# restates count + keep-first with plain windows.
+
+
+def q104_line_dedup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared banner line "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return D.strip_duplicated_lines(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("text").alias("deduped_text"),
+        "n_lines",
+        "n_lines_removed",
+    )
+
+
+_Q104_SQL = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared banner line '
+              || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest([{'line_idx': i - 1, 'line': l[i]}
+                 for i in generate_series(1, len(l))],
+                recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM seeded)
+),
+marked AS (
+  SELECT doc_id, line_idx, line,
+         CASE WHEN length(line) > 0
+              THEN COUNT(*) OVER (PARTITION BY line) END AS n,
+         CASE WHEN length(line) > 0
+              THEN ROW_NUMBER() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_idx) END AS rn
+  FROM lines
+),
+flagged AS (
+  SELECT *,
+         (n IS NOT NULL AND n >= 2 AND rn <> 1) AS dropped
+  FROM marked
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY line_idx), '') AS deduped_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lines_removed
+FROM flagged GROUP BY doc_id
+"""
+
+QUERIES["q104_line_dedup"] = (q104_line_dedup, _Q104_SQL)

@@ -1485,3 +1485,50 @@ def test_url_stats_and_top_domains(spark):
     assert len(top) == 3 and {d for d, *_ in top} <= {
         "a.example.com", "b.org", "c.net"
     }
+
+
+def test_strip_duplicated_lines(spark):
+    """C4-style corpus line dedup: a line repeated across (or within)
+    documents keeps only its canonical first occurrence (min (id,
+    line_idx)); empty lines never dedup; unique lines untouched;
+    keep_first=False removes every occurrence."""
+    from htrtf_spark.operators.dedup import strip_duplicated_lines
+
+    banner = "accept our cookies to continue"
+    rows = [
+        (1, f"intro one\n{banner}\nbody one"),
+        (2, f"{banner}\nbody two"),
+        (3, f"body three\n\n{banner}"),
+        (4, "all unique here\n\nwith an empty line kept"),
+        (5, f"{banner}"),  # whole doc is the banner
+        (6, f"twice inside\n{banner}\n{banner}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in strip_duplicated_lines(df, "doc_id", "text").collect()
+    }
+    # canonical first occurrence = (doc 1, line_idx 1)
+    assert got[1] == (f"intro one\n{banner}\nbody one", 3, 0)
+    assert got[2] == ("body two", 2, 1)
+    assert got[3] == ("body three\n", 3, 1)  # empty line preserved
+    assert got[4] == ("all unique here\n\nwith an empty line kept", 3, 0)
+    assert got[5] == ("", 1, 1)
+    assert got[6] == ("twice inside", 3, 2)
+
+    # keep_first=False removes the canonical copy too
+    all_gone = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_lines(
+            df, "doc_id", "text", keep_first=False
+        ).collect()
+    }
+    assert all_gone[1] == "intro one\nbody one"
+    # determinism under repartitioning
+    again = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in strip_duplicated_lines(
+            df.repartition(7), "doc_id", "text"
+        ).collect()
+    }
+    assert again == got
