@@ -310,3 +310,86 @@ def top_domains(
         )
         .limit(int(k))
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the keyword-extraction /
+    relevance primitive (contamination triage, topic tagging):
+    (id, term, tf, df_docs, score) with
+    ``score = tf * floor(ln(N / df_docs) * 1e6)`` — the idf is
+    quantized to an integer micro-idf immediately after the single
+    libm call (the q100 engine-parity recipe), so everything the
+    ranking compares is exact BIGINT.
+
+    ``n_docs`` overrides N (pass a known corpus size to skip the count
+    action); documents with no tokens emit nothing.
+
+    Scale shape: tokens explode narrow; tf is a map-side-combined
+    (id, term) groupBy; df_docs a map-side-combined term groupBy of the
+    DISTINCT (id, term) table (already produced by the tf agg — reused,
+    not recomputed); top-k is a per-DOCUMENT window (bounded by one
+    doc's vocabulary, never global)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = int(n_docs) if n_docs is not None else df.count()
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf_micro = F.floor(
+        F.log(F.lit(float(n)) / F.col("df_docs").cast("double")) * 1000000
+    ).cast("long")
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        "df_docs",
+        (F.col("tf") * idf_micro).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_matches: bool = False,
+) -> DataFrame:
+    """Domain blocklist — the allow/deny companion of ``top_domains``:
+    drop (or, with ``keep_matches``, keep only) documents containing at
+    least one URL whose domain IS a blocked entry or a SUBDOMAIN of one
+    (entry "spam.com" blocks "spam.com" and "x.spam.com", never
+    "notspam.com"). One narrow filter, blocklist inlined as literals —
+    no join, fully pushdown-friendly; for 10^5+-entry lists broadcast a
+    suffix table instead."""
+    if not blocked:
+        raise ValueError("blocked list must be non-empty")
+    norm = sorted({b.lower().lstrip(".") for b in blocked})
+
+    def _is_blocked(d):
+        cond = F.lit(False)
+        for b in norm:
+            cond = cond | (d == F.lit(b)) | d.endswith("." + b)
+        return cond
+
+    doms = F.transform(extract_urls(F.col(text_col)), url_domain)
+    hit = F.exists(doms, _is_blocked)
+    return df.filter(hit if keep_matches else ~hit)

@@ -59,6 +59,8 @@ _RUN_FIRST = [
     "q102_url_stats",
     "q103_top_domains",
     "q104_line_dedup",
+    "q105_tfidf_topk",
+    "q106_blocked_domains",
     # only remaining r3-vintage driver row (VERDICT r5 #3: lead with it)
     "q85_stratified_sample",
     # the 50 gates without an r5 driver row (their latest rows are r4);

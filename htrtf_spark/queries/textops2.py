@@ -400,3 +400,92 @@ LIMIT {_Q103_K}
 
 
 QUERIES["q103_top_domains"] = (q103_top_domains, _q103_sql())
+
+
+# -------------------------------------------------------------- q105
+# Per-document tf-idf top-k terms (operators/textstats.py): the only
+# libm call (ln) is quantized to an integer micro-idf immediately (the
+# q100 recipe), so the ranking both engines compare is exact BIGINT.
+
+_Q105_K = 3
+
+
+def q105_tfidf_topk(spark, sf_dir):
+    from htrtf_spark.operators.textstats import tfidf_topk_terms
+
+    return tfidf_topk_terms(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=_Q105_K
+    ).withColumnRenamed("id", "doc_id")
+
+
+_Q105_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT doc_id, term, tf, df_docs,
+         tf * CAST(FLOOR(ln(
+               CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+               / CAST(df_docs AS DOUBLE)) * 1000000) AS BIGINT) AS score
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tf, df_docs, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {_Q105_K}
+"""
+
+QUERIES["q105_tfidf_topk"] = (q105_tfidf_topk, _Q105_SQL)
+
+
+# -------------------------------------------------------------- q106
+# Domain blocklist over the same seeded URLs as q102/q103: entry
+# "example.org" blocks the cdnN.example.org URLs (subdomain match) but
+# never the siteN.example.com ones — the gate returns the BLOCKED
+# document set (keep_matches=True), i.e. exactly the docs that carry a
+# cdn URL (doc_id % 5 != 0 by the seeding rule).
+
+_Q106_BLOCKED = ["Example.ORG"]
+
+
+def q106_blocked_domains(spark, sf_dir):
+    from htrtf_spark.operators.textstats import filter_blocked_domains
+
+    return filter_blocked_domains(
+        _seed_urls(t(spark, sf_dir, "documents")),
+        _Q106_BLOCKED,
+        "doc_id",
+        "text",
+        keep_matches=True,
+    ).select("doc_id")
+
+
+def _q106_sql() -> str:
+    from htrtf_spark.operators.textstats import URL_HOST_PATTERN, URL_PATTERN
+
+    doms = (
+        f"list_transform(regexp_extract_all(text, '{URL_PATTERN}'),"
+        f" u -> lower(regexp_extract(u, '{URL_HOST_PATTERN}', 1)))"
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, {_URL_SEED_SQL} AS text FROM documents
+)
+SELECT doc_id FROM seeded
+WHERE len(list_filter({doms},
+          d -> d = 'example.org' OR d LIKE '%.example.org')) > 0
+"""
+
+
+QUERIES["q106_blocked_domains"] = (q106_blocked_domains, _q106_sql())

@@ -1532,3 +1532,66 @@ def test_strip_duplicated_lines(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_tfidf_topk_terms(spark):
+    """tf-idf ranking: corpus-wide common terms rank below doc-specific
+    ones; ties broken by term; tf counts repeats; empty docs emit
+    nothing; n_docs override matches the counted default."""
+    from htrtf_spark.operators.textstats import tfidf_topk_terms
+
+    rows = [
+        (1, "common apple apple apple zebra"),
+        (2, "common banana banana"),
+        (3, "common cherry"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk_terms(df, "doc_id", "text", k=2)
+    got = {
+        (r["id"], r["term"]): (r["tf"], r["df_docs"], r["score"])
+        for r in out.collect()
+    }
+    ids = {i for i, _ in got}
+    assert ids == {1, 2, 3}
+    # 'common' has df=3 -> idf ln(4/3); doc-specific terms df=1 ->
+    # ln(4) — apple (tf 3) tops doc 1, zebra second
+    top1 = sorted(
+        [(k[1], v[2]) for k, v in got.items() if k[0] == 1],
+        key=lambda p: -p[1],
+    )
+    assert top1[0][0] == "apple" and top1[1][0] == "zebra"
+    assert ("1", "common") not in got  # k=2 cut it
+    import math
+
+    assert got[(1, "apple")] == (
+        3, 1, 3 * math.floor(math.log(4 / 1) * 1e6)
+    )
+    # n_docs override reproduces the counted default
+    out2 = tfidf_topk_terms(df, "doc_id", "text", k=2, n_docs=4)
+    assert sorted(map(tuple, out2.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+
+
+def test_filter_blocked_domains(spark):
+    """Blocklist semantics: exact domain and subdomains block;
+    superstring domains ('notspam.com') never do; keep_matches
+    inverts; multi-URL docs block on any hit."""
+    from htrtf_spark.operators.textstats import filter_blocked_domains
+
+    rows = [
+        (1, "x https://spam.com/a y"),
+        (2, "x https://tracker.spam.com/b y"),
+        (3, "x https://notspam.com/c y"),
+        (4, "clean text, no urls"),
+        (5, "mix https://ok.org/1 and HTTP://SPAM.com/2"),
+        (6, "x https://spam.com.evil.net/d y"),  # spam.com as PREFIX
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in filter_blocked_domains(
+        df, ["Spam.COM"], "doc_id", "text").collect()}
+    assert kept == {3, 4, 6}
+    hits = {r["doc_id"] for r in filter_blocked_domains(
+        df, ["spam.com"], "doc_id", "text", keep_matches=True).collect()}
+    assert hits == {1, 2, 5}
