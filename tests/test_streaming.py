@@ -1058,3 +1058,55 @@ def test_lag_slo_under_provisioned_trigger_cap(spark, tmp_path):
     r = check_lag_slo(mdir, growth_batches=3)
     assert r["ok"] and r["last_seq_lag"] == 0
     assert spark.read.parquet(out).count() == 8  # exactly once overall
+
+
+def test_stream_extract_with_pii_redaction(spark, tmp_path):
+    """Hygiene stages are stateless projections, so they compose into
+    the streaming extraction unchanged: stream -> extract -> redact_pii
+    -> sink masks emails/cards in-flight with per-kind counts."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.pii import redact_pii
+    from htrtf_spark.streaming.extract_stream import stream_extract
+
+    src_dir, out, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt")
+    )
+    rows = [
+        ("c1", 0, "user", "reach me at a@b.com or 555-123-4567", None),
+        ("c2", 0, "user", "card 4111 1111 1111 1111 pays", None),
+        ("c3", 0, "user", "nothing sensitive here at all", None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    ).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    redacted = redact_pii(stream_extract(stream), "extracted_text")
+    q = (
+        redacted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(out).collect()
+    }
+    # the charset projection inside extraction drops '@' (out of the
+    # HTR charset) BEFORE redaction sees the text — so the email is
+    # already defanged upstream and n_email is 0; digit-shaped PII
+    # (phones, cards) survives extraction and must be masked here
+    assert got["c1"]["extracted_text"] == "reach me at ab.com or <PHONE>"
+    assert got["c1"]["n_email"] == 0 and got["c1"]["n_phone"] == 1
+    assert got["c2"]["extracted_text"] == "card <CC> pays"
+    assert got["c2"]["n_cc"] == 1
+    assert got["c3"]["n_redactions"] == 0
