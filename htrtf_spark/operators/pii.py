@@ -34,6 +34,12 @@ Luhn-gambled as a card). ``n_cc`` alone counts over the
 pattern-masked text — the candidates the card fold actually masks —
 so a Luhn-valid intl phone never double-counts as a card.
 
+Deliberately excluded kinds: IPv6 (any portable colon-group pattern
+also matches clock times "12:30:45" and MAC addresses — the
+false-positive rate on prose corpora outweighs the coverage; add a
+corpus-specific pattern via ``patterns=`` if the domain warrants it)
+and free-form street addresses (not regex-shaped).
+
 Reference analog: none (the reference predates LLM hygiene); this
 fills the redaction slot of the corpus-hygiene tier next to
 quality/langid/Gopher rules (operators/textstats.py) and the dedup

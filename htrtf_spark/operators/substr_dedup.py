@@ -54,6 +54,15 @@ is a cheap sampled count pass, not a second full generation; the cap's
 effect is observable through ``repeated_gram_stats`` (the
 ``stop_shingle_stats`` sibling).
 
+Policy note: ``strip_repeated_spans`` removes EVERY duplicated span,
+including the "first" occurrence — a keep-one-copy variant is
+deliberately not offered at span level because spans are merged UNIONS
+of many overlapping window hits with different duplication partners:
+no single occurrence is canonical, and Lee et al.'s own release
+removes all occurrences the same way. For keep-first semantics use the
+coarser granularities (exact_duplicates / strip_duplicated_lines),
+where occurrences are well-defined.
+
 Reference analog: the reference has no substring dedup; this fills the
 corpus-hygiene tier between exact-document (operators/dedup.py:170) and
 near-duplicate (operators/dedup.py:306) dedup.
