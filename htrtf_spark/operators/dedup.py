@@ -828,6 +828,11 @@ def strip_duplicated_lines(
     memory bounded by one document like conversation assembly."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    reserved = {"n_lines", "n_lines_removed"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has reserved output column(s) {sorted(reserved)}"
+        )
     lines = (
         df.select(
             F.col(id_col).alias("id"),
@@ -880,9 +885,21 @@ def strip_duplicated_lines(
             F.sum(F.col("_drop").cast("long")).alias("n_lines_removed"),
         )
     )
-    joined_back = df.join(kept, df[id_col] == kept["id"], "inner")
+    # LEFT join: a NULL-text document emits no lines, so it has no
+    # ``kept`` row — it must pass through unchanged (text stays NULL,
+    # zero counts), never silently vanish (review r6)
+    joined_back = df.join(kept, df[id_col] == kept["id"], "left")
+    new_text = F.when(kept["id"].isNotNull(), F.col("_new_text")).otherwise(
+        df[text_col]
+    )
     out_cols = [
-        F.col("_new_text").alias(text_col) if c == text_col else df[c]
+        new_text.alias(text_col) if c == text_col else df[c]
         for c in df.columns
     ]
-    return joined_back.select(*out_cols, "n_lines", "n_lines_removed")
+    return joined_back.select(
+        *out_cols,
+        F.coalesce(kept["n_lines"], F.lit(0)).alias("n_lines"),
+        F.coalesce(kept["n_lines_removed"], F.lit(0)).alias(
+            "n_lines_removed"
+        ),
+    )

@@ -336,6 +336,8 @@ def tfidf_topk_terms(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if n_docs is not None and int(n_docs) < 1:
+        raise ValueError(f"n_docs must be >= 1, got {n_docs}")
     n = int(n_docs) if n_docs is not None else df.count()
     toks = F.filter(
         F.split(F.col(text_col), " "), lambda x: x != F.lit("")
@@ -382,14 +384,21 @@ def filter_blocked_domains(
     suffix table instead."""
     if not blocked:
         raise ValueError("blocked list must be non-empty")
-    norm = sorted({b.lower().lstrip(".") for b in blocked})
+    norm = sorted({b.lower().strip(".") for b in blocked})
 
     def _is_blocked(d):
+        # strip trailing dots: a FQDN host "spam.com." is the same
+        # domain as "spam.com" to DNS — without this a trailing dot
+        # bypasses the blocklist (review r6)
+        d = F.regexp_replace(d, "[.]+$", "")
         cond = F.lit(False)
         for b in norm:
             cond = cond | (d == F.lit(b)) | d.endswith("." + b)
         return cond
 
     doms = F.transform(extract_urls(F.col(text_col)), url_domain)
-    hit = F.exists(doms, _is_blocked)
+    # NULL text -> NULL array -> NULL exists(); coalesce to false so a
+    # URL-less NULL document is "not blocked", never silently dropped
+    # from BOTH modes (review r6)
+    hit = F.coalesce(F.exists(doms, _is_blocked), F.lit(False))
     return df.filter(hit if keep_matches else ~hit)

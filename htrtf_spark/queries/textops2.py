@@ -483,7 +483,7 @@ WITH seeded AS (
   SELECT doc_id, {_URL_SEED_SQL} AS text FROM documents
 )
 SELECT doc_id FROM seeded
-WHERE len(list_filter({doms},
+WHERE len(list_filter(list_transform({doms}, d -> rtrim(d, '.')),
           d -> d = 'example.org' OR d LIKE '%.example.org')) > 0
 """
 

@@ -50,7 +50,29 @@ def build_training_set(
 
     from htrtf_spark.plans.pipeline import extract_turns
     from htrtf_spark.queries.textops import _STOPWORDS
-    from htrtf_spark.sources.iceberg import write_iceberg_table
+    from htrtf_spark.sources.iceberg import table_exists, write_iceberg_table
+
+    if sample_rates_bp and mixture_tau is not None:
+        raise ValueError(
+            "sample_rates_bp and mixture_tau are mutually exclusive "
+            "(literal rates vs corpus-derived temperature rates)"
+        )
+    if reuse_mixture_rates and mixture_tau is None:
+        # the flag would otherwise be silently ignored AND double as
+        # overwrite consent (review r6)
+        raise ValueError(
+            "reuse_mixture_rates requires mixture_tau (there is no "
+            "mixture to reuse rates for)"
+        )
+    # overwrite consent is checked BEFORE any compute: a mistyped
+    # --output must fail here, not after hours of extraction
+    # (review r6); reuse ticks imply consent — and if the reuse later
+    # finds no recorded rates, that is its own loud error below.
+    if table_exists(output) and not (overwrite or reuse_mixture_rates):
+        raise FileExistsError(
+            f"Iceberg table already exists at {output}; pass "
+            f"overwrite=True (--overwrite) to replace its rows"
+        )
 
     extracted = extract_turns(transcripts, check_schema=False)
     # extraction preserves row count (one output row per turn), so the
@@ -99,11 +121,6 @@ def build_training_set(
         .filter(key == F.col("_keep"))
         .drop("_keep", "n_stop")
     )
-    if sample_rates_bp and mixture_tau is not None:
-        raise ValueError(
-            "sample_rates_bp and mixture_tau are mutually exclusive "
-            "(literal rates vs corpus-derived temperature rates)"
-        )
     mixture_summary = None
     if sample_rates_bp:
         # deterministic training-mixture downsampling per extraction
@@ -126,18 +143,28 @@ def build_training_set(
             temperature_mixture_rates,
             temperature_mixture_sample,
         )
-        from htrtf_spark.sources.iceberg import table_exists
-
         keyed = deduped.withColumn(
             "_key", F.concat_ws("#", "conv_id", F.col("turn_idx"))
         )
         rates = None
         reused = False
-        if reuse_mixture_rates and table_exists(output):
+        if reuse_mixture_rates and not table_exists(output):
+            raise ValueError(
+                "reuse_mixture_rates: no existing output table at "
+                f"{output} to reuse rates from (run once without the "
+                f"flag to record them)"
+            )
+        if reuse_mixture_rates:
             # read the PREVIOUS run's recorded rates before this run's
             # write touches the table — the one-scan production tick
             got = last_mixture_rates(spark, output)
-            if got is not None:
+            if got is None:
+                raise ValueError(
+                    f"reuse_mixture_rates: table {output} has no "
+                    f"recorded mixture rates (run once without the "
+                    f"flag to record them)"
+                )
+            else:
                 rates, knobs = got
                 # reusing rates recorded under DIFFERENT knobs would
                 # silently ignore the requested mixture and then
@@ -189,23 +216,11 @@ def build_training_set(
         deduped = keyed.join(packed, "_pid").drop("_pid")
     out = deduped.cache()
     n_out = out.count()
-    from htrtf_spark.sources.iceberg import (
-        overwrite_iceberg_table,
-        table_exists,
-    )
+    from htrtf_spark.sources.iceberg import overwrite_iceberg_table
 
     if table_exists(output):
-        # replacing an existing table must be OPTED INTO (review r6:
-        # an unconditional overwrite would let a mistyped --output
-        # silently replace a different production table) — the
-        # mixture-reuse tick shape implies it, anything else needs
-        # --overwrite; the replace is ONE snapshot, history stays
-        # time-travelable until expire
-        if not (overwrite or reuse_mixture_rates):
-            raise FileExistsError(
-                f"Iceberg table already exists at {output}; pass "
-                f"overwrite=True (--overwrite) to replace its rows"
-            )
+        # consent was checked before any compute (top of function);
+        # the replace is ONE snapshot, history stays time-travelable
         overwrite_iceberg_table(out, output, partition_by=partition_by)
     else:
         write_iceberg_table(out, output, partition_by=partition_by)

@@ -1561,7 +1561,7 @@ def test_tfidf_topk_terms(spark):
         key=lambda p: -p[1],
     )
     assert top1[0][0] == "apple" and top1[1][0] == "zebra"
-    assert ("1", "common") not in got  # k=2 cut it
+    assert (1, "common") not in got  # k=2 cut it
     import math
 
     assert got[(1, "apple")] == (
@@ -1595,3 +1595,42 @@ def test_filter_blocked_domains(spark):
     hits = {r["doc_id"] for r in filter_blocked_domains(
         df, ["spam.com"], "doc_id", "text", keep_matches=True).collect()}
     assert hits == {1, 2, 5}
+
+
+def test_line_dedup_and_blocklist_null_text(spark):
+    """Review r6 third pass: NULL-text documents pass through
+    strip_duplicated_lines unchanged (never silently vanish) and are
+    'not blocked' in filter_blocked_domains' drop mode; reserved
+    output columns are rejected; trailing-dot FQDN hosts cannot bypass
+    the blocklist."""
+    import pytest
+
+    from htrtf_spark.operators.dedup import strip_duplicated_lines
+    from htrtf_spark.operators.textstats import filter_blocked_domains
+
+    rows = [(1, "dup line\nx"), (2, "dup line\ny"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in strip_duplicated_lines(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[3] == (None, 0, 0)
+    assert got[2] == ("y", 2, 1)
+    with pytest.raises(ValueError, match="reserved"):
+        strip_duplicated_lines(
+            df.withColumnRenamed("doc_id", "n_lines"), "n_lines", "text"
+        )
+
+    bl_rows = [
+        (1, "see https://spam.com./x with a trailing-dot FQDN"),
+        (2, None),
+        (3, "clean https://fine.org/ok"),
+    ]
+    bdf = spark.createDataFrame(bl_rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in filter_blocked_domains(
+        bdf, ["spam.com"], "doc_id", "text").collect()}
+    assert kept == {2, 3}  # NULL text kept; trailing dot blocked
+    hits = {r["doc_id"] for r in filter_blocked_domains(
+        bdf, ["spam.com"], "doc_id", "text", keep_matches=True).collect()}
+    assert hits == {1}
