@@ -1048,6 +1048,7 @@ def _commit(
     extra_manifests: list[tuple[list[dict], int, dict]] | None = None,
     operation: str | None = None,
     summary_extra: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write manifest + manifest list + next metadata version; returns the
     new snapshot id. Commit protocol mirrors HadoopCatalog: the metadata
@@ -1070,7 +1071,22 @@ def _commit(
     spec = spec or {"spec-id": 0, "fields": []}
     seq = (prev_meta["last-sequence-number"] + 1) if prev_meta else 1
     snapshot_id = seq  # deterministic, unique per table
-    parent_id = prev_meta["current-snapshot-id"] if prev_meta else None
+    if branch is not None:
+        # branch commit (the write-audit-publish shape): the new
+        # snapshot's parent is the BRANCH head, and only the branch
+        # ref advances — main (current-snapshot-id) is untouched, so
+        # main readers cannot observe unaudited data
+        if prev_meta is None:
+            raise ValueError("branch commit requires an existing table")
+        _branch_refs = prev_meta.get("refs", {})
+        if (
+            branch not in _branch_refs
+            or _branch_refs[branch].get("type") != "branch"
+        ):
+            raise ValueError(f"unknown branch {branch!r}")
+        parent_id = _branch_refs[branch]["snapshot-id"]
+    else:
+        parent_id = prev_meta["current-snapshot-id"] if prev_meta else None
 
     groups = [(data_files, manifest_content, spec)]
     groups += list(extra_manifests or [])
@@ -1122,8 +1138,14 @@ def _commit(
             }
         )
     prior_manifests: list[dict] = []
-    if prev_meta is not None and carry_prior_manifests:
-        prev_snap = _find_snapshot(prev_meta, prev_meta["current-snapshot-id"])
+    if (
+        prev_meta is not None
+        and carry_prior_manifests
+        and parent_id is not None
+    ):
+        # a branch commit carries the BRANCH head's manifests — its
+        # lineage, not main's
+        prev_snap = _find_snapshot(prev_meta, parent_id)
         _, _, prior_manifests = avro_read(prev_snap["manifest-list"])
     manifest_list_path = os.path.join(
         meta_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
@@ -1233,11 +1255,18 @@ def _commit(
             meta["default-spec-id"] = spec["spec-id"]
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
-        meta["current-snapshot-id"] = snapshot_id
         meta["snapshots"] = prev_meta["snapshots"] + [snapshot]
-        meta["snapshot-log"] = prev_meta["snapshot-log"] + [
-            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-        ]
+        if branch is not None:
+            # only the ref moves; main's pointer and snapshot-log (the
+            # main-timeline history) stay untouched until fast_forward
+            refs = dict(prev_meta.get("refs", {}))
+            refs[branch] = {**refs[branch], "snapshot-id": snapshot_id}
+            meta["refs"] = refs
+        else:
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshot-log"] = prev_meta["snapshot-log"] + [
+                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            ]
         meta["metadata-log"] = prev_meta["metadata-log"] + [
             {
                 "timestamp-ms": prev_meta["last-updated-ms"],
@@ -1319,12 +1348,18 @@ def append_iceberg_table(
     location: str,
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; schema must match the table's.
     ``partition_by=None`` keeps the table's current default spec; a
     DIFFERENT column list is partition evolution — a new spec-id is
     registered and becomes the default, while existing manifests keep
-    their original spec (no data rewrite, the Iceberg model)."""
+    their original spec (no data rewrite, the Iceberg model).
+
+    ``branch=`` targets a named branch (``create_branch``) instead of
+    main: the snapshot's parent is the branch head and only the branch
+    ref advances — the write-audit-publish WRITE step; main readers
+    observe nothing until ``fast_forward``."""
     meta = current_metadata(location)
     ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     want = _spark_schema(ice_schema)
@@ -1368,6 +1403,7 @@ def append_iceberg_table(
             return _commit(
                 location, ice_schema, files, prev_meta=meta,
                 spec=_resolve_spec(meta), properties=properties,
+                branch=branch,
             )
         except CommitConflict:
             meta = current_metadata(location)
@@ -2174,6 +2210,17 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
             meta["snapshots"], key=lambda x: x["sequence-number"]
         )[-keep_last:]
     }
+    # snapshot references survive expiry: a TAG protects exactly its
+    # snapshot (whose manifest list references all its live files); a
+    # BRANCH protects its whole ancestor chain (its history is the
+    # branch's main-equivalent timeline). drop_ref first to release.
+    for r in meta.get("refs", {}).values():
+        if r.get("type") == "tag":
+            keep_ids.add(r["snapshot-id"])
+        else:
+            keep_ids |= {
+                s["snapshot-id"] for s in _ancestors(meta, r["snapshot-id"])
+            }
     keep = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
     drop = [s for s in meta["snapshots"] if s["snapshot-id"] not in keep_ids]
     if not drop:
@@ -2632,6 +2679,7 @@ def read_iceberg_table(
     spark: SparkSession,
     location: str,
     snapshot_id: int | None = None,
+    ref: str | None = None,
     partition_filter: dict[str, object] | None = None,
     min_sequence_exclusive: int = 0,
     range_filter: dict[str, tuple] | None = None,
@@ -2674,6 +2722,17 @@ def read_iceberg_table(
     from pyspark.sql import functions as F
 
     meta = current_metadata(location)
+    if ref is not None:
+        # named-ref read ("give me the tagged training corpus" / "read
+        # the audit branch"): resolve to a snapshot and take the
+        # time-travel path — including the snapshot's own schema
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        if ref != "main":
+            refs = meta.get("refs", {})
+            if ref not in refs:
+                raise KeyError(f"no such ref {ref!r}")
+            snapshot_id = refs[ref]["snapshot-id"]
     if snapshot_id is not None:
         # time travel reads the SNAPSHOT's schema (spec: each snapshot
         # records its schema-id) — after add/rename/drop evolution, an
@@ -3035,3 +3094,146 @@ def read_iceberg_table(
             F.col(col).isNull() if kind == "is_null" else F.col(col).isNotNull()
         )
     return out
+
+
+# ------------------------------------------------------------------ refs
+# Snapshot references (Iceberg v2 table-metadata ``refs`` map): named
+# TAGS (immutable pointers — "the corpus we trained run 47 on") and
+# BRANCHES (movable pointers appends can target). Together with
+# ``fast_forward`` they give the WRITE-AUDIT-PUBLISH pattern every
+# production training-data pipeline wants: append a candidate batch to
+# an audit branch (main readers cannot see it), run the hygiene /
+# quality gates against the branch, then fast-forward main — one
+# metadata-pointer move, no data rewrite, atomic.
+# ``main`` is not a stored ref: it IS current-snapshot-id.
+
+
+def list_refs(location: str) -> dict:
+    """{name: {"snapshot-id", "type"}} for every stored ref."""
+    return dict(current_metadata(location).get("refs", {}))
+
+
+def _set_ref(
+    location: str, name: str, ref_type: str, snapshot_id: int | None
+) -> int:
+    if name == "main":
+        raise ValueError(
+            "'main' is the table's current snapshot, not a stored ref"
+        )
+    while True:
+        meta = current_metadata(location)
+        sid = (
+            int(snapshot_id)
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        _find_snapshot(meta, sid)  # raises if the snapshot is unknown
+        refs = dict(meta.get("refs", {}))
+        if name in refs and refs[name].get("type") != ref_type:
+            raise ValueError(
+                f"ref {name!r} already exists as a "
+                f"{refs[name].get('type')}; drop_ref it first"
+            )
+        refs[name] = {"snapshot-id": sid, "type": ref_type}
+        new_meta = dict(meta)
+        new_meta["refs"] = refs
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return sid
+        except CommitConflict:
+            continue
+
+
+def create_tag(
+    location: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Pin ``name`` to a snapshot (default: the current one) — the
+    immutable "this exact corpus" pointer. Re-pointing an existing tag
+    is allowed (one metadata commit) and shows in the metadata log.
+    Tagged snapshots survive ``expire_snapshots``. Returns the pinned
+    snapshot id."""
+    return _set_ref(location, name, "tag", snapshot_id)
+
+
+def create_branch(
+    location: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Create (or re-point) a branch at a snapshot (default current).
+    ``append_iceberg_table(..., branch=name)`` then advances the branch
+    without touching main; branch history survives
+    ``expire_snapshots``. Returns the branch's starting snapshot id."""
+    return _set_ref(location, name, "branch", snapshot_id)
+
+
+def drop_ref(location: str, name: str) -> None:
+    """Remove a tag/branch. The snapshots it protected become ordinary
+    expire candidates at the next ``expire_snapshots``."""
+    while True:
+        meta = current_metadata(location)
+        refs = dict(meta.get("refs", {}))
+        if name not in refs:
+            raise KeyError(f"no such ref {name!r}")
+        del refs[name]
+        new_meta = dict(meta)
+        new_meta["refs"] = refs
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return
+        except CommitConflict:
+            continue
+
+
+def resolve_ref(location: str, name: str) -> int:
+    """Snapshot id a ref points to ('main' = the current snapshot)."""
+    meta = current_metadata(location)
+    if name == "main":
+        sid = meta.get("current-snapshot-id")
+        if sid is None:
+            raise KeyError("table has no current snapshot")
+        return sid
+    refs = meta.get("refs", {})
+    if name not in refs:
+        raise KeyError(f"no such ref {name!r}")
+    return refs[name]["snapshot-id"]
+
+
+def fast_forward(location: str, branch: str) -> int:
+    """PUBLISH step of write-audit-publish: move main
+    (current-snapshot-id) to the branch head — allowed only when the
+    current snapshot is an ancestor of the branch head (a true
+    fast-forward; anything else would silently drop main-side commits
+    — the racing-append case surfaces here as an error instead).
+    One metadata-pointer commit; no data moves. Returns the new
+    current snapshot id."""
+    while True:
+        meta = current_metadata(location)
+        refs = meta.get("refs", {})
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise KeyError(f"no such branch {branch!r}")
+        head = refs[branch]["snapshot-id"]
+        cur = meta.get("current-snapshot-id")
+        if cur == head:
+            return head  # already published — idempotent
+        chain = {s["snapshot-id"] for s in _ancestors(meta, head)}
+        if cur is not None and cur not in chain:
+            raise ValueError(
+                f"not a fast-forward: current snapshot {cur} is not an "
+                f"ancestor of branch {branch!r} head {head} (append "
+                f"landed on main since the branch forked — rebase the "
+                f"branch by re-appending onto a fresh one)"
+            )
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = head
+        new_meta["snapshot-log"] = meta["snapshot-log"] + [
+            {"snapshot-id": head, "timestamp-ms": int(time.time() * 1000)}
+        ]
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return head
+        except CommitConflict:
+            continue

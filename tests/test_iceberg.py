@@ -2154,3 +2154,133 @@ def test_merge_manifest_summaries_contains_nan_three_valued():
     assert merged_nan([None, True]) is True       # True beats unknown
     assert merged_nan([True, None]) is True
     assert merged_nan([False, True]) is True
+
+
+def _rows(spark, tag, n=3):
+    return spark.createDataFrame(
+        [(f"{tag}-{i}", i) for i in range(n)], "name string, v int"
+    )
+
+
+def test_refs_tags_branches_and_wap(spark, tmp_path):
+    """Snapshot refs (v2 ``refs`` map): tags pin immutable corpora,
+    branches take appends main cannot see, fast_forward publishes the
+    branch atomically — the write-audit-publish flow end to end."""
+    import pytest
+
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        create_branch,
+        create_tag,
+        drop_ref,
+        fast_forward,
+        list_refs,
+        read_iceberg_table,
+        resolve_ref,
+        write_iceberg_table,
+    )
+
+    loc = str(tmp_path / "tbl")
+    s1 = write_iceberg_table(_rows(spark, "base"), loc)
+
+    # tag the released corpus
+    assert create_tag(loc, "run-47") == s1
+    assert resolve_ref(loc, "run-47") == s1 == resolve_ref(loc, "main")
+
+    # WRITE: append lands on the audit branch only
+    create_branch(loc, "audit")
+    s2 = append_iceberg_table(_rows(spark, "cand"), loc, branch="audit")
+    assert read_iceberg_table(spark, loc).count() == 3        # main blind
+    assert read_iceberg_table(spark, loc, ref="main").count() == 3
+    assert read_iceberg_table(spark, loc, ref="audit").count() == 6
+    assert resolve_ref(loc, "audit") == s2
+    # a second branch append chains on the branch head
+    s3 = append_iceberg_table(_rows(spark, "cand2"), loc, branch="audit")
+    assert read_iceberg_table(spark, loc, ref="audit").count() == 9
+    assert read_iceberg_table(spark, loc).count() == 3
+
+    # AUDIT: gates run against the branch (here: row-count sanity)
+    # PUBLISH: one pointer move, atomic
+    assert fast_forward(loc, "audit") == s3
+    assert read_iceberg_table(spark, loc).count() == 9
+    assert fast_forward(loc, "audit") == s3  # idempotent
+
+    # the tag still reads the OLD corpus byte-for-byte
+    tagged = read_iceberg_table(spark, loc, ref="run-47")
+    assert tagged.count() == 3
+    assert {r["name"] for r in tagged.collect()} == {
+        "base-0", "base-1", "base-2"
+    }
+
+    refs = list_refs(loc)
+    assert refs["run-47"]["type"] == "tag"
+    assert refs["audit"]["type"] == "branch"
+
+    # guards
+    with pytest.raises(ValueError, match="main"):
+        create_tag(loc, "main")
+    with pytest.raises(ValueError, match="already exists as a"):
+        create_branch(loc, "run-47")
+    with pytest.raises(ValueError, match="unknown branch"):
+        append_iceberg_table(_rows(spark, "x"), loc, branch="nope")
+    with pytest.raises(KeyError):
+        read_iceberg_table(spark, loc, ref="nope")
+    with pytest.raises(ValueError, match="snapshot_id or ref"):
+        read_iceberg_table(spark, loc, snapshot_id=s1, ref="main")
+    drop_ref(loc, "audit")
+    with pytest.raises(KeyError):
+        resolve_ref(loc, "audit")
+
+
+def test_fast_forward_rejects_diverged_main(spark, tmp_path):
+    """An append that lands on MAIN after the branch forked makes
+    publish a non-fast-forward: fast_forward must refuse (silently
+    winning would drop the main-side commit)."""
+    import pytest
+
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        create_branch,
+        fast_forward,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    loc = str(tmp_path / "tbl")
+    write_iceberg_table(_rows(spark, "base"), loc)
+    create_branch(loc, "audit")
+    append_iceberg_table(_rows(spark, "branchside"), loc, branch="audit")
+    append_iceberg_table(_rows(spark, "mainside"), loc)  # diverge main
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        fast_forward(loc, "audit")
+    # both lineages intact
+    assert read_iceberg_table(spark, loc).count() == 6
+    assert read_iceberg_table(spark, loc, ref="audit").count() == 6
+
+
+def test_expire_snapshots_respects_refs(spark, tmp_path):
+    """Tags protect their snapshot, branches their ancestor chain;
+    drop_ref releases them to the next expire."""
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        create_tag,
+        drop_ref,
+        expire_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    loc = str(tmp_path / "tbl")
+    s1 = write_iceberg_table(_rows(spark, "v1"), loc)
+    append_iceberg_table(_rows(spark, "v2"), loc)
+    append_iceberg_table(_rows(spark, "v3"), loc)
+    create_tag(loc, "keepme", s1)
+
+    expired = expire_snapshots(loc, keep_last=1)
+    assert s1 not in expired  # the tag held it
+    assert read_iceberg_table(spark, loc, ref="keepme").count() == 3
+    assert read_iceberg_table(spark, loc).count() == 9
+
+    drop_ref(loc, "keepme")
+    expired = expire_snapshots(loc, keep_last=1)
+    assert s1 in expired
