@@ -1248,10 +1248,12 @@ def _commit(
                     [prev_meta["last-partition-id"]]
                     + [f["field-id"] for f in g_spec["fields"]]
                 )
-        if manifest_content == 0:
-            # only DATA commits move the default write spec; a delete
-            # commit's (possibly empty) spec must not change how later
-            # appends are partitioned
+        if manifest_content == 0 and branch is None:
+            # only MAIN data commits move the default write spec; a
+            # delete commit's (possibly empty) spec must not change how
+            # later appends are partitioned, and a BRANCH (audit)
+            # append must leave main's write behavior untouched until
+            # fast_forward (review r6)
             meta["default-spec-id"] = spec["spec-id"]
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
@@ -1359,8 +1361,21 @@ def append_iceberg_table(
     ``branch=`` targets a named branch (``create_branch``) instead of
     main: the snapshot's parent is the branch head and only the branch
     ref advances — the write-audit-publish WRITE step; main readers
-    observe nothing until ``fast_forward``."""
+    observe nothing until ``fast_forward``. ``properties`` are
+    table-wide (not branch-scoped) and therefore rejected on branch
+    appends — they would be visible before publish."""
     meta = current_metadata(location)
+    if branch is not None:
+        # fail BEFORE the distributed data write: a typo'd or dropped
+        # branch must not cost a full corpus write (review r6)
+        _refs = meta.get("refs", {})
+        if branch not in _refs or _refs[branch].get("type") != "branch":
+            raise ValueError(f"unknown branch {branch!r}")
+        if properties:
+            raise ValueError(
+                "properties are table-wide and would be visible before "
+                "the branch is published; set them at fast_forward time"
+            )
     ice_schema = _schema_by_id(meta, meta["current-schema-id"])
     want = _spark_schema(ice_schema)
     got = T.StructType(
@@ -2201,30 +2216,6 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
     expired snapshot ids."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    meta = current_metadata(location)
-    chain = _ancestors(meta, meta.get("current-snapshot-id"))
-    keep_ids = {s["snapshot-id"] for s in chain[:keep_last]} or {
-        # no resolvable current snapshot: fall back to newest-by-sequence
-        s["snapshot-id"]
-        for s in sorted(
-            meta["snapshots"], key=lambda x: x["sequence-number"]
-        )[-keep_last:]
-    }
-    # snapshot references survive expiry: a TAG protects exactly its
-    # snapshot (whose manifest list references all its live files); a
-    # BRANCH protects its whole ancestor chain (its history is the
-    # branch's main-equivalent timeline). drop_ref first to release.
-    for r in meta.get("refs", {}).values():
-        if r.get("type") == "tag":
-            keep_ids.add(r["snapshot-id"])
-        else:
-            keep_ids |= {
-                s["snapshot-id"] for s in _ancestors(meta, r["snapshot-id"])
-            }
-    keep = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
-    drop = [s for s in meta["snapshots"] if s["snapshot-id"] not in keep_ids]
-    if not drop:
-        return []
 
     def _referenced(snapshots):
         manifests, data = set(), set()
@@ -2237,6 +2228,55 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
                     data.add(e["data_file"]["file_path"])
         return manifests, data
 
+    # publish-FIRST protocol (review r6): keep/drop is recomputed from
+    # fresh metadata on EVERY attempt — a tag/branch created between
+    # attempts re-protects its snapshots — and no file is deleted until
+    # the metadata commit has WON. A crash after the commit leaves
+    # orphan files (remove_orphan_files territory), never a published
+    # ref pointing at deleted data.
+    while True:
+        meta = current_metadata(location)
+        chain = _ancestors(meta, meta.get("current-snapshot-id"))
+        keep_ids = {s["snapshot-id"] for s in chain[:keep_last]} or {
+            # no resolvable current snapshot: newest-by-sequence
+            s["snapshot-id"]
+            for s in sorted(
+                meta["snapshots"], key=lambda x: x["sequence-number"]
+            )[-keep_last:]
+        }
+        # snapshot references survive expiry: a TAG protects exactly
+        # its snapshot (whose manifest list references all its live
+        # files); a BRANCH protects its whole ancestor chain (its
+        # history is the branch's main-equivalent timeline). drop_ref
+        # first to release.
+        for r in meta.get("refs", {}).values():
+            if r.get("type") == "tag":
+                keep_ids.add(r["snapshot-id"])
+            else:
+                keep_ids |= {
+                    s["snapshot-id"]
+                    for s in _ancestors(meta, r["snapshot-id"])
+                }
+        keep = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
+        drop = [
+            s for s in meta["snapshots"] if s["snapshot-id"] not in keep_ids
+        ]
+        if not drop:
+            return []
+        dropped_ids = {s["snapshot-id"] for s in drop}
+        new_meta = dict(meta)
+        new_meta["snapshots"] = keep
+        new_meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if e["snapshot-id"] not in dropped_ids
+        ]
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            break
+        except CommitConflict:
+            continue
+
     keep_man, keep_data = _referenced(keep)
     drop_man, drop_data = _referenced(drop)
     for path in sorted(drop_man - keep_man) + sorted(drop_data - keep_data):
@@ -2245,23 +2285,7 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
     for s in drop:
         if os.path.exists(s["manifest-list"]):
             os.remove(s["manifest-list"])
-
-    dropped_ids = {s["snapshot-id"] for s in drop}
-    while True:
-        new_meta = dict(meta)
-        new_meta["snapshots"] = [
-            s for s in meta["snapshots"] if s["snapshot-id"] not in dropped_ids
-        ]
-        new_meta["snapshot-log"] = [
-            e for e in meta["snapshot-log"]
-            if e["snapshot-id"] not in dropped_ids
-        ]
-        new_meta["last-updated-ms"] = int(time.time() * 1000)
-        try:
-            _publish_metadata(location, new_meta, meta["_version"] + 1)
-            return [s["snapshot-id"] for s in drop]
-        except CommitConflict:
-            meta = current_metadata(location)
+    return [s["snapshot-id"] for s in drop]
 
 
 def remove_orphan_files(
@@ -3113,15 +3137,39 @@ def list_refs(location: str) -> dict:
     return dict(current_metadata(location).get("refs", {}))
 
 
+def _retry_metadata_update(location: str, mutate) -> object:
+    """Refresh → mutate → publish with retry-on-conflict: the ONE
+    implementation of the metadata-only commit loop (review r6 — four
+    hand-rolled copies had already drifted). ``mutate(meta)`` returns
+    (new_meta, result) — or raises to abort; it is re-invoked against
+    FRESH metadata after every lost race, so its decisions can never
+    be stale."""
+    while True:
+        meta = current_metadata(location)
+        new_meta, result = mutate(meta)
+        if new_meta is None:
+            return result  # nothing to do — commit nothing
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _publish_metadata(location, new_meta, meta["_version"] + 1)
+            return result
+        except CommitConflict:
+            continue
+
+
 def _set_ref(
-    location: str, name: str, ref_type: str, snapshot_id: int | None
+    location: str,
+    name: str,
+    ref_type: str,
+    snapshot_id: int | None,
+    replace: bool,
 ) -> int:
     if name == "main":
         raise ValueError(
             "'main' is the table's current snapshot, not a stored ref"
         )
-    while True:
-        meta = current_metadata(location)
+
+    def mutate(meta):
         sid = (
             int(snapshot_id)
             if snapshot_id is not None
@@ -3136,55 +3184,62 @@ def _set_ref(
                 f"ref {name!r} already exists as a "
                 f"{refs[name].get('type')}; drop_ref it first"
             )
+        if name in refs and not replace:
+            # an innocent retry must never silently redefine what
+            # corpus a released pointer means (review r6) — moving an
+            # existing ref is an explicit decision
+            raise ValueError(
+                f"ref {name!r} already exists (-> "
+                f"{refs[name]['snapshot-id']}); pass replace=True to "
+                f"re-point it"
+            )
         refs[name] = {"snapshot-id": sid, "type": ref_type}
         new_meta = dict(meta)
         new_meta["refs"] = refs
-        new_meta["last-updated-ms"] = int(time.time() * 1000)
-        try:
-            _publish_metadata(location, new_meta, meta["_version"] + 1)
-            return sid
-        except CommitConflict:
-            continue
+        return new_meta, sid
+
+    return _retry_metadata_update(location, mutate)
 
 
 def create_tag(
-    location: str, name: str, snapshot_id: int | None = None
+    location: str, name: str, snapshot_id: int | None = None,
+    replace: bool = False,
 ) -> int:
     """Pin ``name`` to a snapshot (default: the current one) — the
-    immutable "this exact corpus" pointer. Re-pointing an existing tag
-    is allowed (one metadata commit) and shows in the metadata log.
-    Tagged snapshots survive ``expire_snapshots``. Returns the pinned
+    immutable "this exact corpus" pointer. Re-pointing an EXISTING tag
+    requires ``replace=True`` (a retried create must never silently
+    redefine a released pointer). Tagged snapshots survive
+    ``expire_snapshots``. One metadata commit; returns the pinned
     snapshot id."""
-    return _set_ref(location, name, "tag", snapshot_id)
+    return _set_ref(location, name, "tag", snapshot_id, replace)
 
 
 def create_branch(
-    location: str, name: str, snapshot_id: int | None = None
+    location: str, name: str, snapshot_id: int | None = None,
+    replace: bool = False,
 ) -> int:
-    """Create (or re-point) a branch at a snapshot (default current).
-    ``append_iceberg_table(..., branch=name)`` then advances the branch
-    without touching main; branch history survives
+    """Create a branch at a snapshot (default current); re-pointing an
+    existing branch requires ``replace=True`` (it discards the branch's
+    unpublished head). ``append_iceberg_table(..., branch=name)`` then
+    advances the branch without touching main; branch history survives
     ``expire_snapshots``. Returns the branch's starting snapshot id."""
-    return _set_ref(location, name, "branch", snapshot_id)
+    return _set_ref(location, name, "branch", snapshot_id, replace)
 
 
 def drop_ref(location: str, name: str) -> None:
     """Remove a tag/branch. The snapshots it protected become ordinary
     expire candidates at the next ``expire_snapshots``."""
-    while True:
-        meta = current_metadata(location)
+
+    def mutate(meta):
         refs = dict(meta.get("refs", {}))
         if name not in refs:
             raise KeyError(f"no such ref {name!r}")
         del refs[name]
         new_meta = dict(meta)
         new_meta["refs"] = refs
-        new_meta["last-updated-ms"] = int(time.time() * 1000)
-        try:
-            _publish_metadata(location, new_meta, meta["_version"] + 1)
-            return
-        except CommitConflict:
-            continue
+        return new_meta, None
+
+    _retry_metadata_update(location, mutate)
 
 
 def resolve_ref(location: str, name: str) -> int:
@@ -3209,15 +3264,15 @@ def fast_forward(location: str, branch: str) -> int:
     — the racing-append case surfaces here as an error instead).
     One metadata-pointer commit; no data moves. Returns the new
     current snapshot id."""
-    while True:
-        meta = current_metadata(location)
+
+    def mutate(meta):
         refs = meta.get("refs", {})
         if branch not in refs or refs[branch].get("type") != "branch":
             raise KeyError(f"no such branch {branch!r}")
         head = refs[branch]["snapshot-id"]
         cur = meta.get("current-snapshot-id")
         if cur == head:
-            return head  # already published — idempotent
+            return None, head  # already published - no-op, no commit
         chain = {s["snapshot-id"] for s in _ancestors(meta, head)}
         if cur is not None and cur not in chain:
             raise ValueError(
@@ -3231,9 +3286,6 @@ def fast_forward(location: str, branch: str) -> int:
         new_meta["snapshot-log"] = meta["snapshot-log"] + [
             {"snapshot-id": head, "timestamp-ms": int(time.time() * 1000)}
         ]
-        new_meta["last-updated-ms"] = int(time.time() * 1000)
-        try:
-            _publish_metadata(location, new_meta, meta["_version"] + 1)
-            return head
-        except CommitConflict:
-            continue
+        return new_meta, head
+
+    return _retry_metadata_update(location, mutate)

@@ -2284,3 +2284,63 @@ def test_expire_snapshots_respects_refs(spark, tmp_path):
     drop_ref(loc, "keepme")
     expired = expire_snapshots(loc, keep_last=1)
     assert s1 in expired
+
+
+def test_refs_review_guards(spark, tmp_path):
+    """Review r6 fourth pass: re-pointing an existing ref requires
+    replace=True; branch appends reject table-wide properties and
+    validate the branch BEFORE writing data; branch appends never move
+    main's default write spec; expire protects a branch's unpublished
+    chain until the branch is dropped."""
+    import pytest
+
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        create_branch,
+        create_tag,
+        current_metadata,
+        drop_ref,
+        expire_snapshots,
+        fast_forward,
+        read_iceberg_table,
+        resolve_ref,
+        write_iceberg_table,
+    )
+
+    loc = str(tmp_path / "tbl")
+    s1 = write_iceberg_table(_rows(spark, "v1"), loc)
+    s2 = append_iceberg_table(_rows(spark, "v2"), loc)
+
+    create_tag(loc, "rel", s1)
+    with pytest.raises(ValueError, match="replace=True"):
+        create_tag(loc, "rel", s2)
+    assert resolve_ref(loc, "rel") == s1  # unchanged
+    assert create_tag(loc, "rel", s2, replace=True) == s2
+
+    create_branch(loc, "audit")
+    with pytest.raises(ValueError, match="table-wide"):
+        append_iceberg_table(
+            _rows(spark, "x"), loc, branch="audit",
+            properties={"k": "v"},
+        )
+    # default write spec on main is untouched by a PARTITIONED branch
+    # append (the audit must not change main's write behavior)
+    before = current_metadata(loc)["default-spec-id"]
+    append_iceberg_table(
+        _rows(spark, "b1"), loc, branch="audit", partition_by=["v"]
+    )
+    assert current_metadata(loc)["default-spec-id"] == before
+
+    # branch-chain expire protection: the unpublished branch snapshot
+    # survives keep_last=1 while the branch exists
+    expired = expire_snapshots(loc, keep_last=1)
+    assert read_iceberg_table(spark, loc, ref="audit").count() == 9
+    br_head = resolve_ref(loc, "audit")
+    assert br_head not in expired
+
+    # publish, then drop the ref: nothing dangles
+    fast_forward(loc, "audit")
+    drop_ref(loc, "audit")
+    drop_ref(loc, "rel")
+    expire_snapshots(loc, keep_last=1)
+    assert read_iceberg_table(spark, loc).count() == 9
