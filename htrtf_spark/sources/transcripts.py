@@ -62,6 +62,7 @@ def read_transcripts_iceberg(
     table: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Iceberg transcripts read.
 
@@ -71,14 +72,16 @@ def read_transcripts_iceberg(
     read through the pure-Python metadata layer
     (htrtf_spark.sources.iceberg): version-hint → metadata JSON →
     manifest list → manifests → snapshot-isolated schema-pinned parquet
-    scan. ``snapshot_id`` time-travels (path variant only; use
-    ``VERSION AS OF`` SQL with the native catalog)."""
+    scan. ``snapshot_id`` time-travels; ``ref`` reads a named tag or
+    branch (the write-audit-publish AUDIT read: run the extraction over
+    the candidate branch before publishing). Both are path-variant
+    only; use ``VERSION AS OF`` SQL with the native catalog."""
     from htrtf_spark.sources.iceberg import read_iceberg_table, table_exists
 
     if table_exists(table):
         return read_iceberg_table(
             spark, table, snapshot_id=snapshot_id,
-            partition_filter=partition_filter,
+            partition_filter=partition_filter, ref=ref,
         )
     try:
         return spark.read.table(table)

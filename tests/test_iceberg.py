@@ -2344,3 +2344,55 @@ def test_refs_review_guards(spark, tmp_path):
     drop_ref(loc, "rel")
     expire_snapshots(loc, keep_last=1)
     assert read_iceberg_table(spark, loc).count() == 9
+
+
+def test_wap_audit_extraction_flow(spark, tmp_path):
+    """The AUDIT step of write-audit-publish with the REAL extraction:
+    candidate transcripts appended to a branch, the extraction + audit
+    counters run against the branch read, then publish — main's
+    extraction output changes only after fast_forward."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark import synth
+    from htrtf_spark.plans.pipeline import extract_turns
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+    from htrtf_spark.sources.iceberg import (
+        append_iceberg_table,
+        create_branch,
+        fast_forward,
+        write_iceberg_table,
+    )
+    from htrtf_spark.sources.transcripts import read_transcripts_iceberg
+
+    pdf = synth.synth_pandas(n_convs=10, seed=61)
+    convs = sorted(pdf["conv_id"].unique())
+    base = pdf[pdf["conv_id"].isin(convs[:6])]
+    cand = pdf[pdf["conv_id"].isin(convs[6:])]
+
+    loc = str(tmp_path / "transcripts")
+    write_iceberg_table(
+        spark.createDataFrame(base, schema=TRANSCRIPTS_SCHEMA), loc
+    )
+    create_branch(loc, "audit")
+    append_iceberg_table(
+        spark.createDataFrame(cand, schema=TRANSCRIPTS_SCHEMA),
+        loc, branch="audit",
+    )
+
+    # audit read: extraction over the BRANCH sees base + candidate
+    audited = extract_turns(
+        read_transcripts_iceberg(spark, loc, ref="audit"),
+        check_schema=False,
+    )
+    assert audited.count() == len(pdf)
+    # row conservation (the audit gate): nothing silently dropped
+    assert audited.filter(F.col("extracted_text").isNotNull()).count() > 0
+    # main extraction unchanged until publish
+    assert extract_turns(
+        read_transcripts_iceberg(spark, loc), check_schema=False
+    ).count() == len(base)
+
+    fast_forward(loc, "audit")
+    assert extract_turns(
+        read_transcripts_iceberg(spark, loc), check_schema=False
+    ).count() == len(pdf)
