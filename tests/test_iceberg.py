@@ -2396,3 +2396,64 @@ def test_wap_audit_extraction_flow(spark, tmp_path):
     assert extract_turns(
         read_transcripts_iceberg(spark, loc), check_schema=False
     ).count() == len(pdf)
+
+
+def test_wap_ingest_job(spark, tmp_path):
+    """jobs/run_wap_ingest: passing candidates publish atomically (and
+    the audit branch retires); failing candidates leave main untouched
+    with the branch kept for inspection (or dropped on request)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.run_wap_ingest import wap_ingest
+
+    from pyspark.sql import functions as F
+
+    from htrtf_spark import synth
+    from htrtf_spark.schema import TRANSCRIPTS_SCHEMA
+    from htrtf_spark.sources.iceberg import (
+        list_refs,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    pdf = synth.synth_pandas(n_convs=8, seed=71)
+    convs = sorted(pdf["conv_id"].unique())
+    base = pdf[pdf["conv_id"].isin(convs[:5])]
+    good = pdf[pdf["conv_id"].isin(convs[5:])]
+
+    loc = str(tmp_path / "transcripts")
+    write_iceberg_table(
+        spark.createDataFrame(base, schema=TRANSCRIPTS_SCHEMA), loc
+    )
+
+    res = wap_ingest(
+        spark, loc,
+        spark.createDataFrame(good, schema=TRANSCRIPTS_SCHEMA),
+        max_reject_bp=9000,
+    )
+    assert res["published"] and res["rows"] == len(good)
+    assert read_iceberg_table(spark, loc).count() == len(pdf)
+    assert res["branch"] not in list_refs(loc)  # retired after publish
+
+    # failing batch: every text empties after charset cleaning →
+    # reject fraction 10000 bp > budget
+    bad = spark.createDataFrame(
+        [(f"bad-{i}", 0, "user", "§§§", None)
+         for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    res2 = wap_ingest(spark, loc, bad, max_reject_bp=1000)
+    assert not res2["published"] and res2["reject_bp"] == 10000
+    assert read_iceberg_table(spark, loc).count() == len(pdf)  # untouched
+    assert res2["branch"] in list_refs(loc)  # kept for inspection
+    # branch still carries the failed batch for debugging
+    assert read_iceberg_table(spark, loc, ref=res2["branch"]).count() == \
+        len(pdf) + 4
+
+    # drop_on_fail releases the branch
+    res3 = wap_ingest(
+        spark, loc, bad, max_reject_bp=1000, drop_on_fail=True
+    )
+    assert not res3["published"]
+    assert res3["branch"] not in list_refs(loc)
