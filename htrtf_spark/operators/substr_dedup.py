@@ -15,17 +15,18 @@ a fixed-window fingerprint shuffle instead of a monolithic suffix sort:
    generated in bounded CHUNKS so no per-row array scales with whole-
    document length (a 100 MB whale yields ~1.5k outer chunk rows, each
    owning <= ``chunk_chars`` positions — never one 10^8-element array);
-2. one shuffle partitions windows by gram; windows whose gram occurs
-   >= 2 times are *hits* (a window-count, no groupBy+join back).
-   BOILERPLATE ROUTING (``max_gram_freq``, ON by default): grams whose
-   occurrence count exceeds the cap — license headers, templates,
+2. phase 1 counts occurrences per 8-byte gram fingerprint with ONE
+   map-side-combined groupBy (16 bytes/row shuffled; a fingerprint
+   repeated 10^9 times partially aggregates to ~one row per task — no
+   per-key buffering, no straggler), then joins the repeated classes
+   back onto the window table (AQE broadcasts the class set when it is
+   small — the common corpus — leaving the window table unshuffled).
+   BOILERPLATE ROUTING (``max_gram_freq``, ON by default): classes
+   whose exact count exceeds the cap — license headers, templates,
    repeated 10^6-10^9 times across a web corpus — would buffer their
-   entire occurrence set inside ONE window task (the classic straggler).
-   They are counted with a map-side-combined groupBy instead (heavy
-   keys partially aggregate to ~one row per task, no single-task
-   buffering) and routed around the window: count > cap >= 1 implies
-   count >= 2, so every heavy-gram position is DEFINITIONALLY a hit —
-   output is provably identical with the cap on or off
+   entire occurrence set inside ONE exact-check window task (the
+   classic straggler); they take the windowless aggregated exact check
+   instead. Output is provably identical with the cap on or off
    (pytest-asserted), only the plan shape changes;
 3. per document, hit windows whose [pos, pos+L) intervals overlap or
    touch merge into MAXIMAL DISJOINT spans (interval merge: a new span
@@ -33,25 +34,27 @@ a fixed-window fingerprint shuffle instead of a monolithic suffix sort:
    consecutive positions would emit OVERLAPPING spans whenever hit
    positions skip fewer than L characters, e.g. hits at 0 and 2).
 
-Step 2's shuffle moves L bytes per input character — the exact
-algorithm's inherent cost. ``prefilter_hash=True`` (default) first
-shuffles 8-byte xxhash64 fingerprints and only re-checks the surviving
-candidates against the real grams, so in the common corpus (a few % of
-bytes duplicated) the wide shuffle carries candidates only; a same-hash
-different-gram collision is discarded by the exact phase (false
-negatives are impossible — equal grams hash equal). Output is identical
-either way (pytest-asserted).
+A naive single-phase plan would shuffle L bytes per input character —
+the wide gram next to every position. ``prefilter_hash=True`` (default)
+keeps the wide rows out of the exchanges: phase 1 aggregates 8-byte
+xxhash64 fingerprints only, and only the surviving candidate windows
+(a few % of positions in the common corpus) are re-checked against the
+real grams; a same-hash different-gram collision is discarded by the
+exact phase (false negatives are impossible — equal grams hash equal).
+``prefilter_hash=False`` counts the real gram directly — collision-
+proof counts, so repeated-class membership alone decides hits with no
+re-check. Output is identical either way (pytest-asserted).
 
 At 100 TB: windows are O(total chars) rows but the plan is narrow map
-stages + hash shuffles with AQE-sized partitions — no driver state, no
-per-executor corpus residency, no suffix array that must fit one
-machine. Window-stage buffering is bounded by ``max_gram_freq`` rows
-per key (heavy keys never reach a window), per-row arrays are bounded
-by ``chunk_chars``, and the heavy-detection pass counts only a
-1-in-``heavy_detect_sample`` position sample (default 64) — detection
-is routing-only (both routes re-check exactness), so the guard's cost
-is a cheap sampled count pass, not a second full generation; the cap's
-effect is observable through ``repeated_gram_stats`` (the
+stages + map-side-combined aggregations + AQE-sized shuffles — no
+driver state, no per-executor corpus residency, no suffix array that
+must fit one machine. Exact-check window buffering is bounded by
+``max_gram_freq`` rows per key (heavier classes take the windowless
+aggregated check), per-row arrays are bounded by ``chunk_chars``, and
+heavy detection is free: phase 1's exact class counts are the
+detector (the pre-r7 sampled detection pass is gone — its
+``heavy_detect_sample`` knob is retained as an accepted no-op). The
+cap's effect is observable through ``repeated_gram_stats`` (the
 ``stop_shingle_stats`` sibling).
 
 Policy note: ``strip_repeated_spans`` removes EVERY duplicated span,
@@ -83,17 +86,23 @@ DEFAULT_MIN_LEN = 50
 # of the two-level generate scales a per-row allocation with the whale.
 DEFAULT_CHUNK_CHARS = 65536
 
-# Occurrence cap above which a gram (or its 8-byte hash class) is
-# boilerplate: counted via map-side-combined groupBy and routed around
-# the per-key window (positions emitted as hits directly — count > cap
-# implies count >= 2). Bounds window-task buffering to cap rows per key.
+# Occurrence cap above which a fingerprint class is boilerplate: it
+# takes the windowless aggregated exact check instead of the per-key
+# window, bounding window-task buffering to cap rows per key. Counts
+# are exact (phase 1's groupBy), so routing needs no detection pass.
 # Pass max_gram_freq=None to disable explicitly (output identical).
 DEFAULT_MAX_GRAM_FREQ = 100_000
 
-# Heavy-key lists up to this size are inlined as isin literals; beyond
-# it the broadcast semi/anti joins take over (same semantics) — the
-# same two-regime shape as operators/dedup.py STOP_LIST_INLINE_MAX.
-HEAVY_LIST_INLINE_MAX = 10_000
+# Repeated-class sets up to this many rows are broadcast for the
+# phase-2 reattach join, keeping the wide window table entirely
+# unshuffled (plan-time broadcast — AQE's runtime SMJ→BHJ conversion
+# would have materialized the wide shuffle first). Past the bound the
+# reattach degrades to a shuffle join (skew-split by AQE) — the same
+# bytes the single-phase plan would have moved. 4M classes ≈ 64 MB
+# broadcast at 16 B/class; the gram-keyed (no-prefilter) variant
+# carries L-char strings per class, so its bound is lower.
+DUP_CLASS_BROADCAST_MAX = 4_000_000
+DUP_GRAM_BROADCAST_MAX = 500_000
 
 
 def _windows(
@@ -151,83 +160,22 @@ def _windows(
     )
 
 
-# Heavy-key DETECTION samples 1-in-N window positions (hash of
-# (id, pos), deterministic). Detection is routing-only — both routes
-# re-check exactness — so a missed heavy key only slows the window and
-# a false flag only rides the (exact) broadcast route; output is
-# identical for EVERY detection outcome (pytest-asserted). At the
-# default cap=100k a heavy key still lands ~cap/128 sampled hits, so
-# detection is reliable while the counting pass touches 1/64 of the
-# corpus (and Catalyst pushes the sample filter below the gram
-# projection, so skipped positions never cut their substring).
+# Retained knob (r6 compat): detection used to COUNT a 1-in-N position
+# sample in a separate pass; since r7 the counting pass IS phase 1 (an
+# exact map-side-combined groupBy on the 8-byte fingerprint), so
+# detection is exact and free and this knob no longer changes the plan.
+# It is accepted (and validated) so existing callers keep working; its
+# documented contract — output identical for any value — holds
+# trivially.
 DEFAULT_HEAVY_SAMPLE = 64
 
 
-def _heavy_keys(
-    rows: DataFrame, key: str, cap: int, sample: int
-) -> list | DataFrame | None:
-    """Keys LIKELY heavier than ``cap``, counted on a deterministic
-    1-in-``sample`` position sample with a map-side-combined groupBy
-    (a key repeated 10^9 times partially aggregates to ~one row per
-    task — no single-task buffering, unlike a window). Returns None
-    (no flagged keys), a literal list (inline regime), or the keys
-    DataFrame (broadcast regime). Detection quality affects only the
-    plan, never the output (see module note above)."""
-    # clamp the sample rate so the flag threshold stays >= 2 sampled
-    # hits (review r6: cap // (2*sample) floors to 0 for cap < 2*sample,
-    # which would flag every singleton with one sampled occurrence and
-    # blow up the "flagged set is bounded-small" broadcast invariant);
-    # small caps therefore fall back toward exact detection
-    sample = max(1, min(int(sample), int(cap) // 4))
-    if sample > 1:
-        cand = rows.where(
-            F.pmod(F.xxhash64(F.col("id"), F.col("pos")), F.lit(sample))
-            == 0
-        )
-        threshold = int(cap) // (2 * sample)  # >= 2 by the clamp
-    else:
-        cand = rows
-        threshold = int(cap)
-    heavy = (
-        cand.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > threshold)
-        .select(key)
-    )
-    head = heavy.head(HEAVY_LIST_INLINE_MAX + 1)
-    if not head:
-        return None
-    if len(head) <= HEAVY_LIST_INLINE_MAX:
-        return [r[key] for r in head]
-    return heavy
-
-
-def _split_heavy(rows: DataFrame, key: str, cap: int, sample: int):
-    """(light, heavy) split of ``rows`` by the key's (sampled)
-    occurrence count — heavy ≈ count > cap. Both regimes keep the
-    heavy side cheap: an inlined isin literal, or a broadcast
-    semi/anti join whose build side is the bounded-small flagged-key
-    frame."""
-    keys = _heavy_keys(rows, key, cap, sample)
-    if keys is None:
-        return rows, None
-    if isinstance(keys, list):
-        return (
-            rows.filter(~F.col(key).isin(keys)),
-            rows.filter(F.col(key).isin(keys)),
-        )
-    return (
-        rows.join(F.broadcast(keys), key, "left_anti"),
-        rows.join(F.broadcast(keys), key, "left_semi"),
-    )
-
-
 def _exact_hits_small(rows: DataFrame) -> DataFrame:
-    """Exact >= 2 check for the (small) flagged route WITHOUT a window:
-    map-side-combined gram counts — distinct flagged grams are few by
-    construction — broadcast back as a semi join. Collision artifacts
-    and sampling false-positives occurring once are dropped here, which
-    is what makes heavy DETECTION routing-only."""
+    """Exact >= 2 check for the (small) heavy route WITHOUT a window:
+    map-side-combined gram counts — distinct heavy grams are few by
+    construction — broadcast back as a semi join. Hash-collision
+    artifacts occurring once inside a heavy class are dropped here,
+    which is what keeps the cap routing-only."""
     gcounts = (
         rows.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_gn"))
@@ -266,13 +214,14 @@ def repeated_substring_spans(
     0-based character offsets into the document text. See module
     docstring for semantics and the scale shape.
 
-    ``max_gram_freq`` routes boilerplate grams around the per-key
-    windows (output provably identical; bounds window buffering to the
-    cap). ``heavy_detect_sample`` makes the detection pass count only
-    1-in-N positions (output identical for any value — detection is
-    routing-only, both routes re-check exactness; 1 = count every
-    position). ``chunk_chars`` bounds per-row generated arrays (output
-    independent of it; tune only if L approaches the chunk size)."""
+    ``max_gram_freq`` routes boilerplate classes around the per-key
+    exact-check windows (output provably identical; bounds window
+    buffering to the cap — routing reads phase 1's exact counts, no
+    detection pass). ``heavy_detect_sample`` is retained for
+    compatibility and no longer changes the plan (its contract — output
+    identical for any value — holds trivially). ``chunk_chars`` bounds
+    per-row generated arrays (output independent of it; tune only if L
+    approaches the chunk size)."""
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
@@ -284,53 +233,85 @@ def repeated_substring_spans(
         raise ValueError(
             f"heavy_detect_sample must be >= 1, got {heavy_detect_sample}"
         )
-    sample = int(heavy_detect_sample)
     if int(chunk_chars) < 1:
         raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
-    grams = _windows(df, id_col, text_col, L, chunk=int(chunk_chars))
+    from htrtf_spark.plans.ordering import fan_out
 
-    heavy_rows = None
+    # single-split inputs would serialize the window generation (the
+    # most CPU-dense narrow stage in the library) onto one core; at
+    # warehouse scale the scan is already parallel and this is a no-op
+    docs = fan_out(df, id_col)
+    grams = _windows(docs, id_col, text_col, L, chunk=int(chunk_chars))
+
     if prefilter_hash:
-        hashed = grams.withColumn("_h", F.xxhash64("g"))
+        # phase 1: EXACT per-fingerprint counts via map-side-combined
+        # groupBy over ONLY the 8-byte hash (16 bytes/row shuffled vs
+        # the full (id, pos, gram) row a window would move — guide
+        # §2.3; a fingerprint repeated 10^9 times partially aggregates
+        # to ~one row per task, so there is no per-key buffering and no
+        # straggler anywhere in this phase). The counts are exact, so
+        # the former sampled heavy-DETECTION pass is subsumed: classes
+        # above the cap are routed by the same ``_n`` the phase already
+        # computed.
+        from htrtf_spark.operators.dedup import _register_cache
+
+        counts = (
+            grams.select(F.xxhash64("g").alias("_h"))
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+        )
+        # reattach: candidate windows are the rows whose fingerprint
+        # class repeats. The class set is cached (tiny — 16 B/class)
+        # and counted ONCE to pick the regime at plan time: broadcast
+        # (the common corpus — a few % duplicated — leaving the wide
+        # window table entirely unshuffled) or, past the bound, a
+        # shuffle join on _h that AQE skew-splits (a window could not
+        # be split this way). Relying on AQE's runtime SMJ→BHJ
+        # conversion instead would materialize the wide shuffle before
+        # converting — the exact cost this phase exists to avoid.
+        dup = _register_cache(counts.persist())
+        small = dup.count() <= DUP_CLASS_BROADCAST_MAX
+        cand = grams.withColumn("_h", F.xxhash64("g")).join(
+            F.broadcast(dup) if small else dup, "_h"
+        )
         if max_gram_freq is not None:
-            # heavy HASH classes: count > cap >= 1 means count >= 2, so
-            # they are candidates by definition — skip the hash window
-            # (they would straggle it); the exact phase below still
-            # separates true repeats from hash collisions.
-            light, heavy_rows = _split_heavy(
-                hashed, "_h", int(max_gram_freq), sample
+            cap = int(max_gram_freq)
+            # light classes (2 <= n <= cap): exact >= 2 re-check over
+            # the REAL gram (collision-proof) — per-key window
+            # buffering is bounded by the cap by construction.
+            light = cand.filter(F.col("_n") <= cap).drop("_h", "_n")
+            # heavy classes (n > cap): boilerplate — exact check
+            # WITHOUT a window (_exact_hits_small: map-side-combined
+            # gram counts + broadcast semi join), so no window task
+            # ever buffers an unbounded occurrence set.
+            heavy = cand.filter(F.col("_n") > cap).drop("_h", "_n")
+            hits = _window_hits(light, "g").select("id", "pos").unionByName(
+                _exact_hits_small(heavy)
             )
         else:
-            light = hashed
-        # phase 1: shuffle 8-byte fingerprints, keep candidate windows
-        cand = _window_hits(light, "_h").drop("_h")
+            hits = _window_hits(
+                cand.drop("_h", "_n"), "g"
+            ).select("id", "pos")
     else:
-        cand = grams
+        # no hash prefilter: count the REAL gram directly — counts are
+        # collision-proof, so every position of a repeated class is a
+        # hit by definition and no re-check (window OR cap split) is
+        # needed at all; the cap knob is routing-only and the exact
+        # groupBy already has no per-key buffering.
+        from htrtf_spark.operators.dedup import _register_cache
 
-    if max_gram_freq is not None and prefilter_hash:
-        # unflagged hash classes are (whp) under the cap, so grams
-        # inside them are too — the exact-phase window needs no second
-        # split; a detection miss only raises one window partition,
-        # never changes output.
-        hits = _window_hits(cand, "g").select("id", "pos")
-        if heavy_rows is not None:
-            # exact check for the flagged-hash rows WITHOUT a window
-            # (_exact_hits_small): collision artifacts and sampling
-            # false-positives occurring once are dropped there.
-            hits = hits.unionByName(_exact_hits_small(heavy_rows))
-    elif max_gram_freq is not None:
-        # no hash prefilter: split on the gram itself; flagged grams
-        # route around the window through the same exact >= 2 check
-        # (which is what makes sampled detection routing-only here too)
-        light_cand, heavy_cand = _split_heavy(
-            cand, "g", int(max_gram_freq), sample
+        counts = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("g")
         )
-        hits = _window_hits(light_cand, "g").select("id", "pos")
-        if heavy_cand is not None:
-            hits = hits.unionByName(_exact_hits_small(heavy_cand))
-    else:
-        # exact phase: count over the REAL gram (collision-proof)
-        hits = _window_hits(cand, "g").select("id", "pos")
+        dup = _register_cache(counts.persist())
+        small = dup.count() <= DUP_GRAM_BROADCAST_MAX
+        hits = grams.join(
+            F.broadcast(dup) if small else dup, "g", "left_semi"
+        ).select("id", "pos")
 
     # interval merge, not consecutive-position islands: hit intervals
     # [pos, pos+L) overlap-or-touch exactly when the position gap is

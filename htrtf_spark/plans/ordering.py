@@ -22,6 +22,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive parallelism guard for CPU-heavy narrow stages
+    (guide §2.2/§6): when the upstream scan yields fewer splits than the
+    session has cores — locally a single-row-group parquet file is ONE
+    split no matter the split config, so every narrow stage fused with
+    the scan runs on one core — hash-repartition on ``key_cols`` to
+    ``defaultParallelism`` partitions before the expensive work. The
+    explicit partition count keeps AQE from re-coalescing the small-but-
+    CPU-dense partitions. At warehouse scale a scan has thousands of
+    splits and this is a structural no-op (no exchange added), so the
+    plan stays shuffle-free where the data is already parallel — the
+    condition adapts to the input, not to a local constant."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts >= cores:
+        return df
+    return df.repartition(cores, *[F.col(c) for c in key_cols])
+
+
 def salted_repartition(
     df: DataFrame, num_partitions: int, salt_factor: int = 8
 ) -> DataFrame:

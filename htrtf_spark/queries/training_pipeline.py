@@ -30,7 +30,12 @@ def _extract_clean(docs, id_col: str, text_col: str):
     (each document as a one-turn pseudo-conversation), rejected rows
     dropped — yields (_id, clean_text). Narrow; Catalyst fuses it into
     the scan."""
-    pseudo = docs.select(
+    from htrtf_spark.plans.ordering import fan_out
+
+    # a single-split source (one-row-group parquet locally) would
+    # serialize the mapInPandas stage AND every downstream consumer of
+    # the persisted extraction onto one core; no-op on parallel scans
+    pseudo = fan_out(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.concat(F.lit("doc-"), F.lpad(F.col(id_col).cast("string"), 8, "0")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),

@@ -4,10 +4,30 @@ against empty views (catches SQL typos without running Spark)."""
 
 from __future__ import annotations
 
+import glob
+import os
+
 import duckdb
 import pytest
 
 from htrtf_spark.queries import oracle_sqls, registry, spark_queries
+from htrtf_spark.queries.extraction_queries import _Q34_INPUT
+
+
+def _seed_q34_input(con) -> None:
+    """The q34 oracle reads the parquet its Spark query materializes to
+    a fixed /tmp path (the SQL text is frozen). On a clean /tmp the
+    artifact does not exist yet, so the parse-only test would fail on
+    I/O, not SQL — seed an EMPTY parquet with the input schema iff the
+    directory holds no real artifact (a real one is never touched)."""
+    if not glob.glob(os.path.join(_Q34_INPUT, "*.parquet")):
+        os.makedirs(_Q34_INPUT, exist_ok=True)
+        con.execute(
+            "COPY (SELECT CAST(NULL AS VARCHAR) AS conv_id, "
+            "CAST(NULL AS INTEGER) AS turn_idx, "
+            "CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text "
+            f"WHERE false) TO '{_Q34_INPUT}/seed.parquet' (FORMAT PARQUET)"
+        )
 
 TABLES = {
     "region": "r_regionkey INTEGER, r_name VARCHAR",
@@ -49,4 +69,6 @@ def test_oracle_sql_parses_in_duckdb(name):
     con = duckdb.connect()
     for tbl, ddl in TABLES.items():
         con.execute(f"CREATE TABLE {tbl} ({ddl})")
+    if name == "q34_extract_synthetic":
+        _seed_q34_input(con)
     con.execute(oracle_sqls()[name]).fetchall()  # empty tables → just parse/run
