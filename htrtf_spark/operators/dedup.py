@@ -94,7 +94,14 @@ def shingle_table(
     that bound, a broadcast LEFT ANTI join. (Semi-joining the keep-list
     would shuffle/broadcast nearly the whole shingle vocabulary.)
     """
-    g = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng"))
+    from htrtf_spark.plans.ordering import fan_out
+
+    # the ngram transform + explode is the CPU-dense narrow stage of
+    # every dedup family; a single-split local scan would serialize it
+    # onto one core (no-op when the scan is already parallel)
+    g = fan_out(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng")
+    )
     if max_doc_freq is not None:
         g = _stop_filter(g, max_doc_freq)
     return g
@@ -345,16 +352,36 @@ def band_signatures(
 ) -> DataFrame:
     """(id, band_id, band_val) LSH banding of a signature table — the
     persistable index shape: write it once per corpus, bucket-join new
-    batches against it (incremental dedup)."""
+    batches against it (incremental dedup).
+
+    One pass: each signature row explodes an inline array of its
+    (band_id, band_val) structs. The pre-r7 union-of-N-selects form
+    re-planned ``sig`` once per band — when ``sig`` is an aggregation
+    (the usual case), that was N copies of the signature groupBy in the
+    plan unless exchange reuse happened to fire; the explode form
+    carries ONE copy by construction and emits identical rows."""
     n_bands = k // band_width
-    bands = None
-    for band in range(n_bands):
-        cols = [F.col(f"mh{band * band_width + j}") for j in range(band_width)]
-        part = sig.select(
-            "id", F.lit(band).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_val")
-        )
-        bands = part if bands is None else bands.union(part)
-    return bands
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{band * band_width + j}")
+                            for j in range(band_width)
+                        ],
+                    )
+                ).alias("band_val"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return sig.select("id", F.explode(bands_arr).alias("_b")).select(
+        "id", F.col("_b.band_id").alias("band_id"),
+        F.col("_b.band_val").alias("band_val"),
+    )
 
 
 def band_index(

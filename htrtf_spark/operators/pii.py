@@ -204,24 +204,71 @@ def redact_pii(
         kind: F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
         for kind, pat, _rep in pats
     }
-    if redact_cc:
+    if not redact_cc:
+        total = None
+        for c in counts.values():
+            total = c if total is None else total + c
+        out_cols = [
+            masked.alias(text_col) if c == text_col else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(
+            *out_cols,
+            *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+            total.alias("n_redactions"),
+        )
+
+    # Credit-card path, STAGED through named columns: the pattern-masked
+    # text feeds three consumers (the candidate count, the Luhn filter,
+    # and the fold's seed) and the valid-candidate array feeds two — a
+    # single flat projection would re-evaluate the full regex chain per
+    # consumer (the higher-order Luhn fold is codegen-fallback, so
+    # whole-stage-codegen subexpression elimination cannot dedupe it).
+    # Catalyst's CollapseProject keeps non-cheap aliases referenced more
+    # than once as separate projections, so each stage runs ONCE per
+    # row. Output is expression-identical to the flat form (pytest +
+    # q99 oracle). Still one narrow pipeline: no shuffle, no UDF.
+    pm, ccs = "__pii_masked", "__pii_ccs"
+    for c in (pm, ccs):
+        if c in df.columns:
+            raise ValueError(f"input already has reserved column {c!r}")
+    staged = df.select(
+        *[F.col(c) for c in df.columns if c != text_col],
+        masked.alias(pm),
+        # per-kind counts read the ORIGINAL text (order-independent)
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+    ).select(
         # n_cc counts the candidates the fold ACTUALLY masks — i.e.
         # over the pattern-masked text, not the original: a Luhn-valid
         # 13-15-digit international phone number is typed (and counted)
         # as a phone by the chain above and must not double-count as a
         # card redaction that never produced a <CC> marker.
-        counts["cc"] = F.size(_cc_valid(masked)).cast("long")
-        masked = _cc_mask(masked)
+        "*",
+        _cc_valid(F.col(pm)).alias(ccs),
+    )
+    count_cols = [F.col(f"n_{kind}") for kind in counts] + [
+        F.size(ccs).cast("long")
+    ]
     total = None
-    for c in counts.values():
+    for c in count_cols:
         total = c if total is None else total + c
+    folded = F.aggregate(
+        F.col(ccs),
+        F.col(pm),
+        lambda acc, m: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), m, F.lit(r"\b")),
+            F.lit(CC_MARKER),
+        ),
+    )
     out_cols = [
-        masked.alias(text_col) if c == text_col else F.col(c)
+        folded.alias(text_col) if c == text_col else F.col(c)
         for c in df.columns
     ]
-    return df.select(
+    return staged.select(
         *out_cols,
-        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        *[F.col(f"n_{kind}") for kind in counts],
+        F.size(ccs).cast("long").alias("n_cc"),
         total.alias("n_redactions"),
     )
 

@@ -213,8 +213,11 @@ QUERIES["q95_repetition_stats"] = (q95_repetition_stats, _Q95_SQL)
 
 def q99_pii_redaction(spark, sf_dir):
     from htrtf_spark.operators.pii import redact_pii
+    from htrtf_spark.plans.ordering import fan_out
 
-    d = t(spark, sf_dir, "documents")
+    # the 17-regex chain is the most codegen-dense narrow stage in the
+    # registry; a single-split local scan would run it on one core
+    d = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     seeded = d.select(
         "doc_id",
         F.concat(
