@@ -136,9 +136,7 @@ def stop_shingle_stats(
     """Lineage row for the cap: (n_shingles, n_stop_shingles,
     n_postings_dropped, max_df) — what the cap removed and how skewed the
     shingle df distribution is. One aggregate over the shingle table."""
-    g = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng")
-    )
+    g = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
     freq = g.groupBy("ng").agg(F.count("*").alias("df_"))
     return freq.agg(
         F.count("*").alias("n_shingles"),
@@ -294,9 +292,7 @@ def corpus_stop_list(
     index and apply the SAME list to every probe batch: a per-side cap
     computed from each batch's own frequencies makes identical documents
     band differently between index and probe (systematic recall loss)."""
-    g = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("ng")
-    )
+    g = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
     return (
         g.groupBy("ng").agg(F.count("*").alias("df_"))
         .filter(F.col("df_") > max_doc_freq)
@@ -575,7 +571,13 @@ def minhash_lsh_pairs(
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("ng")))).alias(f"mh{i}")
         for i in range(k)
     ]
-    cand = lsh_candidates(grams.groupBy("id").agg(*aggs), k, band_width)
+    # persist the signature table (k hashes per DOCUMENT — tiny next to
+    # the posting table): the band self-join and its distinct would
+    # otherwise carry two copies of the signature aggregation over the
+    # full posting cache (one per join side — exchange reuse is not
+    # guaranteed once AQE re-plans the sides independently)
+    sig = _register_cache(grams.groupBy("id").agg(*aggs).persist())
+    cand = lsh_candidates(sig, k, band_width)
     if min_jaccard_bp is None:
         return cand
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
@@ -611,7 +613,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, hash_fn=None) -> DataFr
     per-token hash (xxhash64 by default; pass ``hash_fn`` for an
     engine-portable variant) → per-bit ±1 vote weighted by token
     multiplicity → sign → bit. Returns (id, simhash: long)."""
-    tok = df.select(
+    from htrtf_spark.plans.ordering import fan_out
+
+    tok = fan_out(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     )
     h = hash_fn(F.col("tok")) if hash_fn is not None else F.xxhash64("tok")
@@ -848,11 +852,12 @@ def strip_duplicated_lines(
     that is line-structured (nav menus, cookie banners, signatures).
 
     Scale shape: lines explode narrow; the duplicate-line table is a
-    map-side-combined groupBy on the line (a line repeated 10^9 times
-    partially aggregates per task — no per-key window anywhere); the
-    join back is a hash join on the line keyed by its md5 (AQE splits
-    a skewed probe side); reassembly groups by document, per-task
-    memory bounded by one document like conversation assembly."""
+    map-side-combined groupBy on the RAW line (a line repeated 10^9
+    times partially aggregates per task — no per-key window anywhere;
+    exact grouping, so no hash-collision hazard); the join back is a
+    hash join on the line (AQE splits a skewed probe side); reassembly
+    groups by document, per-task memory bounded by one document like
+    conversation assembly."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     reserved = {"n_lines", "n_lines_removed"} & set(df.columns)
@@ -868,9 +873,16 @@ def strip_duplicated_lines(
             ),
         )
     )
+    # group on the RAW line (ADVICE r6: keying duplicate detection on
+    # md5 alone lets an adversarially constructed collision delete a
+    # non-duplicate line — the q104 oracle groups the raw line, so the
+    # exact group matches it by construction). Map-side combine still
+    # bounds memory — a line repeated 10^9 times partially aggregates
+    # per task — and the join carries the line on both sides either
+    # way, so the shuffle moves no extra bytes.
     dup = (
         lines.where(F.length("line") > 0)
-        .groupBy(F.md5("line").alias("_lk"))
+        .groupBy(F.col("line").alias("_lk"))
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.min(F.struct("id", "line_idx")).alias("_first"),
@@ -879,7 +891,7 @@ def strip_duplicated_lines(
     )
     keyed = lines.withColumn(
         "_lk",
-        F.when(F.length("line") > 0, F.md5("line")),
+        F.when(F.length("line") > 0, F.col("line")),
     )
     joined = keyed.join(dup, "_lk", "left")
     is_dup = F.col("_n").isNotNull()

@@ -48,8 +48,10 @@ def wap_ingest(
 
     from htrtf_spark.plans.pipeline import extract_turns
     from htrtf_spark.sources.iceberg import (
+        _find_snapshot,
         append_iceberg_table,
         create_branch,
+        current_metadata,
         drop_ref,
         fast_forward,
         read_iceberg_increment,
@@ -60,20 +62,45 @@ def wap_ingest(
         raise ValueError("max_reject_bp must be 0..10000")
     name = branch or f"wap-{uuid.uuid4().hex[:12]}"
     fork = create_branch(table_loc, name)
-    snap = append_iceberg_table(candidates, table_loc, branch=name)
+    try:
+        snap = append_iceberg_table(candidates, table_loc, branch=name)
 
-    # audit the COMMITTED bytes: exactly the branch increment since the
-    # fork — never the in-memory frame (what you validate must be what
-    # you publish)
-    committed = read_iceberg_increment(
-        spark, table_loc, from_snapshot_id=fork, to_snapshot_id=snap
-    )
-    extracted = extract_turns(committed, check_schema=False).cache()
-    rows = extracted.count()
-    rejected = extracted.filter(F.col("reject_reason").isNotNull()).count()
-    extracted.unpersist()
-    reject_bp = (rejected * 10000) // rows if rows else 10000
-    n_cand = candidates.count()
+        # audit the COMMITTED bytes: exactly the branch increment since
+        # the fork — never the in-memory frame (what you validate must
+        # be what you publish)
+        committed = read_iceberg_increment(
+            spark, table_loc, from_snapshot_id=fork, to_snapshot_id=snap
+        )
+        extracted = extract_turns(committed, check_schema=False).cache()
+        rows = extracted.count()
+        rejected = extracted.filter(
+            F.col("reject_reason").isNotNull()
+        ).count()
+        extracted.unpersist()
+        reject_bp = (rejected * 10000) // rows if rows else 10000
+        # conservation gate baseline: the branch snapshot's own
+        # added-records summary — the manifest-declared count of the
+        # bytes that were COMMITTED (ADVICE r6: recomputing
+        # candidates.count() after the write races a non-deterministic
+        # or concurrently-changed source, so the gate could compare the
+        # increment against different bytes than were written; the
+        # summary describes exactly the written bytes, and skipping the
+        # recount drops one full pass over the candidates)
+        n_cand = int(
+            _find_snapshot(current_metadata(table_loc), snap)["summary"][
+                "added-records"
+            ]
+        )
+    except BaseException:
+        # an append/audit crash must not leak the auto-created branch
+        # (it would pin its snapshot chain against expire_snapshots
+        # forever, ADVICE r6); audit FAILURE (ok=False below) is not a
+        # crash — that branch is kept deliberately for inspection
+        try:
+            drop_ref(table_loc, name)
+        except Exception:
+            pass
+        raise
 
     ok = (
         rows == n_cand
