@@ -206,3 +206,94 @@ def test_q103_top_domains_local_topk(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "ntile" not in plan
+
+
+# ------------------------------------------------------------- round 7
+# Plan-shape guards for the r7 optimizations: each asserts the property
+# the optimization bought, so a refactor cannot silently regress it.
+
+
+def test_fan_out_fires_only_on_underparallel_scans(spark):
+    """fan_out repartitions a single-split input to defaultParallelism
+    and is a structural no-op (same plan object) on an input that is
+    already at least as parallel as the session."""
+    from htrtf_spark.plans.ordering import fan_out
+
+    cores = spark.sparkContext.defaultParallelism
+    serial = spark.range(1000).coalesce(1)
+    assert serial.rdd.getNumPartitions() == 1
+    fanned = fan_out(serial, "id")
+    assert fanned.rdd.getNumPartitions() == cores
+    parallel = spark.range(1000).repartition(cores)
+    assert fan_out(parallel, "id") is parallel  # no exchange added
+
+
+def test_redact_pii_masks_regex_chain_once(spark):
+    """The staged credit-card path must evaluate the pattern-masking
+    regexp_replace chain ONCE per row: the optimized plan carries each
+    masking pattern exactly twice (one regexp_replace in the staged
+    masked column + one regexp_count over the original text). The old
+    flat projection inlined the whole chain per consumer (3x)."""
+    from htrtf_spark.operators.pii import PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.com 4111 1111 1111 1111")], "id long, text string"
+    )
+    out = redact_pii(df, "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    email_pat = PII_PATTERNS[0][1]
+    assert plan.count(email_pat) == 2, plan.count(email_pat)
+    # and the result is still correct
+    row = out.collect()[0]
+    assert row["text"] == "<EMAIL> <CC>"
+    assert row["n_email"] == 1 and row["n_cc"] == 1
+
+
+def test_substr_phase1_is_groupby_with_broadcast_reattach(spark):
+    """Substring-dedup phase 1 must aggregate 8-byte fingerprints (a
+    map-side-combined groupBy — no per-key window buffering on the full
+    window table) and reattach the bounded-small repeated-class set via
+    a plan-time broadcast join; the only windows left are the
+    candidate-only exact check and the span merge."""
+    from htrtf_spark.operators.dedup import release_caches
+    from htrtf_spark.operators.substr_dedup import repeated_substring_spans
+
+    df = spark.createDataFrame(
+        [(i, f"{'boilerplate text repeated! ' * 3}doc{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    try:
+        spans = repeated_substring_spans(df, "doc_id", "text", min_len=20)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # reattach regime, not SMJ
+        # phase 1 must NOT window the full gram table on the hash:
+        # every Window node left partitions on the real gram (exact
+        # check) or on the doc id (span merge)
+        for ln in plan.splitlines():
+            if "Window" in ln and "windowspecdefinition" in ln:
+                assert "_h#" not in ln, ln
+        assert spans.count() > 0  # and it still finds the boilerplate
+    finally:
+        release_caches()
+
+
+def test_band_signatures_single_aggregation_plan(spark):
+    """LSH banding must carry ONE copy of the signature aggregation
+    (inline-array explode), not one per band as the old union-of-selects
+    did."""
+    from pyspark.sql import functions as F
+
+    from htrtf_spark.operators.dedup import band_signatures
+
+    sig = (
+        spark.createDataFrame(
+            [(1, *[f"h{i}" for i in range(8)])],
+            "id long, " + ", ".join(f"mh{i} string" for i in range(8)),
+        )
+        .groupBy("id")
+        .agg(*[F.max(f"mh{i}").alias(f"mh{i}") for i in range(8)])
+    )
+    bands = band_signatures(sig, k=8, band_width=2)
+    plan = bands._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan
+    assert bands.count() == 4  # one row per band, same rows as before
