@@ -196,7 +196,12 @@ def jaccard_pairs(
     # populates it and the capped filter reads it — one explode total
     raw = shingle_table(df, id_col, text_col, n, max_doc_freq=None).cache()
     grams = _cap_cached(raw, max_doc_freq)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    # per-doc size table (one row per DOCUMENT — tiny) feeds BOTH join
+    # sides (sz_a, sz_b): persist or the groupBy over the posting cache
+    # runs twice (r7)
+    sizes = _register_cache(
+        grams.groupBy("id").agg(F.count("*").alias("sz")).persist()
+    )
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(b, (F.col("a.ng") == F.col("b.ng")) & (F.col("a.id") < F.col("b.id")))
@@ -255,6 +260,9 @@ def jaccard_pairs_postings(
         )
     else:
         sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    # one row per DOCUMENT, consumed by both join sides (sz_a, sz_b) —
+    # persist or the explode+groupBy over the posting cache runs twice
+    sizes = _register_cache(sizes.persist())
     ids = F.col("ids")
     pairs = F.flatten(
         F.transform(
@@ -580,7 +588,11 @@ def minhash_lsh_pairs(
     cand = lsh_candidates(sig, k, band_width)
     if min_jaccard_bp is None:
         return cand
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    # one row per DOCUMENT, consumed by both join sides (sz_a, sz_b) —
+    # persist or the groupBy over the posting cache runs twice
+    sizes = _register_cache(
+        grams.groupBy("id").agg(F.count("*").alias("sz")).persist()
+    )
     ga = grams.select(F.col("id").alias("id_a"), "ng")
     gb = grams.select(F.col("id").alias("id_b"), "ng")
     inter = (
