@@ -365,6 +365,15 @@ def band_signatures(
     plan unless exchange reuse happened to fire; the explode form
     carries ONE copy by construction and emits identical rows."""
     n_bands = k // band_width
+    if n_bands < 1:
+        # the pre-r7 union form returned None here and crashed at the
+        # call site; the explode form would silently emit ZERO bands —
+        # every probe would report lsh_hit=0 (total recall loss), so
+        # fail fast instead
+        raise ValueError(
+            f"band_width={band_width} exceeds k={k}: zero bands would "
+            "silently disable LSH"
+        )
     bands_arr = F.array(
         *[
             F.struct(
@@ -890,8 +899,11 @@ def strip_duplicated_lines(
     # non-duplicate line — the q104 oracle groups the raw line, so the
     # exact group matches it by construction). Map-side combine still
     # bounds memory — a line repeated 10^9 times partially aggregates
-    # per task — and the join carries the line on both sides either
-    # way, so the shuffle moves no extra bytes.
+    # per task. Byte cost of the exact key: the dup-table AGGREGATION
+    # exchange now ships one full line text per distinct line per task
+    # (vs a 16-byte digest before); the join probe side carried the
+    # line either way. That per-distinct-line delta is the price of a
+    # collision-proof gate, same call as substr_dedup's exact phase.
     dup = (
         lines.where(F.length("line") > 0)
         .groupBy(F.col("line").alias("_lk"))

@@ -158,7 +158,9 @@ def _cc_valid(text: Column) -> Column:
     )
 
 
-def _cc_mask(text: Column, marker: str = CC_MARKER) -> Column:
+def _cc_mask(
+    text: Column, marker: str = CC_MARKER, cands: Column | None = None
+) -> Column:
     """Fold the valid candidates over ``text``, replacing each
     candidate's \\b-BOUNDED occurrences (a duplicate candidate folds
     idempotently). The word boundaries matter: a Luhn-INVALID digit run
@@ -171,9 +173,11 @@ def _cc_mask(text: Column, marker: str = CC_MARKER) -> Column:
     so the candidate string itself is literal-safe inside the pattern.
     Both engines fold in the same candidate order with the same RE2∩
     Java pattern, so the q99 oracle reproduces the output
-    byte-for-byte."""
+    byte-for-byte. ``cands`` supplies a precomputed valid-candidate
+    array (the staged redact_pii path) so the ONE fold implementation
+    serves both callers."""
     return F.aggregate(
-        _cc_valid(text),
+        _cc_valid(text) if cands is None else cands,
         text,
         lambda acc, m: F.regexp_replace(
             acc,
@@ -232,6 +236,11 @@ def redact_pii(
     for c in (pm, ccs):
         if c in df.columns:
             raise ValueError(f"input already has reserved column {c!r}")
+    # a custom pattern whose kind is literally "cc" keeps masking in
+    # the chain but its count column is superseded by the Luhn count —
+    # the flat form's dict semantics (counts["cc"] overwrote it); two
+    # n_cc columns would be an invalid output frame
+    counts = {k: c for k, c in counts.items() if k != "cc"}
     staged = df.select(
         *[F.col(c) for c in df.columns if c != text_col],
         masked.alias(pm),
@@ -252,15 +261,7 @@ def redact_pii(
     total = None
     for c in count_cols:
         total = c if total is None else total + c
-    folded = F.aggregate(
-        F.col(ccs),
-        F.col(pm),
-        lambda acc, m: F.regexp_replace(
-            acc,
-            F.concat(F.lit(r"\b"), m, F.lit(r"\b")),
-            F.lit(CC_MARKER),
-        ),
-    )
+    folded = _cc_mask(F.col(pm), cands=F.col(ccs))
     out_cols = [
         folded.alias(text_col) if c == text_col else F.col(c)
         for c in df.columns

@@ -98,10 +98,13 @@ DEFAULT_MAX_GRAM_FREQ = 100_000
 # unshuffled (plan-time broadcast — AQE's runtime SMJ→BHJ conversion
 # would have materialized the wide shuffle first). Past the bound the
 # reattach degrades to a shuffle join (skew-split by AQE) — the same
-# bytes the single-phase plan would have moved. 4M classes ≈ 64 MB
-# broadcast at 16 B/class; the gram-keyed (no-prefilter) variant
-# carries L-char strings per class, so its bound is lower.
-DUP_CLASS_BROADCAST_MAX = 4_000_000
+# bytes the single-phase plan would have moved. Sizing counts the
+# BUILT relation, not the raw payload: a BroadcastHashJoin build runs
+# ~50-70 B/row over the 16 B (hash, count) class, so 2M classes is a
+# ~100-150 MB build per executor — heavy but workable; the gram-keyed
+# (no-prefilter) variant carries L-char strings per class, so its
+# bound is lower.
+DUP_CLASS_BROADCAST_MAX = 2_000_000
 DUP_GRAM_BROADCAST_MAX = 500_000
 
 
@@ -172,19 +175,21 @@ DEFAULT_HEAVY_SAMPLE = 64
 
 def _exact_hits_small(rows: DataFrame) -> DataFrame:
     """Exact >= 2 check for the (small) heavy route WITHOUT a window:
-    map-side-combined gram counts — distinct heavy grams are few by
-    construction — broadcast back as a semi join. Hash-collision
+    map-side-combined gram counts, semi-joined back. Hash-collision
     artifacts occurring once inside a heavy class are dropped here,
-    which is what keeps the cap routing-only."""
+    which is what keeps the cap routing-only. No broadcast hint: with
+    the default cap the distinct heavy grams are few and AQE broadcasts
+    them at runtime; under an adversarially tiny cap (max_gram_freq=1
+    routes EVERY repeated class here) the gram set is the whole
+    repeated vocabulary and a forced broadcast would OOM — the shuffle
+    semi join AQE falls back to is the safe shape."""
     gcounts = (
         rows.groupBy("g")
         .agg(F.count(F.lit(1)).alias("_gn"))
         .filter(F.col("_gn") >= 2)
         .select("g")
     )
-    return rows.join(F.broadcast(gcounts), "g", "left_semi").select(
-        "id", "pos"
-    )
+    return rows.join(gcounts, "g", "left_semi").select("id", "pos")
 
 
 def _window_hits(rows: DataFrame, key: str) -> DataFrame:
@@ -221,7 +226,14 @@ def repeated_substring_spans(
     compatibility and no longer changes the plan (its contract — output
     identical for any value — holds trivially). ``chunk_chars`` bounds
     per-row generated arrays (output independent of it; tune only if L
-    approaches the chunk size)."""
+    approaches the chunk size).
+
+    NOT fully lazy (same as the pre-r7 detection ``head()``): building
+    the result runs phase 1 eagerly — the class-count job both
+    populates the persisted class set and decides the reattach regime
+    at plan time. The persisted set is registered with
+    ``operators.dedup.release_caches()``; sessions running many dedup
+    jobs should release between runs."""
     L = int(min_len)
     if L < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")

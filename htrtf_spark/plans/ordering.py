@@ -33,7 +33,15 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     CPU-dense partitions. At warehouse scale a scan has thousands of
     splits and this is a structural no-op (no exchange added), so the
     plan stays shuffle-free where the data is already parallel — the
-    condition adapts to the input, not to a local constant."""
+    condition adapts to the input, not to a local constant.
+
+    Probe caveat: ``df.rdd`` under AQE may materialize upstream shuffle
+    stages eagerly when the input plan already contains an exchange or
+    an unpopulated cache. Call sites therefore pass scan-rooted frames
+    or frames whose materialization is imminent anyway (e.g. a
+    persisted extraction consumed in the same job); the except guard
+    below covers inputs where the probe is unsupported entirely
+    (streaming plans)."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     try:

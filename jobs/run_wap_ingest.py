@@ -60,6 +60,14 @@ def wap_ingest(
 
     if not (0 <= int(max_reject_bp) <= 10000):
         raise ValueError("max_reject_bp must be 0..10000")
+    # conservation gate baseline: count the CANDIDATE frame once,
+    # BEFORE the append (ADVICE r6: recounting after the write lets a
+    # non-deterministic or concurrently-changed source make the gate
+    # compare the increment against different bytes than were counted).
+    # Deliberately NOT derived from the snapshot's added-records
+    # summary: that would make the gate self-referential — a lossy
+    # append would declare exactly what it wrote and always pass.
+    n_cand = candidates.count()
     name = branch or f"wap-{uuid.uuid4().hex[:12]}"
     fork = create_branch(table_loc, name)
     try:
@@ -78,15 +86,10 @@ def wap_ingest(
         ).count()
         extracted.unpersist()
         reject_bp = (rejected * 10000) // rows if rows else 10000
-        # conservation gate baseline: the branch snapshot's own
-        # added-records summary — the manifest-declared count of the
-        # bytes that were COMMITTED (ADVICE r6: recomputing
-        # candidates.count() after the write races a non-deterministic
-        # or concurrently-changed source, so the gate could compare the
-        # increment against different bytes than were written; the
-        # summary describes exactly the written bytes, and skipping the
-        # recount drops one full pass over the candidates)
-        n_cand = int(
+        # cross-check: the manifest-declared count of the committed
+        # increment must also agree — catches a manifest/summary
+        # inconsistency the read-back alone could mask
+        n_committed = int(
             _find_snapshot(current_metadata(table_loc), snap)["summary"][
                 "added-records"
             ]
@@ -104,6 +107,7 @@ def wap_ingest(
 
     ok = (
         rows == n_cand
+        and rows == n_committed
         and rows >= int(min_rows)
         and reject_bp <= int(max_reject_bp)
     )
@@ -112,6 +116,7 @@ def wap_ingest(
         "branch": name,
         "rows": rows,
         "candidate_rows": n_cand,
+        "committed_rows": n_committed,
         "rejected": rejected,
         "reject_bp": reject_bp,
         "snapshot": snap,

@@ -4,7 +4,6 @@ against empty views (catches SQL typos without running Spark)."""
 
 from __future__ import annotations
 
-import glob
 import os
 
 import duckdb
@@ -14,20 +13,25 @@ from htrtf_spark.queries import oracle_sqls, registry, spark_queries
 from htrtf_spark.queries.extraction_queries import _Q34_INPUT
 
 
-def _seed_q34_input(con) -> None:
+def _q34_sql_with_seeded_input(con, sql: str, tmp_path) -> str:
     """The q34 oracle reads the parquet its Spark query materializes to
     a fixed /tmp path (the SQL text is frozen). On a clean /tmp the
     artifact does not exist yet, so the parse-only test would fail on
-    I/O, not SQL — seed an EMPTY parquet with the input schema iff the
-    directory holds no real artifact (a real one is never touched)."""
-    if not glob.glob(os.path.join(_Q34_INPUT, "*.parquet")):
-        os.makedirs(_Q34_INPUT, exist_ok=True)
-        con.execute(
-            "COPY (SELECT CAST(NULL AS VARCHAR) AS conv_id, "
-            "CAST(NULL AS INTEGER) AS turn_idx, "
-            "CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text "
-            f"WHERE false) TO '{_Q34_INPUT}/seed.parquet' (FORMAT PARQUET)"
-        )
+    I/O, not SQL. Seed an EMPTY parquet with the input schema into a
+    TEST-LOCAL temp dir and point this test's COPY of the SQL at it —
+    the real artifact path is never touched, so a later oracle-only run
+    elsewhere still fails loudly if the Spark side has not produced it
+    (same pattern as test_sql_oracle_parity's path rewrite)."""
+    seed_dir = os.path.join(str(tmp_path), "q34_seed.parquet")
+    os.makedirs(seed_dir, exist_ok=True)
+    con.execute(
+        "COPY (SELECT CAST(NULL AS VARCHAR) AS conv_id, "
+        "CAST(NULL AS INTEGER) AS turn_idx, "
+        "CAST(NULL AS VARCHAR) AS role, CAST(NULL AS VARCHAR) AS text "
+        f"WHERE false) TO '{seed_dir}/seed.parquet' (FORMAT PARQUET)"
+    )
+    assert _Q34_INPUT in sql
+    return sql.replace(_Q34_INPUT, seed_dir)
 
 TABLES = {
     "region": "r_regionkey INTEGER, r_name VARCHAR",
@@ -65,10 +69,11 @@ def test_registry_consistent():
 
 
 @pytest.mark.parametrize("name", sorted(oracle_sqls()))
-def test_oracle_sql_parses_in_duckdb(name):
+def test_oracle_sql_parses_in_duckdb(name, tmp_path):
     con = duckdb.connect()
     for tbl, ddl in TABLES.items():
         con.execute(f"CREATE TABLE {tbl} ({ddl})")
+    sql = oracle_sqls()[name]
     if name == "q34_extract_synthetic":
-        _seed_q34_input(con)
-    con.execute(oracle_sqls()[name]).fetchall()  # empty tables → just parse/run
+        sql = _q34_sql_with_seeded_input(con, sql, tmp_path)
+    con.execute(sql).fetchall()  # empty tables → just parse/run
